@@ -1,0 +1,174 @@
+"""ctypes bridge to the native host library (libhtstpu.so).
+
+Builds on first import if missing/stale (make + g++ + libdeflate).  The
+whole framework works without it — every caller falls back to pure
+Python/zlib — but the native batch paths are the production host route
+for BGZF inflate/deflate and record framing scans.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from htslib_tpu.util.log import log_warning
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "build", "libhtstpu.so")
+_SRC = os.path.join(_DIR, "src", "htstpu.cc")
+
+MAX_BLOCK = 0x10000
+
+
+def _ensure_built() -> Optional[str]:
+    if os.environ.get("HTS_TPU_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(["make", "-s", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        return _SO
+    except Exception as e:  # pragma: no cover - build environment specific
+        log_warning("native build failed (%s); using pure-python fallbacks", e)
+        return None
+
+
+class _Native:
+    def __init__(self, so_path: str):
+        lib = ctypes.CDLL(so_path)
+        self._lib = lib
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.htstpu_bgzf_scan.restype = ctypes.c_int64
+        lib.htstpu_bgzf_scan.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64,
+                                         u64p, u32p, u32p]
+        lib.htstpu_inflate_batch.restype = ctypes.c_int64
+        lib.htstpu_inflate_batch.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int64, u64p, u32p, u32p, u64p, u8p,
+            ctypes.c_int, ctypes.c_int]
+        lib.htstpu_deflate_batch.restype = ctypes.c_int64
+        lib.htstpu_deflate_batch.argtypes = [
+            u8p, ctypes.c_int64, u64p, u32p, ctypes.c_int, u8p, u32p,
+            ctypes.c_int]
+        lib.htstpu_bam_scan.restype = ctypes.c_int64
+        lib.htstpu_bam_scan.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64,
+                                        ctypes.c_uint64, u64p, u32p]
+        lib.htstpu_crc32.restype = ctypes.c_uint32
+        lib.htstpu_crc32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_uint64]
+
+    @staticmethod
+    def _u8(arr: np.ndarray):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    @staticmethod
+    def _ptr(arr: np.ndarray, ctype):
+        return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+    def bgzf_scan(self, data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        data = np.ascontiguousarray(data)
+        cap = max(len(data) // 28 + 1, 16)
+        co = np.empty(cap, np.uint64)
+        cs = np.empty(cap, np.uint32)
+        us = np.empty(cap, np.uint32)
+        n = self._lib.htstpu_bgzf_scan(
+            self._u8(data), len(data), cap,
+            self._ptr(co, ctypes.c_uint64), self._ptr(cs, ctypes.c_uint32),
+            self._ptr(us, ctypes.c_uint32))
+        if n < 0:
+            raise IOError(f"BGZF scan failed (err {n})")
+        return co[:n].copy(), cs[:n].copy(), us[:n].copy()
+
+    def inflate_batch(self, data: np.ndarray, coffsets: np.ndarray,
+                      csizes: np.ndarray, usizes: np.ndarray,
+                      verify_crc: bool = True, nthreads: int = 0) -> np.ndarray:
+        data = np.ascontiguousarray(data)
+        coffsets = np.ascontiguousarray(coffsets, np.uint64)
+        csizes = np.ascontiguousarray(csizes, np.uint32)
+        usizes = np.ascontiguousarray(usizes, np.uint32)
+        out_offsets = np.zeros(len(usizes), np.uint64)
+        np.cumsum(usizes[:-1], dtype=np.uint64, out=out_offsets[1:])
+        total = int(usizes.sum(dtype=np.uint64))
+        out = np.empty(total, np.uint8)
+        r = self._lib.htstpu_inflate_batch(
+            self._u8(data), len(data), len(usizes),
+            self._ptr(coffsets, ctypes.c_uint64),
+            self._ptr(csizes, ctypes.c_uint32),
+            self._ptr(usizes, ctypes.c_uint32),
+            self._ptr(out_offsets, ctypes.c_uint64), self._u8(out),
+            1 if verify_crc else 0, nthreads)
+        if r < 0:
+            raise IOError(f"BGZF inflate failed on block {-(r + 1000)}")
+        return out
+
+    def deflate_blocks(self, chunks: List[bytes], level: int = -1,
+                       nthreads: int = 0) -> List[bytes]:
+        n = len(chunks)
+        if n == 0:
+            return []
+        lens = np.array([len(c) for c in chunks], np.uint32)
+        in_offsets = np.zeros(n, np.uint64)
+        np.cumsum(lens[:-1], dtype=np.uint64, out=in_offsets[1:])
+        data = np.frombuffer(b"".join(chunks), np.uint8)
+        out = np.empty(n * MAX_BLOCK, np.uint8)
+        out_lens = np.zeros(n, np.uint32)
+        if level > 9:
+            level = 9
+        r = self._lib.htstpu_deflate_batch(
+            self._u8(data), n, self._ptr(in_offsets, ctypes.c_uint64),
+            self._ptr(lens, ctypes.c_uint32), level, self._u8(out),
+            self._ptr(out_lens, ctypes.c_uint32), nthreads)
+        if r < 0:
+            raise IOError(f"BGZF deflate failed on chunk {-(r + 2000)}")
+        return [out[i * MAX_BLOCK: i * MAX_BLOCK + int(out_lens[i])].tobytes()
+                for i in range(n)]
+
+    def deflate_batch_np(self, data: np.ndarray, in_offsets: np.ndarray,
+                         in_lens: np.ndarray, level: int = -1,
+                         nthreads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Zero-copy variant: returns (out buffer [n*MAX_BLOCK], out_lens)."""
+        n = len(in_lens)
+        data = np.ascontiguousarray(data)
+        in_offsets = np.ascontiguousarray(in_offsets, np.uint64)
+        in_lens = np.ascontiguousarray(in_lens, np.uint32)
+        out = np.empty(n * MAX_BLOCK, np.uint8)
+        out_lens = np.zeros(n, np.uint32)
+        if level > 9:
+            level = 9
+        r = self._lib.htstpu_deflate_batch(
+            self._u8(data), n, self._ptr(in_offsets, ctypes.c_uint64),
+            self._ptr(in_lens, ctypes.c_uint32), level, self._u8(out),
+            self._ptr(out_lens, ctypes.c_uint32), nthreads)
+        if r < 0:
+            raise IOError(f"BGZF deflate failed on chunk {-(r + 2000)}")
+        return out, out_lens
+
+    def bam_scan(self, data: np.ndarray, start: int) -> Tuple[np.ndarray, np.ndarray]:
+        data = np.ascontiguousarray(data)
+        cap = max((len(data) - start) // 36 + 1, 16)
+        offs = np.empty(cap, np.uint64)
+        sizes = np.empty(cap, np.uint32)
+        n = self._lib.htstpu_bam_scan(
+            self._u8(data), len(data), start, cap,
+            self._ptr(offs, ctypes.c_uint64), self._ptr(sizes, ctypes.c_uint32))
+        if n < 0:
+            raise IOError(f"BAM record scan failed (err {n})")
+        return offs[:n].copy(), sizes[:n].copy()
+
+    def crc32(self, data: np.ndarray, crc: int = 0) -> int:
+        data = np.ascontiguousarray(data)
+        return int(self._lib.htstpu_crc32(crc, self._u8(data), len(data)))
+
+
+native: Optional[_Native] = None
+_so = _ensure_built()
+if _so is not None:
+    try:
+        native = _Native(_so)
+    except OSError as e:  # pragma: no cover
+        log_warning("native library load failed (%s)", e)
+        native = None

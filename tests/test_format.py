@@ -1,0 +1,50 @@
+"""Format detection tests vs the reference corpus (hts_detect_format2)."""
+import pytest
+
+from htslib_tpu.format import (Category, Compression, Format,
+                               detect_format, detect_format_file)
+from tests.conftest import ref_path, has_ref
+
+CASES = [
+    ("range.bam", Format.bam, Compression.bgzf),
+    ("range.cram", Format.cram, Compression.no_compression),
+    ("index.sam", Format.sam, Compression.no_compression),
+    ("index.vcf", Format.vcf, Compression.no_compression),
+    ("index.bam.bai", Format.bai, Compression.no_compression),
+    ("index.bam.csi", Format.csi, Compression.bgzf),
+    ("index.vcf.gz.tbi", Format.tbi, Compression.bgzf),
+    ("index.cram.crai", Format.crai, Compression.gzip),
+    ("ce.fa", Format.fasta_format, Compression.no_compression),
+    ("ce.fa.fai", Format.fai_format, Compression.no_compression),
+    ("emptyfile", Format.empty_format, Compression.no_compression),
+    ("bgziptest.txt.gz", Format.text_format, Compression.bgzf),
+]
+
+
+@pytest.mark.parametrize("fname,fmt,comp", CASES)
+def test_detect_reference_files(fname, fmt, comp):
+    if not has_ref(fname):
+        pytest.skip(f"missing {fname}")
+    got = detect_format_file(ref_path(fname))
+    assert got.format == fmt, f"{fname}: {got.format} != {fmt}"
+    assert got.compression == comp, f"{fname}: {got.compression} != {comp}"
+
+
+def test_detect_synthetic():
+    assert detect_format(b"").format == Format.empty_format
+    assert detect_format(b"BAM\x01xxxx").format == Format.bam
+    assert detect_format(b"CRAM\x03\x00" + b"\0" * 20).format == Format.cram
+    f = detect_format(b"##fileformat=VCFv4.3\n#CHROM\t...")
+    assert f.format == Format.vcf and f.version_major == 4 and f.version_minor == 3
+    assert detect_format(b"BCF\x02\x02xxxx").format == Format.bcf
+    assert detect_format(b">seq1\nACGT\n").format == Format.fasta_format
+    assert detect_format(b"@read1\nACGT\n+\nFFFF\n").format == Format.fastq_format
+    assert detect_format(b"@HD\tVN:1.6\n").format == Format.sam
+    sam_body = b"r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tFFFF\n"
+    assert detect_format(sam_body).format == Format.sam
+    assert detect_format(b"chr1\t100\t200\n").format == Format.bed
+
+
+def test_description():
+    d = detect_format(b"BAM\x01xxxx").description()
+    assert "BAM" in d and "sequence" in d
