@@ -506,12 +506,17 @@ class BGZFReader:
             self._fp.seek(pos)
 
     def read_all(self) -> np.ndarray:
-        """Bulk path: slurp + batch-inflate the remaining stream."""
+        """Bulk path: unconsumed tail of the current block + batch-inflate
+        of the remaining stream."""
         if self.is_bgzf:
+            tail = self._block[self._block_offset:]
+            self._block_offset = len(self._block)
             start = self._fp.tell()
             raw = self._fp.read(-1)
             out, table = inflate_blocks(raw, base_offset=start)
             self.idx = GziIndex.from_table(table)
+            if tail:
+                out = np.concatenate([np.frombuffer(tail, np.uint8), out])
             return out
         return np.frombuffer(self.read(-1), dtype=np.uint8)
 

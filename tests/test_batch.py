@@ -1,0 +1,76 @@
+"""Batch (columnar) BAM decode + vectorised SAM formatting must be
+byte-identical to the record-at-a-time path on the whole corpus."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from htslib_tpu.sam import BamReader, BamWriter, SamReader
+from htslib_tpu.sam.batch import (bam_to_sam_bytes, decode_bam_columns,
+                                  format_sam_batch, dec_len, write_ints,
+                                  ragged_gather, ragged_indices)
+from tests.conftest import REF_TEST, ref_path, has_ref
+
+CORPUS = sorted(
+    os.path.basename(p) for p in glob.glob(os.path.join(REF_TEST, "*.sam"))
+) if os.path.isdir(REF_TEST) else []
+
+
+def test_dec_len_and_write_ints():
+    vals = np.array([0, 1, 9, 10, 99, 100, -1, -10, 12345678901234,
+                     -2147483648, 2147483647, 65535], np.int64)
+    want = [str(v) for v in vals]
+    lens = dec_len(vals)
+    assert list(lens) == [len(w) for w in want]
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    out = np.zeros(total, np.uint8)
+    write_ints(out, ends, vals)
+    assert out.tobytes().decode() == "".join(want)
+
+
+def test_ragged_helpers():
+    lens = np.array([3, 0, 2], np.int64)
+    seg, intra = ragged_indices(lens)
+    assert list(seg) == [0, 0, 0, 2, 2]
+    assert list(intra) == [0, 1, 2, 0, 1]
+    data = np.frombuffer(b"abcdefgh", np.uint8)
+    flat, _, _ = ragged_gather(data, np.array([1, 0, 5]), lens)
+    assert flat.tobytes() == b"bcdfg"
+
+
+def batch_vs_records(bam_path):
+    with BamReader(bam_path) as r:
+        hdr = r.header
+        want = "".join(rec.to_sam(hdr) + "\n" for rec in r).encode()
+    with BamReader(bam_path) as r:
+        data, offs, sizes = r.raw_records()
+        got = bam_to_sam_bytes(data, offs, sizes, r.header)
+    return want, got
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_batch_range_bam():
+    want, got = batch_vs_records(ref_path("range.bam"))
+    assert got == want
+
+
+@pytest.mark.skipif(not has_ref("colons.bam"), reason="no corpus")
+def test_batch_colons_bam():
+    want, got = batch_vs_records(ref_path("colons.bam"))
+    assert got == want
+
+
+@pytest.mark.parametrize("fname", CORPUS or ["skip"])
+def test_batch_all_corpus_sams(fname, tmp_path):
+    if fname == "skip":
+        pytest.skip("no corpus")
+    bam_path = str(tmp_path / "t.bam")
+    with SamReader(ref_path(fname)) as r:
+        hdr = r.header
+        with BamWriter(bam_path, hdr) as w:
+            for rec in r:
+                w.write(rec)
+    want, got = batch_vs_records(bam_path)
+    assert got == want, f"batch mismatch for {fname}"
