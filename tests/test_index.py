@@ -1,0 +1,127 @@
+"""Index build/load/query tests — modeled on reference test/test_index.c
+and test.pl's region-query golden files (range.out/range.out2)."""
+import os
+
+import pytest
+
+from htslib_tpu.index import (HTS_FMT_BAI, HtsIndex, parse_decimal,
+                              parse_region, reg2bin, reg2bins,
+                              HTS_PARSE_ONE_COORD, HTS_PARSE_LIST,
+                              HTS_POS_MAX)
+from htslib_tpu.sam import BamReader
+from htslib_tpu.sam.indexing import (MultiRegionIterator, bam_fetch,
+                                     build_bam_index, load_bam_index)
+from tests.conftest import ref_path, has_ref
+
+REGIONS1 = ["CHROMOSOME_II:2980-2980", "CHROMOSOME_IV:1500-1500",
+            "CHROMOSOME_II:2980-2980", "CHROMOSOME_I:1000-1100"]
+REGIONS2 = ["CHROMOSOME_I:1122-1122", "CHROMOSOME_II:1136-1136",
+            "CHROMOSOME_II:1241-1241", "CHROMOSOME_II:1267-1267",
+            "CHROMOSOME_II:1326-1326", "CHROMOSOME_II:1345-1345",
+            "CHROMOSOME_II:1353-1353", "CHROMOSOME_II:1366-1366",
+            "CHROMOSOME_II:1416-1416", "CHROMOSOME_II:1459-1459",
+            "CHROMOSOME_II:1536-1536"]
+
+
+def test_bin_math():
+    assert reg2bin(0, 2 ** 14) == 4681
+    assert reg2bin(0, 2 ** 17) == 585
+    assert 4681 in reg2bins(0, 100)
+    assert 0 in reg2bins(0, 100)
+    assert len(reg2bins(0, 1 << 29)) > 4000
+
+
+def test_parse_decimal():
+    assert parse_decimal("1234")[0] == 1234
+    assert parse_decimal("1,234", 1)[0] == 1234
+    assert parse_decimal("1.5k")[0] == 1500
+    assert parse_decimal("2M")[0] == 2000000
+    assert parse_decimal("-17")[0] == -17
+    assert parse_decimal("1e3")[0] == 1000
+
+
+def test_parse_region():
+    names = {"chr1": 0, "chr2": 1, "HLA-DRB1*12:17": 2, "chr1:100-200": 3}
+    n2i = lambda s: names.get(s, -1)
+    assert parse_region("chr1", n2i)[:3] == (0, 0, HTS_POS_MAX)
+    assert parse_region("chr1:100", n2i)[:3] == (0, 99, HTS_POS_MAX)
+    assert parse_region("chr1:100", n2i, HTS_PARSE_ONE_COORD)[:3] == (0, 99, 100)
+    assert parse_region("chr1:100-200", n2i)[:3] == (3, 0, HTS_POS_MAX)  # name wins
+    assert parse_region("{chr1}:100-200", n2i)[:3] == (0, 99, 200)
+    assert parse_region("chr2:1,000-2,000", n2i)[:3] == (1, 999, 2000)
+    assert parse_region("HLA-DRB1*12:17", n2i)[:3] == (2, 0, HTS_POS_MAX)
+    assert parse_region("{chr2}:-500", n2i, HTS_PARSE_ONE_COORD)[:3] == (1, 0, 500)
+    r = parse_region("chr1:5-10,chr2:3-4", n2i, HTS_PARSE_LIST)
+    assert r[:3] == (0, 4, 10) and r[3] == len("chr1:5-10,")
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_load_prebuilt_bai_queries_match_golden():
+    idx = HtsIndex.load(ref_path("range.bam.bai"))
+    want = open(ref_path("range.out")).read()
+    want_lines = [l for l in want.rstrip("\n").split("\n") if not l.startswith("@")]
+    got_lines = []
+    with BamReader(ref_path("range.bam")) as r:
+        for region in REGIONS1:
+            for rec in bam_fetch(r, idx, region):
+                got_lines.append(rec.to_sam(r.header))
+    assert got_lines == want_lines
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_built_bai_matches_prebuilt_queries(tmp_path):
+    out = str(tmp_path / "range.bam.bai")
+    idx = build_bam_index(ref_path("range.bam"), out)
+    ref_idx = HtsIndex.load(ref_path("range.bam.bai"))
+    assert idx.n == ref_idx.n
+    for tid in range(idx.n):
+        a, b = idx.bidx[tid], ref_idx.bidx[tid]
+        if a is None or b is None:
+            assert (a is None) == (b is None)
+            continue
+        assert set(a.keys()) == set(b.keys()), f"tid {tid} bin sets differ"
+        for bin_ in a:
+            assert sorted(a[bin_].chunks) == sorted(b[bin_].chunks), \
+                f"tid {tid} bin {bin_} chunks differ"
+        assert idx.lidx[tid] == ref_idx.lidx[tid]
+    # and the saved file reloads to the same structure
+    idx2 = HtsIndex.load(out)
+    assert idx2.n == idx.n
+    for tid in range(idx.n):
+        if idx.bidx[tid] is None:
+            continue
+        assert set(idx2.bidx[tid].keys()) == set(idx.bidx[tid].keys())
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_multi_region_matches_golden_out2():
+    idx = HtsIndex.load(ref_path("range.bam.bai"))
+    want = open(ref_path("range.out2")).read()
+    want_lines = [l for l in want.rstrip("\n").split("\n") if not l.startswith("@")]
+    with BamReader(ref_path("range.bam")) as r:
+        regions = []
+        from htslib_tpu.index import parse_region as pr
+        for spec in REGIONS2:
+            tid, beg, end, _ = pr(spec, r.header.name2tid)
+            regions.append((tid, beg, end))
+        got = [rec.to_sam(r.header) for rec in MultiRegionIterator(r, idx, regions)]
+    assert got == want_lines
+
+
+@pytest.mark.skipif(not has_ref("index.bam.csi"), reason="no corpus")
+def test_load_csi():
+    idx = HtsIndex.load(ref_path("index.bam.csi"))
+    assert idx.min_shift == 14
+    assert idx.n >= 1
+
+
+@pytest.mark.skipif(not has_ref("colons.bam"), reason="no corpus")
+def test_colons_name_queries():
+    # test.pl:954 "Try a range query to ensure id <-> name mapping works"
+    idx = HtsIndex.load(ref_path("colons.bam.bai"))
+    with BamReader(ref_path("colons.bam")) as r:
+        tid0 = {rec.qname for rec in r if rec.tid == 0}
+    with BamReader(ref_path("colons.bam")) as r:
+        name = r.header.ref_names[0]
+        got = {rec.qname for rec in bam_fetch(r, idx, "{%s}" % name)}
+    assert got == tid0 and got
