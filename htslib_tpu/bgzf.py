@@ -419,6 +419,15 @@ class BGZFReader:
             n -= take
         return bytes(out)
 
+    def peek(self, n: int) -> bytes:
+        """Return up to n upcoming bytes without consuming them."""
+        if len(self._block) - self._block_offset == 0:
+            pos_fp = self._fp.tell()
+            if not self._read_next_block():
+                return b""
+            # leave block loaded; reads will consume it
+        return self._block[self._block_offset:self._block_offset + n]
+
     def readline(self, delim: bytes = b"\n") -> bytes:
         out = bytearray()
         while True:
