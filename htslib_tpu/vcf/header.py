@@ -1,0 +1,420 @@
+"""VCF/BCF header model (reference vcf.c bcf_hdr_*, htslib/vcf.h:122-180).
+
+Three dictionaries mirror bcf_hdr_t: BCF_DT_ID (shared FILTER/INFO/FORMAT
+string table, PASS fixed at id 0), BCF_DT_CTG (contigs), BCF_DT_SAMPLE.
+Header lines are kept verbatim for byte-exact text round trips; structured
+lines additionally parse their <key=value> pairs for Number/Type metadata
+and IDX handling (vcf.c:4015 bcf_hdr_parse_line).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from htslib_tpu.util.log import log_warning
+
+# header line types (htslib/vcf.h:64)
+BCF_HL_FLT = 0
+BCF_HL_INFO = 1
+BCF_HL_FMT = 2
+BCF_HL_CTG = 3
+BCF_HL_STR = 4
+BCF_HL_GEN = 5
+
+# value types (htslib/vcf.h:71)
+BCF_HT_FLAG = 0
+BCF_HT_INT = 1
+BCF_HT_REAL = 2
+BCF_HT_STR = 3
+BCF_HT_LONG = 0x101
+
+# Number= classes (htslib/vcf.h:76)
+BCF_VL_FIXED = 0
+BCF_VL_VAR = 1
+BCF_VL_A = 2
+BCF_VL_G = 3
+BCF_VL_R = 4
+BCF_VL_P = 5  # 4.5 local alleles LA
+BCF_VL_LA = 5
+BCF_VL_LG = 6
+BCF_VL_LR = 7
+
+_HT_NAME = {"Integer": BCF_HT_INT, "Float": BCF_HT_REAL,
+            "String": BCF_HT_STR, "Character": BCF_HT_STR,
+            "Flag": BCF_HT_FLAG}
+_VL_NAME = {"A": BCF_VL_A, "G": BCF_VL_G, "R": BCF_VL_R, ".": BCF_VL_VAR,
+            "LA": BCF_VL_LA, "LG": BCF_VL_LG, "LR": BCF_VL_LR}
+
+
+def _parse_structured(value: str) -> List[Tuple[str, str]]:
+    """Parse '<ID=x,Number=1,Description="a,b">' into ordered pairs,
+    mirroring bcf_hdr_parse_line2 (vcf.c:690-760): spaces around '='
+    skipped, trailing value spaces trimmed, quoted values keep their
+    quotes, '[...]' arrays kept verbatim, nested <> tracked."""
+    assert value.startswith("<")
+    s = value[1:]
+    pairs: List[Tuple[str, str]] = []
+    i, n = 0, len(s)
+    nopen = 1
+    while i < n and nopen > 0:
+        while i < n and s[i] == " ":
+            i += 1
+        k0 = i
+        while i < n and s[i] not in "=> ":
+            i += 1
+        key = s[k0:i]
+        while i < n and s[i] == " ":
+            i += 1
+        if i >= n or s[i] != "=" or not key:
+            break
+        i += 1
+        while i < n and s[i] == " ":
+            i += 1
+        quoted = False
+        bracket = False
+        if i < n and s[i] == '"':
+            quoted = True
+            i += 1
+        elif i < n and s[i] == "[":
+            bracket = True
+        v0 = i
+        while i < n:
+            c = s[i]
+            if quoted:
+                if c == '"' and (i == v0 or s[i - 1] != "\\"):
+                    break
+            elif bracket:
+                if c == "]":
+                    i += 1
+                    break
+            else:
+                if c == "<":
+                    nopen += 1
+                elif c == ">":
+                    nopen -= 1
+                    if nopen == 0:
+                        break
+                elif c == "," and nopen == 1:
+                    break
+            i += 1
+        val = s[v0:i]
+        if not quoted:
+            val = val.rstrip(" ")
+        if quoted:
+            val = '"' + val + '"'
+            i += 1  # closing quote
+        pairs.append((key, val))
+        # advance past , or >
+        while i < n and s[i] == " ":
+            i += 1
+        if i < n and s[i] == ">":
+            nopen -= 1
+            i += 1
+        elif i < n and s[i] == ",":
+            i += 1
+    return pairs
+
+
+class HeaderRec:
+    """bcf_hrec_t: one ##key=value line."""
+
+    __slots__ = ("key", "value", "pairs", "raw")
+
+    def __init__(self, key: str, value: Optional[str],
+                 pairs: Optional[List[Tuple[str, str]]], raw: str):
+        self.key = key          # e.g. 'INFO', 'fileformat', 'contig'
+        self.value = value      # for generic ##key=value lines
+        self.pairs = pairs      # for structured <...> lines
+        self.raw = raw          # original text (no newline)
+
+    def get(self, k: str) -> Optional[str]:
+        """Value with surrounding quotes stripped."""
+        if not self.pairs:
+            return None
+        for key, val in self.pairs:
+            if key == k:
+                if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+                    return val[1:-1]
+                return val
+        return None
+
+    def set(self, k: str, v: str, quoted: bool = False) -> None:
+        if self.pairs is None:
+            self.pairs = []
+        if quoted:
+            v = '"' + v + '"'
+        for i, (key, _) in enumerate(self.pairs):
+            if key == k:
+                self.pairs[i] = (k, v)
+                self._rebuild_raw()
+                return
+        self.pairs.append((k, v))
+        self._rebuild_raw()
+
+    def format(self, is_bcf: bool = False) -> str:
+        """_bcf_hrec_format (vcf.c): canonical '##key=<k=v,...>'; IDX
+        omitted for VCF output."""
+        if self.pairs is None:
+            return self.raw
+        body = ",".join(f"{k}={v}" for k, v in self.pairs
+                        if is_bcf or k != "IDX")
+        return f"##{self.key}=<{body}>"
+
+    def _rebuild_raw(self) -> None:
+        self.raw = self.format(is_bcf=True)
+
+
+class IdInfo:
+    """Per-ID metadata for each of the FLT/INFO/FMT contexts
+    (bcf_idinfo_t, htslib/vcf.h:110)."""
+
+    __slots__ = ("number", "type", "vl", "hrec")
+
+    def __init__(self):
+        self.number = [0xFFFFF] * 3   # fixed count, or 0xfffff for var
+        self.type = [-1] * 3
+        self.vl = [BCF_VL_FIXED] * 3
+        self.hrec: List[Optional[HeaderRec]] = [None] * 3
+
+
+class BcfHeader:
+    def __init__(self, text: str = ""):
+        self.hrecs: List[HeaderRec] = []
+        self.samples: List[str] = []
+        # BCF_DT_ID dictionary
+        self.id_names: List[str] = []
+        self.id_info: List[IdInfo] = []
+        self._id_lookup: Dict[str, int] = {}
+        # contigs
+        self.ctg_names: List[str] = []
+        self.ctg_lens: List[int] = []
+        self._ctg_lookup: Dict[str, int] = {}
+        self.version = "VCFv4.2"
+        self._ensure_pass()
+        if text:
+            self.parse(text)
+
+    # ------------------------------------------------------------------
+    def _ensure_pass(self) -> None:
+        if "PASS" not in self._id_lookup:
+            i = self._intern_id("PASS")
+            info = self.id_info[i]
+            info.number[BCF_HL_FLT] = 0
+            info.type[BCF_HL_FLT] = BCF_HT_FLAG
+
+    def _intern_id(self, name: str, idx: Optional[int] = None) -> int:
+        if name in self._id_lookup:
+            return self._id_lookup[name]
+        if idx is None:
+            idx = len(self.id_names)
+        while len(self.id_names) <= idx:
+            self.id_names.append("")
+            self.id_info.append(IdInfo())
+        if self.id_names[idx] and self.id_names[idx] != name:
+            raise ValueError(f"conflicting IDX {idx} for {name!r}")
+        self.id_names[idx] = name
+        self._id_lookup[name] = idx
+        return idx
+
+    def _intern_ctg(self, name: str, length: int = 0,
+                    idx: Optional[int] = None) -> int:
+        if name in self._ctg_lookup:
+            return self._ctg_lookup[name]
+        if idx is None:
+            idx = len(self.ctg_names)
+        while len(self.ctg_names) <= idx:
+            self.ctg_names.append("")
+            self.ctg_lens.append(0)
+        self.ctg_names[idx] = name
+        self.ctg_lens[idx] = length
+        self._ctg_lookup[name] = idx
+        return idx
+
+    # ------------------------------------------------------------------
+    def parse(self, text: str) -> None:
+        """bcf_hdr_parse (vcf.c:4131)."""
+        for raw in text.split("\n"):
+            raw = raw.rstrip("\r")
+            if not raw:
+                continue
+            if raw.startswith("##"):
+                self.add_hrec_line(raw)
+            elif raw.startswith("#CHROM"):
+                cols = raw.split("\t")
+                if len(cols) > 9:
+                    self.samples = cols[9:]
+                elif len(cols) == 9:
+                    self.samples = []
+                else:
+                    self.samples = []
+        # ensure an explicit PASS FILTER line exists (bcf_hdr_parse adds one
+        # right after ##fileformat, vcf.c:4172)
+        if not any(r.key == "FILTER" and r.get("ID") == "PASS"
+                   for r in self.hrecs):
+            raw = '##FILTER=<ID=PASS,Description="All filters passed">'
+            rec = HeaderRec("FILTER", None,
+                            [("ID", "PASS"),
+                             ("Description", '"All filters passed"')], raw)
+            pos = 0
+            for i, r in enumerate(self.hrecs):
+                if r.key == "fileformat":
+                    pos = i + 1
+                    break
+            self.hrecs.insert(pos, rec)
+            self._register(rec)
+
+    def add_hrec_line(self, raw: str) -> Optional[HeaderRec]:
+        body = raw[2:]
+        eq = body.find("=")
+        if eq < 0:
+            log_warning("malformed header line: %s", raw)
+            return None
+        key = body[:eq]
+        value = body[eq + 1:]
+        if value.startswith("<"):
+            pairs = _parse_structured(value)
+            rec = HeaderRec(key, None, pairs, raw)
+        else:
+            rec = HeaderRec(key, value, None, raw)
+            if key == "fileformat":
+                self.version = value
+        self.hrecs.append(rec)
+        self._register(rec)
+        return rec
+
+    def _register(self, rec: HeaderRec) -> None:
+        if rec.pairs is None:
+            return
+        rid = rec.get("ID")
+        idx = rec.get("IDX")
+        idx = int(idx) if idx is not None else None
+        if rec.key == "contig":
+            if rid is not None:
+                length = rec.get("length")
+                self._intern_ctg(rid, int(length) if length else 0, idx)
+            return
+        hl = {"FILTER": BCF_HL_FLT, "INFO": BCF_HL_INFO,
+              "FORMAT": BCF_HL_FMT}.get(rec.key)
+        if hl is None or rid is None:
+            return
+        i = self._intern_id(rid, idx)
+        info = self.id_info[i]
+        info.hrec[hl] = rec
+        if hl == BCF_HL_FLT:
+            info.number[hl] = 0
+            info.type[hl] = BCF_HT_FLAG
+            return
+        num = rec.get("Number")
+        typ = rec.get("Type")
+        info.type[hl] = _HT_NAME.get(typ or "String", BCF_HT_STR)
+        if num in _VL_NAME:
+            info.vl[hl] = _VL_NAME[num]
+            info.number[hl] = 0xFFFFF
+        elif num is not None:
+            try:
+                info.number[hl] = int(num)
+                info.vl[hl] = BCF_VL_FIXED
+            except ValueError:
+                info.vl[hl] = BCF_VL_VAR
+                info.number[hl] = 0xFFFFF
+        if rec.key == "INFO" and info.type[hl] == BCF_HT_FLAG:
+            info.number[hl] = 0
+
+    # -- lookups ---------------------------------------------------------
+    def id2int(self, name: str) -> int:
+        return self._id_lookup.get(name, -1)
+
+    def int2id(self, i: int) -> str:
+        return self.id_names[i]
+
+    def name2rid(self, name: str) -> int:
+        return self._ctg_lookup.get(name, -1)
+
+    def rid2name(self, rid: int) -> str:
+        return self.ctg_names[rid]
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.samples)
+
+    def coltype(self, hl: int, id_: int) -> Tuple[int, int, int]:
+        """(type, vl, fixed_number) of id in context hl."""
+        info = self.id_info[id_]
+        return info.type[hl], info.vl[hl], info.number[hl]
+
+    def id_defined(self, hl: int, id_: int) -> bool:
+        return 0 <= id_ < len(self.id_info) and self.id_info[id_].type[hl] != -1
+
+    # -- dynamic additions (vcf_parse auto-add, vcf.c:3748) --------------
+    def add_missing(self, hl: int, name: str) -> int:
+        kind = {BCF_HL_FLT: "FILTER", BCF_HL_INFO: "INFO",
+                BCF_HL_FMT: "FORMAT"}[hl]
+        log_warning("%s '%s' is not defined in the header, assuming "
+                    "Type=String", kind, name)
+        if hl == BCF_HL_FLT:
+            raw = f'##FILTER=<ID={name},Description="Dummy">'
+        else:
+            raw = (f'##{kind}=<ID={name},Number=1,Type=String,'
+                   f'Description="Dummy">')
+        rec = self.add_hrec_line(raw)
+        return self.id2int(name)
+
+    def add_missing_contig(self, name: str) -> int:
+        log_warning("Contig '%s' is not defined in the header. (Quick "
+                    "workaround: index the file with tabix.)", name)
+        self.add_hrec_line(f"##contig=<ID={name}>")
+        return self.name2rid(name)
+
+    # -- text ------------------------------------------------------------
+    def text(self, with_idx: bool = False) -> str:
+        """bcf_hdr_format (vcf.c:4560)."""
+        lines = []
+        for rec in self.hrecs:
+            if rec.pairs is None:
+                lines.append(rec.raw)
+                continue
+            if with_idx and rec.key in ("FILTER", "INFO", "FORMAT",
+                                        "contig") and rec.get("IDX") is None:
+                rid = rec.get("ID")
+                idx = (self.name2rid(rid) if rec.key == "contig"
+                       else self.id2int(rid))
+                tmp = HeaderRec(rec.key, None, list(rec.pairs), rec.raw)
+                tmp.set("IDX", str(idx))
+                lines.append(tmp.format(is_bcf=True))
+            else:
+                lines.append(rec.format(is_bcf=with_idx))
+        chrom = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        if self.samples:
+            chrom += "\tFORMAT\t" + "\t".join(self.samples)
+        lines.append(chrom)
+        return "\n".join(lines) + "\n"
+
+    def copy(self) -> "BcfHeader":
+        h = BcfHeader()
+        for rec in self.hrecs:
+            h.add_hrec_line(rec.raw)
+        h.samples = list(self.samples)
+        return h
+
+    def sequences(self) -> List[str]:
+        return list(self.ctg_names)
+
+    # -- convenience -----------------------------------------------------
+    def has_hrec(self, key: str, id_: str) -> bool:
+        for rec in self.hrecs:
+            if rec.key == key and rec.get("ID") == id_:
+                return True
+        return False
+
+    def remove_hrec(self, key: str, id_: Optional[str] = None) -> None:
+        """bcf_hdr_remove (vcf.c:4460): drop lines (does not renumber
+        existing dictionary entries, as in the reference)."""
+        keep = []
+        for rec in self.hrecs:
+            if rec.key == key and (id_ is None or rec.get("ID") == id_):
+                continue
+            keep.append(rec)
+        self.hrecs = keep
+
+    def append_line(self, raw: str) -> None:
+        self.add_hrec_line(raw.rstrip("\n"))

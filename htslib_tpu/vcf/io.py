@@ -1,0 +1,197 @@
+"""VCF/BCF file I/O (reference vcf.c:1349 bcf_hdr_read, :2256 bcf_read,
+:2510 bcf_write, :4699 vcf_hdr_read/vcf_read)."""
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional, Union
+
+from htslib_tpu.bgzf import BGZFReader, BGZFWriter
+from htslib_tpu.format import Compression, Format, detect_format
+from htslib_tpu.hfile import HFile, hopen
+from htslib_tpu.vcf.header import BcfHeader
+from htslib_tpu.vcf.record import BcfRecord
+
+BCF_MAGIC = b"BCF\x02\x02"
+
+
+class VcfReader:
+    """Text VCF (plain/gzip/BGZF)."""
+
+    def __init__(self, src: Union[str, HFile, BGZFReader]):
+        self.fp = src if isinstance(src, BGZFReader) else BGZFReader(src)
+        lines = []
+        self._pending: Optional[bytes] = None
+        while True:
+            line = self.fp.readline()
+            if not line:
+                break
+            if line.startswith(b"#"):
+                lines.append(line.decode("utf-8", "replace").rstrip("\n"))
+                if line.startswith(b"#CHROM"):
+                    break
+            else:
+                self._pending = line
+                break
+        self.header = BcfHeader("\n".join(lines) + "\n" if lines else "")
+
+    def __iter__(self) -> Iterator[BcfRecord]:
+        return self
+
+    def __next__(self) -> BcfRecord:
+        rec = self.read1()
+        if rec is None:
+            raise StopIteration
+        return rec
+
+    def read1(self) -> Optional[BcfRecord]:
+        if self._pending is not None:
+            line, self._pending = self._pending, None
+        else:
+            line = self.fp.readline()
+        while line in (b"\n", b"\r\n"):
+            line = self.fp.readline()
+        if not line:
+            return None
+        return BcfRecord.from_vcf(line.decode("utf-8"), self.header)
+
+    def tell(self) -> int:
+        return self.fp.tell()
+
+    def close(self) -> None:
+        self.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *e):
+        self.close()
+
+
+class BcfReader:
+    def __init__(self, src: Union[str, HFile, BGZFReader]):
+        self.fp = src if isinstance(src, BGZFReader) else BGZFReader(src)
+        magic = self.fp.read(5)
+        if magic[:3] != b"BCF" or magic[3] != 2:
+            raise IOError("invalid BCF2 magic")
+        self.minor = magic[4]
+        (l_text,) = struct.unpack("<I", self.fp.read(4))
+        text = self.fp.read(l_text).rstrip(b"\0").decode("utf-8", "replace")
+        self.header = BcfHeader(text)
+
+    def __iter__(self) -> Iterator[BcfRecord]:
+        return self
+
+    def __next__(self) -> BcfRecord:
+        rec = self.read1()
+        if rec is None:
+            raise StopIteration
+        return rec
+
+    def read1(self) -> Optional[BcfRecord]:
+        head = self.fp.read(8)
+        if len(head) == 0:
+            return None
+        if len(head) < 8:
+            raise IOError("truncated BCF record")
+        l_shared, l_indiv = struct.unpack("<II", head)
+        shared = self.fp.read(l_shared)
+        indiv = self.fp.read(l_indiv)
+        if len(shared) != l_shared or len(indiv) != l_indiv:
+            raise IOError("truncated BCF record")
+        return BcfRecord.from_bcf(shared, indiv, self.header)
+
+    def tell(self) -> int:
+        return self.fp.tell()
+
+    def seek(self, voffset: int) -> None:
+        self.fp.seek(voffset)
+
+    def close(self) -> None:
+        self.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *e):
+        self.close()
+
+
+class VcfWriter:
+    def __init__(self, dst: Union[str, HFile], header: BcfHeader,
+                 compress: bool = False, level: int = -1):
+        if compress:
+            self.fp = BGZFWriter(dst, level=level) if not isinstance(dst, BGZFWriter) else dst
+        elif isinstance(dst, str):
+            self.fp = hopen(dst, "wb")
+        else:
+            self.fp = dst
+        self.header = header
+        self.fp.write(header.text().encode("utf-8"))
+
+    def write(self, rec: BcfRecord) -> None:
+        self.fp.write(rec.to_vcf(self.header).encode("utf-8") + b"\n")
+
+    def close(self) -> None:
+        if isinstance(self.fp, BGZFWriter):
+            self.fp.close()
+        else:
+            self.fp.flush()
+            self.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *e):
+        self.close()
+
+
+class BcfWriter:
+    def __init__(self, dst: Union[str, HFile, BGZFWriter], header: BcfHeader,
+                 level: int = -1):
+        self.fp = dst if isinstance(dst, BGZFWriter) else BGZFWriter(dst, level=level)
+        self.header = header
+        text = header.text(with_idx=False).encode("utf-8") + b"\0"
+        self.fp.write(BCF_MAGIC)
+        self.fp.write(struct.pack("<I", len(text)))
+        self.fp.write(text)
+
+    def write(self, rec: BcfRecord) -> None:
+        shared, indiv = rec.to_bcf()
+        self.fp.write(struct.pack("<II", len(shared), len(indiv)))
+        self.fp.write(shared)
+        self.fp.write(indiv)
+
+    def tell(self) -> int:
+        return self.fp.tell()
+
+    def close(self) -> None:
+        self.fp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *e):
+        self.close()
+
+
+def open_vcf(name: str, mode: str = "r", header: Optional[BcfHeader] = None):
+    """hts_open for variant data: r auto-detects VCF vs BCF; modes
+    w / wz / wb mirror the reference's letters."""
+    if "r" in mode:
+        fp = hopen(name, "rb")
+        fmt = detect_format(fp.peek(1 << 16))
+        if fmt.format == Format.bcf:
+            return BcfReader(fp)
+        if fmt.format in (Format.vcf, Format.text_format, Format.empty_format):
+            return VcfReader(fp)
+        raise IOError(f"cannot read {name}: not variant data "
+                      f"({fmt.description()})")
+    if header is None:
+        raise ValueError("writing requires a header")
+    level = -1
+    for ch in mode:
+        if ch.isdigit():
+            level = int(ch)
+    if "b" in mode and "u" not in mode:
+        return BcfWriter(name, header, level=level)
+    return VcfWriter(name, header, compress="z" in mode, level=level)

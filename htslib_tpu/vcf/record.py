@@ -1,0 +1,661 @@
+"""VCF/BCF record model — bcf1_t equivalent (reference htslib/vcf.h:236-260,
+vcf.c:3987 vcf_parse, vcf.c:4304 vcf_format, vcf.c:2256/2510 bcf_read/write).
+
+Values use BCF canonical typing: integers are int32 numpy arrays with the
+INT32 missing/vector-end sentinels; floats are uint32 *bit-pattern* arrays
+(so the 0x7F800001/0x7F800002 sentinels survive exactly); strings are raw
+bytes.  When a record was decoded from BCF, the original shared/indiv
+blobs are retained and reused verbatim on re-encode unless modified
+(mirroring bcf1_t's lazy dirty-tracking).
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from htslib_tpu.util.log import log_warning
+from htslib_tpu.vcf.header import (BCF_HL_FLT, BCF_HL_FMT, BCF_HL_INFO,
+                                   BCF_HT_FLAG, BCF_HT_INT, BCF_HT_REAL,
+                                   BCF_HT_STR, BcfHeader)
+
+# binary types (htslib/vcf.h:104)
+BCF_BT_NULL = 0
+BCF_BT_INT8 = 1
+BCF_BT_INT16 = 2
+BCF_BT_INT32 = 3
+BCF_BT_INT64 = 4
+BCF_BT_FLOAT = 5
+BCF_BT_CHAR = 7
+
+INT8_MISSING = -128
+INT8_VECTOR_END = -127
+INT16_MISSING = -32768
+INT16_VECTOR_END = -32767
+INT32_MISSING = -2147483648
+INT32_VECTOR_END = -2147483647
+FLOAT_MISSING = 0x7F800001
+FLOAT_VECTOR_END = 0x7F800002
+STR_MISSING = 0x07
+STR_VECTOR_END = 0x00
+
+# encodable ranges (htslib/vcf.h BCF_MAX_BT_*)
+MAX_BT_INT8 = 127
+MIN_BT_INT8 = -120
+MAX_BT_INT16 = 32767
+MIN_BT_INT16 = -32760
+MAX_BT_INT32 = 2147483647
+MIN_BT_INT32 = -2147483640
+
+
+
+def _fmt_g(x: float) -> str:
+    return "%g" % x
+
+
+def float_bits_missing() -> np.ndarray:
+    return np.array([FLOAT_MISSING], np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# typed-value wire helpers (vcf.c:2834 bcf_enc_*; :2140 decode checks)
+# ---------------------------------------------------------------------------
+
+def enc_size(out: bytearray, size: int, bt: int) -> None:
+    if size >= 15:
+        out.append(15 << 4 | bt)
+        enc_typed_int(out, size)
+    else:
+        out.append(size << 4 | bt)
+
+
+def enc_typed_int(out: bytearray, x: int) -> None:
+    """bcf_enc_int1: smallest of int8/16/32 honouring reserved values."""
+    if x == INT32_VECTOR_END:
+        out.append(1 << 4 | BCF_BT_INT8)
+        out += struct.pack("<b", INT8_VECTOR_END)
+    elif x == INT32_MISSING:
+        out.append(1 << 4 | BCF_BT_INT8)
+        out += struct.pack("<b", INT8_MISSING)
+    elif MIN_BT_INT8 <= x <= MAX_BT_INT8:
+        out.append(1 << 4 | BCF_BT_INT8)
+        out += struct.pack("<b", x)
+    elif MIN_BT_INT16 <= x <= MAX_BT_INT16:
+        out.append(1 << 4 | BCF_BT_INT16)
+        out += struct.pack("<h", x)
+    else:
+        out.append(1 << 4 | BCF_BT_INT32)
+        out += struct.pack("<i", x)
+
+
+def enc_vint(out: bytearray, a: np.ndarray, wsize: int = -1) -> None:
+    """bcf_enc_vint (vcf.c:2834)."""
+    n = len(a)
+    if n <= 0:
+        enc_size(out, 0, BCF_BT_NULL)
+        return
+    if n == 1:
+        enc_typed_int(out, int(a[0]))
+        return
+    if wsize <= 0:
+        wsize = n
+    # reference semantics (vcf.c:2845): max over ALL values (sentinels are
+    # hugely negative so they never win), min over non-sentinel values only
+    mx = int(a.max())
+    mask = a > INT32_VECTOR_END
+    mn = int(a[mask].min()) if mask.any() else (1 << 31) - 1
+    if mx <= MAX_BT_INT8 and mn >= MIN_BT_INT8:
+        enc_size(out, wsize, BCF_BT_INT8)
+        vals = np.where(a == INT32_VECTOR_END, INT8_VECTOR_END,
+                        np.where(a == INT32_MISSING, INT8_MISSING, a))
+        out += vals.astype("<i1").tobytes()
+    elif mx <= MAX_BT_INT16 and mn >= MIN_BT_INT16:
+        enc_size(out, wsize, BCF_BT_INT16)
+        vals = np.where(a == INT32_VECTOR_END, INT16_VECTOR_END,
+                        np.where(a == INT32_MISSING, INT16_MISSING, a))
+        out += vals.astype("<i2").tobytes()
+    else:
+        enc_size(out, wsize, BCF_BT_INT32)
+        out += a.astype("<i4").tobytes()
+
+
+def enc_vfloat(out: bytearray, bits: np.ndarray) -> None:
+    enc_size(out, len(bits), BCF_BT_FLOAT)
+    out += bits.astype("<u4").tobytes()
+
+
+def enc_vchar(out: bytearray, data: bytes) -> None:
+    enc_size(out, len(data), BCF_BT_CHAR)
+    out += data
+
+
+def dec_typed(buf: memoryview, p: int) -> Tuple[int, int, int, int]:
+    """Decode a type descriptor: returns (n, bt, data_offset, data_end)."""
+    d = buf[p]
+    bt = d & 0xF
+    n = d >> 4
+    p += 1
+    if n == 15:
+        n, bt2, p2, _ = dec_typed(buf, p)
+        # n encoded as typed scalar int
+        n = _read_scalar_int(buf, bt2, p2)
+        p = p2 + (1 << _bt_shift(bt2))
+    size = (n << _bt_shift(bt)) if bt != BCF_BT_NULL else 0
+    return n, bt, p, p + size
+
+
+def _bt_shift(bt: int) -> int:
+    return {BCF_BT_INT8: 0, BCF_BT_INT16: 1, BCF_BT_INT32: 2,
+            BCF_BT_INT64: 3, BCF_BT_FLOAT: 2, BCF_BT_CHAR: 0,
+            BCF_BT_NULL: 0}[bt]
+
+
+def _read_scalar_int(buf: memoryview, bt: int, p: int) -> int:
+    if bt == BCF_BT_INT8:
+        return struct.unpack_from("<b", buf, p)[0]
+    if bt == BCF_BT_INT16:
+        return struct.unpack_from("<h", buf, p)[0]
+    if bt == BCF_BT_INT32:
+        return struct.unpack_from("<i", buf, p)[0]
+    raise ValueError(f"invalid size descriptor type {bt}")
+
+
+def _read_int_vec(buf: memoryview, bt: int, p: int, n: int) -> np.ndarray:
+    """Widen to int32 canonical sentinels."""
+    if bt == BCF_BT_INT8:
+        a = np.frombuffer(buf, "<i1", n, p).astype(np.int32)
+        a[a == INT8_MISSING] = INT32_MISSING
+        a[a == INT8_VECTOR_END] = INT32_VECTOR_END
+    elif bt == BCF_BT_INT16:
+        a = np.frombuffer(buf, "<i2", n, p).astype(np.int32)
+        a[a == INT16_MISSING] = INT32_MISSING
+        a[a == INT16_VECTOR_END] = INT32_VECTOR_END
+    elif bt == BCF_BT_INT32:
+        a = np.frombuffer(buf, "<i4", n, p).astype(np.int32)
+    elif bt == BCF_BT_NULL:
+        a = np.empty(0, np.int32)
+    else:
+        raise ValueError(f"expected int vector, got type {bt}")
+    return a
+
+
+# ---------------------------------------------------------------------------
+
+class InfoEntry:
+    __slots__ = ("key", "type", "value")
+
+    def __init__(self, key: int, type_: int, value):
+        self.key = key
+        self.type = type_    # BCF_HT_* logical type
+        self.value = value   # None | np.int32[] | np.uint32 bits[] | bytes
+
+
+class FmtEntry:
+    __slots__ = ("key", "type", "value", "is_gt")
+
+    def __init__(self, key: int, type_: int, value, is_gt: bool = False):
+        self.key = key
+        self.type = type_
+        self.value = value   # np arrays [n_sample, width] or uint8 char matrix
+        self.is_gt = is_gt
+
+
+class BcfRecord:
+    __slots__ = ("rid", "pos", "rlen", "qual_bits", "id", "alleles",
+                 "filters", "info", "fmt", "n_sample", "_shared", "_indiv")
+
+    def __init__(self):
+        self.rid = -1
+        self.pos = -1
+        self.rlen = 0
+        self.qual_bits = FLOAT_MISSING
+        self.id = ""
+        self.alleles: List[str] = []
+        self.filters: List[int] = []
+        self.info: List[InfoEntry] = []
+        self.fmt: List[FmtEntry] = []
+        self.n_sample = 0
+        self._shared: Optional[bytes] = None
+        self._indiv: Optional[bytes] = None
+
+    # -- qual ------------------------------------------------------------
+    @property
+    def qual(self) -> Optional[float]:
+        if self.qual_bits == FLOAT_MISSING:
+            return None
+        return struct.unpack("<f", struct.pack("<I", self.qual_bits))[0]
+
+    @qual.setter
+    def qual(self, v: Optional[float]) -> None:
+        if v is None:
+            self.qual_bits = FLOAT_MISSING
+        else:
+            self.qual_bits = struct.unpack("<I", struct.pack("<f", v))[0]
+        self._shared = None
+
+    @property
+    def n_allele(self) -> int:
+        return len(self.alleles)
+
+    def get_info(self, header: BcfHeader, key: str):
+        kid = header.id2int(key)
+        for e in self.info:
+            if e.key == kid:
+                return e
+        return None
+
+    def get_fmt(self, header: BcfHeader, key: str):
+        kid = header.id2int(key)
+        for e in self.fmt:
+            if e.key == kid:
+                return e
+        return None
+
+    # ==================================================================
+    # VCF text parse (vcf_parse, vcf.c:3987)
+    # ==================================================================
+    @classmethod
+    def from_vcf(cls, line: str, header: BcfHeader) -> "BcfRecord":
+        cols = line.rstrip("\n").split("\t")
+        if len(cols) < 8:
+            raise ValueError(f"VCF record has {len(cols)} fields; need >= 8")
+        v = cls()
+        rid = header.name2rid(cols[0])
+        if rid < 0:
+            rid = header.add_missing_contig(cols[0])
+        v.rid = rid
+        v.pos = int(cols[1]) - 1
+        v.id = "" if cols[2] == "." else cols[2]
+        ref = cols[3]
+        v.alleles = [ref]
+        if cols[4] != "." and cols[4] != "":
+            v.alleles += cols[4].split(",")
+        v.rlen = len(ref)
+        if cols[5] == ".":
+            v.qual_bits = FLOAT_MISSING
+        else:
+            v.qual_bits = struct.unpack(
+                "<I", struct.pack("<f", float(cols[5])))[0]
+        v.filters = []
+        if cols[6] != ".":
+            for name in cols[6].split(";"):
+                fid = header.id2int(name)
+                if fid < 0 or not header.id_defined(BCF_HL_FLT, fid):
+                    fid = header.add_missing(BCF_HL_FLT, name)
+                v.filters.append(fid)
+        # INFO
+        end_val = None
+        if cols[7] != ".":
+            for item in cols[7].split(";"):
+                if not item:
+                    continue
+                if "=" in item:
+                    key, sval = item.split("=", 1)
+                else:
+                    key, sval = item, None
+                kid = header.id2int(key)
+                if kid < 0 or not header.id_defined(BCF_HL_INFO, kid):
+                    kid = header.add_missing(BCF_HL_INFO, key)
+                ht, _, _ = header.coltype(BCF_HL_INFO, kid)
+                if sval is None or ht == BCF_HT_FLAG:
+                    v.info.append(InfoEntry(kid, BCF_HT_FLAG, None))
+                    continue
+                if ht == BCF_HT_INT:
+                    vals = np.array(
+                        [INT32_MISSING if x == "." else int(x)
+                         for x in sval.split(",")], np.int32)
+                    v.info.append(InfoEntry(kid, BCF_HT_INT, vals))
+                    if key == "END":
+                        end_val = int(vals[0]) if vals[0] != INT32_MISSING else None
+                elif ht == BCF_HT_REAL:
+                    bits = np.array(
+                        [FLOAT_MISSING if x == "." else
+                         struct.unpack("<I", struct.pack("<f", float(x)))[0]
+                         for x in sval.split(",")], np.uint32)
+                    v.info.append(InfoEntry(kid, BCF_HT_REAL, bits))
+                else:
+                    v.info.append(InfoEntry(kid, BCF_HT_STR, sval.encode()))
+        if end_val is not None and end_val > v.pos:
+            v.rlen = end_val - v.pos
+        # FORMAT + samples (vcf_parse_format_*, vcf.c:3137-3686)
+        if len(cols) > 8 and header.n_samples:
+            v._parse_format(cols, header)
+        v.n_sample = header.n_samples
+        return v
+
+    def _parse_format(self, cols: List[str], header: BcfHeader) -> None:
+        keys = cols[8].split(":")
+        n_sample = header.n_samples
+        sample_cols = cols[9:9 + n_sample]
+        if len(sample_cols) < n_sample:
+            raise ValueError("fewer sample columns than samples in header")
+        split_samples = [s.split(":") for s in sample_cols]
+        seen = set()
+        for ki, key in enumerate(keys):
+            kid = header.id2int(key)
+            if kid < 0 or not header.id_defined(BCF_HL_FMT, kid):
+                kid = header.add_missing(BCF_HL_FMT, key)
+            if kid in seen:
+                # duplicate FORMAT key: first occurrence wins
+                # (vcf_parse_format_check2, vcf.c:3190)
+                log_warning("Duplicate FORMAT tag %s at %d", key, self.pos + 1)
+                continue
+            seen.add(kid)
+            is_gt = key == "GT"
+            ht, _, _ = header.coltype(BCF_HL_FMT, kid)
+            raw = [s[ki] if ki < len(s) else None for s in split_samples]
+            if is_gt:
+                parsed = [self._parse_gt(r) for r in raw]
+                width = max((len(p) for p in parsed), default=1) or 1
+                arr = np.full((n_sample, width), INT32_VECTOR_END, np.int32)
+                for si, p in enumerate(parsed):
+                    arr[si, :len(p)] = p
+                    if len(p) == 0:
+                        arr[si, 0] = 0  # lone '.' => missing allele
+                self.fmt.append(FmtEntry(kid, BCF_HT_INT, arr, True))
+            elif ht == BCF_HT_INT:
+                parsed = [None if r is None else
+                          [INT32_MISSING if x in (".", "") else int(x)
+                           for x in r.split(",")] for r in raw]
+                width = max((len(p) for p in parsed if p), default=1) or 1
+                arr = np.full((n_sample, width), INT32_VECTOR_END, np.int32)
+                for si, p in enumerate(parsed):
+                    if p is None:
+                        arr[si, 0] = INT32_MISSING
+                    else:
+                        arr[si, :len(p)] = p
+                self.fmt.append(FmtEntry(kid, BCF_HT_INT, arr))
+            elif ht == BCF_HT_REAL:
+                parsed = [None if r is None else
+                          [FLOAT_MISSING if x in (".", "") else
+                           struct.unpack("<I", struct.pack("<f", float(x)))[0]
+                           for x in r.split(",")] for r in raw]
+                width = max((len(p) for p in parsed if p), default=1) or 1
+                arr = np.full((n_sample, width), FLOAT_VECTOR_END, np.uint32)
+                for si, p in enumerate(parsed):
+                    if p is None:
+                        arr[si, 0] = FLOAT_MISSING
+                    else:
+                        arr[si, :len(p)] = p
+                self.fmt.append(FmtEntry(kid, BCF_HT_REAL, arr))
+            else:
+                svals = [b"." if r is None else r.encode() for r in raw]
+                width = max((len(s) for s in svals), default=1) or 1
+                arr = np.zeros((n_sample, width), np.uint8)
+                for si, s in enumerate(svals):
+                    if s == b".":
+                        arr[si, 0] = STR_MISSING
+                    else:
+                        arr[si, :len(s)] = np.frombuffer(s, np.uint8)
+                self.fmt.append(FmtEntry(kid, BCF_HT_STR, arr))
+
+    @staticmethod
+    def _parse_gt(r: Optional[str]) -> List[int]:
+        """'0/1' -> [(a+1)<<1|phase...] (vcf.c:3263 vcf_parse_format_gt)."""
+        if r is None or r == "" or r == ".":
+            return []
+        vals: List[int] = []
+        phased = 0
+        i, n = 0, len(r)
+        # leading phasing prefix (vcf4.4)
+        while i < n:
+            if r[i] == "|":
+                phased = 1
+                i += 1
+                continue
+            if r[i] == "/":
+                phased = 0
+                i += 1
+                continue
+            if r[i] == ".":
+                vals.append(0 | phased)
+                i += 1
+            else:
+                j = i
+                while j < n and r[j].isdigit():
+                    j += 1
+                allele = int(r[i:j])
+                vals.append(((allele + 1) << 1) | phased)
+                i = j
+        return vals
+
+    # ==================================================================
+    # VCF text format (vcf_format, vcf.c:4304)
+    # ==================================================================
+    def to_vcf(self, header: BcfHeader) -> str:
+        out: List[str] = []
+        out.append(header.rid2name(self.rid) if self.rid >= 0 else ".")
+        out.append(str(self.pos + 1))
+        out.append(self.id if self.id else ".")
+        out.append(self.alleles[0] if self.alleles else ".")
+        if len(self.alleles) > 1:
+            out.append(",".join(self.alleles[1:]))
+        else:
+            out.append(".")
+        q = self.qual
+        out.append("." if q is None else _fmt_g(q))
+        if self.filters:
+            out.append(";".join(header.int2id(f) for f in self.filters))
+        else:
+            out.append(".")
+        if self.info:
+            items = []
+            for e in self.info:
+                key = header.int2id(e.key)
+                if e.type == BCF_HT_FLAG or e.value is None:
+                    items.append(key)
+                elif e.type == BCF_HT_INT:
+                    items.append(key + "=" + _fmt_int_arr(e.value))
+                elif e.type == BCF_HT_REAL:
+                    items.append(key + "=" + _fmt_float_arr(e.value))
+                else:
+                    items.append(key + "=" + e.value.decode("utf-8"))
+            out.append(";".join(items))
+        else:
+            out.append(".")
+        if self.fmt:
+            out.append(":".join(header.int2id(f.key) for f in self.fmt))
+            for si in range(self.n_sample):
+                parts = []
+                for f in self.fmt:
+                    if f.is_gt:
+                        parts.append(_fmt_gt(f.value[si]))
+                    elif f.type == BCF_HT_INT:
+                        parts.append(_fmt_int_arr(f.value[si]))
+                    elif f.type == BCF_HT_REAL:
+                        parts.append(_fmt_float_arr(f.value[si]))
+                    else:
+                        parts.append(_fmt_char_arr(f.value[si]))
+                out.append(":".join(parts) if parts else ".")
+        elif self.n_sample or (header.n_samples and not self.fmt):
+            for _ in range(header.n_samples + (1 if header.n_samples else 0)):
+                out.append(".")
+        return "\t".join(out)
+
+    # ==================================================================
+    # BCF binary (bcf_read/bcf_write, vcf.c:2256/2510)
+    # ==================================================================
+    @classmethod
+    def from_bcf(cls, shared: bytes, indiv: bytes, header: Optional[BcfHeader],
+                 ) -> "BcfRecord":
+        v = cls()
+        v._shared = shared
+        v._indiv = indiv
+        buf = memoryview(shared)
+        (rid, pos, rlen) = struct.unpack_from("<iii", buf, 0)
+        (qual_bits,) = struct.unpack_from("<I", buf, 12)
+        (n_ai,) = struct.unpack_from("<I", buf, 16)
+        (n_fs,) = struct.unpack_from("<I", buf, 20)
+        n_info = n_ai & 0xFFFF
+        n_allele = n_ai >> 16
+        v.n_sample = n_fs & 0xFFFFFF
+        n_fmt = n_fs >> 24
+        v.rid, v.pos, v.rlen, v.qual_bits = rid, pos, rlen, qual_bits
+        p = 24
+        # ID
+        n, bt, p, e = dec_typed(buf, p)
+        v.id = bytes(buf[p:e]).decode() if bt == BCF_BT_CHAR else ""
+        p = e
+        # alleles
+        for _ in range(n_allele):
+            n, bt, p, e = dec_typed(buf, p)
+            v.alleles.append(bytes(buf[p:e]).decode())
+            p = e
+        # FILTER
+        n, bt, p2, e = dec_typed(buf, p)
+        v.filters = [int(x) for x in _read_int_vec(buf, bt, p2, n)]
+        p = e
+        # INFO
+        for _ in range(n_info):
+            n, bt, p2, e = dec_typed(buf, p)
+            key = _read_scalar_int(buf, bt, p2)
+            p = e
+            n, bt, p2, e = dec_typed(buf, p)
+            if bt in (BCF_BT_INT8, BCF_BT_INT16, BCF_BT_INT32):
+                val = _read_int_vec(buf, bt, p2, n)
+                v.info.append(InfoEntry(key, BCF_HT_INT, val))
+            elif bt == BCF_BT_FLOAT:
+                v.info.append(InfoEntry(
+                    key, BCF_HT_REAL, np.frombuffer(buf, "<u4", n, p2).copy()))
+            elif bt == BCF_BT_CHAR:
+                v.info.append(InfoEntry(key, BCF_HT_STR, bytes(buf[p2:e])))
+            elif bt == BCF_BT_NULL:
+                v.info.append(InfoEntry(key, BCF_HT_FLAG, None))
+            else:
+                raise ValueError(f"unsupported INFO type {bt}")
+            p = e
+        # FORMAT
+        buf2 = memoryview(indiv)
+        p = 0
+        gt_id = header.id2int("GT") if header is not None else -1
+        for _ in range(n_fmt):
+            n, bt, p2, e = dec_typed(buf2, p)
+            key = _read_scalar_int(buf2, bt, p2)
+            p = e
+            n, bt, p2, e0 = dec_typed(buf2, p)
+            # per-sample vectors of length n
+            total = n * v.n_sample
+            if bt in (BCF_BT_INT8, BCF_BT_INT16, BCF_BT_INT32):
+                flat = _read_int_vec(buf2, bt, p2, total)
+                arr = flat.reshape(v.n_sample, n) if v.n_sample else flat.reshape(0, max(n, 1))
+                v.fmt.append(FmtEntry(key, BCF_HT_INT, arr, key == gt_id))
+            elif bt == BCF_BT_FLOAT:
+                flat = np.frombuffer(buf2, "<u4", total, p2).copy()
+                v.fmt.append(FmtEntry(
+                    key, BCF_HT_REAL, flat.reshape(v.n_sample, n)))
+            elif bt == BCF_BT_CHAR:
+                flat = np.frombuffer(buf2, np.uint8, total, p2).copy()
+                v.fmt.append(FmtEntry(
+                    key, BCF_HT_STR, flat.reshape(v.n_sample, n)))
+            elif bt == BCF_BT_NULL:
+                v.fmt.append(FmtEntry(key, BCF_HT_INT,
+                                      np.empty((v.n_sample, 0), np.int32),
+                                      key == gt_id))
+            else:
+                raise ValueError(f"unsupported FORMAT type {bt}")
+            p = p2 + total * (1 << _bt_shift(bt))
+        return v
+
+    def to_bcf(self) -> Tuple[bytes, bytes]:
+        """Serialize (shared, indiv); reuses original blobs if present."""
+        if self._shared is not None and self._indiv is not None:
+            return self._shared, self._indiv
+        shared = bytearray()
+        shared += struct.pack("<iii", self.rid, self.pos, self.rlen)
+        shared += struct.pack("<I", self.qual_bits)
+        shared += struct.pack("<I", (len(self.alleles) << 16) | len(self.info))
+        shared += struct.pack("<I", (len(self.fmt) << 24) | self.n_sample)
+        if self.id:
+            enc_vchar(shared, self.id.encode())
+        else:
+            enc_size(shared, 0, BCF_BT_CHAR)
+        for al in self.alleles:
+            enc_vchar(shared, al.encode())
+        enc_vint(shared, np.array(self.filters, np.int32))
+        for e in self.info:
+            enc_typed_int(shared, e.key)
+            if e.type == BCF_HT_FLAG or e.value is None:
+                enc_size(shared, 0, BCF_BT_NULL)
+            elif e.type == BCF_HT_INT:
+                enc_vint(shared, e.value)
+            elif e.type == BCF_HT_REAL:
+                enc_vfloat(shared, e.value)
+            else:
+                enc_vchar(shared, e.value)
+        indiv = bytearray()
+        for f in self.fmt:
+            enc_typed_int(indiv, f.key)
+            if f.type == BCF_HT_INT:
+                width = f.value.shape[1] if f.value.ndim == 2 else 0
+                enc_vint(indiv, f.value.reshape(-1), wsize=width)
+            elif f.type == BCF_HT_REAL:
+                enc_size(indiv, f.value.shape[1], BCF_BT_FLOAT)
+                indiv += f.value.astype("<u4").tobytes()
+            else:
+                enc_size(indiv, f.value.shape[1], BCF_BT_CHAR)
+                indiv += f.value.astype(np.uint8).tobytes()
+        return bytes(shared), bytes(indiv)
+
+    def mark_dirty(self) -> None:
+        """Invalidate retained wire blobs after mutation."""
+        self._shared = None
+        self._indiv = None
+
+
+# ---------------------------------------------------------------------------
+# value formatting (bcf_fmt_array, vcf.c:3036)
+# ---------------------------------------------------------------------------
+
+def _fmt_int_arr(a: np.ndarray) -> str:
+    parts = []
+    for x in np.atleast_1d(a):
+        if x == INT32_VECTOR_END:
+            break
+        parts.append("." if x == INT32_MISSING else str(int(x)))
+    if not parts:
+        return "" if len(np.atleast_1d(a)) else "."
+    return ",".join(parts)
+
+
+def _fmt_float_arr(bits: np.ndarray) -> str:
+    parts = []
+    arr = np.atleast_1d(bits)
+    floats = arr.view(np.float32) if arr.dtype == np.uint32 else arr
+    for i, b in enumerate(arr):
+        if b == FLOAT_VECTOR_END:
+            break
+        if b == FLOAT_MISSING:
+            parts.append(".")
+        else:
+            parts.append(_fmt_g(float(floats[i])))
+    if not parts:
+        return "" if len(arr) else "."
+    return ",".join(parts)
+
+
+def _fmt_char_arr(a: np.ndarray) -> str:
+    if len(a) == 0:
+        return "."
+    out = []
+    for c in a:
+        if c == 0:
+            break
+        out.append("." if c == STR_MISSING else chr(c))
+    return "".join(out) if out else ""
+
+
+def _fmt_gt(vals: np.ndarray) -> str:
+    """bcf_format_gt pre-4.4 form (vcf.c:6345)."""
+    parts = []
+    for i, val in enumerate(vals):
+        v = int(val)
+        if v == INT32_VECTOR_END:
+            break
+        if i:
+            parts.append("|" if v & 1 else "/")
+        allele = v >> 1
+        parts.append("." if allele == 0 else str(allele - 1))
+    if not parts:
+        return "."
+    return "".join(parts)

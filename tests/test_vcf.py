@@ -1,0 +1,163 @@
+"""VCF/BCF tests — modeled on reference test/test-vcf-api.c and test.pl's
+VCF suite (test_bcf2vcf, test_vcf_various golden comparisons)."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from htslib_tpu.vcf import (BcfHeader, BcfReader, BcfRecord, BcfWriter,
+                            VcfReader, VcfWriter, open_vcf)
+from tests.conftest import REF_TEST, ref_path, has_ref
+
+TABIX_DIR = "/root/reference/test/tabix"
+
+
+def roundtrip_vcf_text(path, tmp_path):
+    with VcfReader(path) as r:
+        hdr = r.header
+        recs = list(r)
+    out = hdr.text()
+    out += "".join(rec.to_vcf(hdr) + "\n" for rec in recs)
+    return open(path).read(), out
+
+
+@pytest.mark.parametrize("fname", ["index.vcf", "formatcols.vcf",
+                                   "vcf_meta_meta.vcf"])
+def test_vcf_text_roundtrip(fname, tmp_path):
+    if not has_ref(fname):
+        pytest.skip("missing")
+    orig, regen = roundtrip_vcf_text(ref_path(fname), tmp_path)
+    assert regen == orig
+
+
+@pytest.mark.skipif(not has_ref("test-vcf-hdr-in.vcf"), reason="no corpus")
+def test_vcf_header_golden():
+    # test.pl:1186: htsfile -ch test-vcf-hdr-in.vcf == test-vcf-hdr.out
+    with VcfReader(ref_path("test-vcf-hdr-in.vcf")) as r:
+        got = r.header.text()
+    want = open(ref_path("test-vcf-hdr.out")).read()
+    assert got == want
+
+
+@pytest.mark.skipif(not has_ref("formatmissing.vcf"), reason="no corpus")
+def test_formatmissing_golden(tmp_path):
+    # test.pl test_vcf_various: view of formatmissing.vcf == formatmissing-out.vcf
+    with VcfReader(ref_path("formatmissing.vcf")) as r:
+        hdr = r.header
+        out = hdr.text() + "".join(rec.to_vcf(hdr) + "\n" for rec in r)
+    want = open(ref_path("formatmissing-out.vcf")).read()
+    assert out == want
+
+
+@pytest.mark.skipif(not has_ref("noroundtrip.vcf"), reason="no corpus")
+def test_noroundtrip_golden(tmp_path):
+    with VcfReader(ref_path("noroundtrip.vcf")) as r:
+        hdr = r.header
+        out = hdr.text() + "".join(rec.to_vcf(hdr) + "\n" for rec in r)
+    want = open(ref_path("noroundtrip-out.vcf")).read()
+    assert out == want
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(TABIX_DIR, "vcf_file.bcf")),
+                    reason="no corpus")
+def test_bcf_to_vcf_golden():
+    # vcf_file.bcf was produced from vcf_file.vcf; decoding it must give
+    # back the text (modulo header IDX lines added by bcftools)
+    with BcfReader(os.path.join(TABIX_DIR, "vcf_file.bcf")) as r:
+        hdr = r.header
+        body = "".join(rec.to_vcf(hdr) + "\n" for rec in r)
+    want = open(os.path.join(TABIX_DIR, "vcf_file.vcf")).read()
+    want_body = "".join(l for l in want.splitlines(keepends=True)
+                        if not l.startswith("#"))
+    assert body == want_body
+
+
+def test_vcf_bcf_vcf_roundtrip(tmp_path):
+    src = ref_path("index.vcf")
+    if not has_ref("index.vcf"):
+        pytest.skip("missing")
+    with VcfReader(src) as r:
+        hdr = r.header
+        recs = list(r)
+    bcf_path = str(tmp_path / "t.bcf")
+    with BcfWriter(bcf_path, hdr) as w:
+        for rec in recs:
+            rec2 = BcfRecord.from_vcf(rec.to_vcf(hdr), hdr)
+            w.write(rec2)
+    with BcfReader(bcf_path) as r2:
+        body = "".join(rec.to_vcf(r2.header) + "\n" for rec in r2)
+    want = "".join(rec.to_vcf(hdr) + "\n" for rec in recs)
+    assert body == want
+
+
+def test_bcf_blob_passthrough(tmp_path):
+    # BCF -> BCF must be byte-identical record payloads (blob reuse)
+    src = os.path.join(TABIX_DIR, "vcf_file.bcf")
+    if not os.path.exists(src):
+        pytest.skip("missing")
+    with BcfReader(src) as r:
+        hdr = r.header
+        recs = list(r)
+    out = str(tmp_path / "o.bcf")
+    with BcfWriter(out, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    with BcfReader(out) as r2:
+        recs2 = list(r2)
+    assert len(recs) == len(recs2)
+    for a, b in zip(recs, recs2):
+        assert a.to_bcf() == b.to_bcf()
+
+
+def test_header_api():
+    h = BcfHeader("##fileformat=VCFv4.2\n"
+                  '##FILTER=<ID=q10,Description="low qual">\n'
+                  "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">\n"
+                  "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">\n"
+                  "##contig=<ID=chr1,length=100>\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\n")
+    assert h.n_samples == 2 and h.samples == ["A", "B"]
+    assert h.id2int("PASS") == 0
+    assert h.id2int("q10") == 1
+    assert h.name2rid("chr1") == 0
+    assert h.ctg_lens[0] == 100
+    from htslib_tpu.vcf.header import BCF_HL_INFO, BCF_HT_INT
+    t, vl, num = h.coltype(BCF_HL_INFO, h.id2int("DP"))
+    assert t == BCF_HT_INT and num == 1
+    # text round trip
+    assert h.text().startswith("##fileformat=VCFv4.2\n")
+    assert h.text().endswith("FORMAT\tA\tB\n")
+
+
+def test_record_values():
+    h = BcfHeader("##fileformat=VCFv4.2\n"
+                  "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n"
+                  "##INFO=<ID=AF,Number=A,Type=Float,Description=\"d\">\n"
+                  "##INFO=<ID=FL,Number=0,Type=Flag,Description=\"d\">\n"
+                  "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"d\">\n"
+                  "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"d\">\n"
+                  "##contig=<ID=c1>\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n")
+    line = ("c1\t100\trs1\tAC\tA,ACT\t29.5\tPASS\tDP=14;AF=0.5,.;FL\t"
+            "GT:AD\t0/1:10,4,.\t2|1:.")
+    v = BcfRecord.from_vcf(line, h)
+    assert v.pos == 99 and v.rlen == 2
+    assert v.alleles == ["AC", "A", "ACT"]
+    assert v.qual == pytest.approx(29.5)
+    assert v.filters == [0]
+    assert v.to_vcf(h) == line
+    # BCF round trip preserves text
+    shared, indiv = v.to_bcf()
+    v2 = BcfRecord.from_bcf(shared, indiv, h)
+    assert v2.to_vcf(h) == line
+
+
+def test_gt_edge_cases():
+    h = BcfHeader("##fileformat=VCFv4.2\n"
+                  "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"d\">\n"
+                  "##contig=<ID=c>\n"
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\tC\n")
+    line = "c\t5\t.\tA\tT\t.\t.\t.\tGT\t./.\t1\t0|1"
+    v = BcfRecord.from_vcf(line, h)
+    assert v.to_vcf(h) == line
