@@ -1,0 +1,88 @@
+"""CRAM reference-sequence registry (reference cram/cram_io.c:2541-3409).
+
+Resolution order mirrors cram_populate_ref (cram_io.c:2977):
+  1. an explicitly supplied FASTA (+ .fai) — the `ref=` option
+  2. the @SQ UR: field (local paths)
+  3. REF_CACHE / REF_PATH by M5 checksum
+Sequences are cached whole per contig (the batch pipeline wants
+HBM-resident references anyway).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Optional
+
+from htslib_tpu.faidx import Faidx
+from htslib_tpu.sam.header import SamHeader
+from htslib_tpu.util.log import log_warning
+
+
+class RefRegistry:
+    def __init__(self, header: SamHeader, fasta: Optional[str] = None,
+                 ignore_md5: bool = False):
+        self.header = header
+        self.fai: Optional[Faidx] = None
+        self.ignore_md5 = ignore_md5
+        self._cache: Dict[int, bytes] = {}
+        if fasta:
+            self.fai = Faidx.load(fasta)
+
+    def _md5_path(self, md5: str) -> Optional[str]:
+        cache = os.environ.get("REF_CACHE")
+        if cache:
+            p = cache % md5 if "%s" in cache else os.path.join(cache, md5)
+            if os.path.exists(p):
+                return p
+        path = os.environ.get("REF_PATH")
+        if path:
+            for tmpl in path.split(":"):
+                p = tmpl.replace("%s", md5) if "%s" in tmpl else os.path.join(tmpl, md5)
+                if os.path.exists(p):
+                    return p
+        return None
+
+    def _load_full(self, tid: int) -> bytes:
+        if tid in self._cache:
+            return self._cache[tid]
+        name = self.header.tid2name(tid)
+        seq: Optional[bytes] = None
+        if self.fai is not None and self.fai.has_seq(name):
+            seq = self.fai.fetch_seq(name).encode().upper()
+        if seq is None:
+            sq = self.header.find_line_id("SQ", "SN", name)
+            if sq is not None:
+                ur = sq.get("UR")
+                if ur and not ur.startswith(("http:", "https:", "ftp:")) \
+                        and os.path.exists(ur):
+                    fai = Faidx.load(ur)
+                    if fai.has_seq(name):
+                        seq = fai.fetch_seq(name).encode().upper()
+                if seq is None:
+                    m5 = sq.get("M5")
+                    if m5:
+                        p = self._md5_path(m5)
+                        if p:
+                            with open(p, "rb") as f:
+                                seq = f.read().upper()
+        if seq is None:
+            raise IOError(f"unable to load reference for {name!r}; pass "
+                          "ref=FILE or set REF_PATH/REF_CACHE")
+        if not self.ignore_md5:
+            sq = self.header.find_line_id("SQ", "SN", name)
+            m5 = sq.get("M5") if sq is not None else None
+            if m5:
+                got = hashlib.md5(seq).hexdigest()
+                if got != m5:
+                    log_warning("reference MD5 mismatch for %s: %s != %s",
+                                name, got, m5)
+        self._cache[tid] = seq
+        return seq
+
+    def get(self, tid: int, start: int, end: int) -> bytes:
+        """1-based inclusive range; end=-1 means whole sequence
+        (cram_get_ref, cram_io.c:3409)."""
+        seq = self._load_full(tid)
+        if end == -1:
+            return seq if start <= 1 else seq[start - 1:]
+        return seq[start - 1:end]

@@ -1,0 +1,129 @@
+"""CRAM decode tests — modeled on test.pl's test_view CRAM conversions
+with compare_sam.pl normalisation (sorted aux, partial-MD, H->B)."""
+import os
+
+import pytest
+
+from htslib_tpu.cram import CramReader
+from htslib_tpu.cram.index import CramIndex
+from htslib_tpu.codecs import rans4x8
+from htslib_tpu.sam import BamReader, SamReader
+from tests.conftest import ref_path, has_ref
+
+REGIONS1 = [("CHROMOSOME_II", 2979, 2980), ("CHROMOSOME_IV", 1499, 1500),
+            ("CHROMOSOME_II", 2979, 2980), ("CHROMOSOME_I", 999, 1100)]
+
+
+def normalize(line, other=None, partialmd=True, baux=True):
+    """compare_sam.pl's canonicalisation (test/compare_sam.pl:60-140)."""
+    f = line.split("\t")
+    core, aux = f[:11], f[11:]
+    if int(core[1]) & 4:
+        core[4] = "0"
+        core[5] = "*"
+    if partialmd and other is not None:
+        if not any(t.startswith("MD:Z:") for t in other.split("\t")[11:]):
+            aux = [t for t in aux if not t.startswith("MD:Z:")]
+        if not any(t.startswith("NM:i:") for t in other.split("\t")[11:]):
+            aux = [t for t in aux if not t.startswith("NM:i:")]
+    out_aux = []
+    for t in aux:
+        if t[3] == "f":
+            tag, _, v = t.split(":", 2)
+            t = f"{tag}:f:{float(v) + 0:g}"
+        elif baux and t[3] == "H":
+            tag, _, v = t.split(":", 2)
+            vals = [int(v[i:i + 2], 16) for i in range(0, len(v), 2)]
+            t = f"{tag}:B:C" + "".join(f",{x}" for x in vals)
+        elif baux and t[3] == "B" and t[5] in "csi":
+            tag, _, sub_vals = t.split(":", 2)
+            sub = sub_vals[0]
+            vals = [int(x) for x in sub_vals[2:].split(",")] if len(sub_vals) > 2 else []
+            bits = {"c": 8, "s": 16, "i": 32}[sub]
+            vals = [(x + (1 << bits)) % (1 << bits) for x in vals]
+            t = f"{tag}:B:{sub.upper()}" + "".join(f",{x}" for x in vals)
+        out_aux.append(t)
+    return "\t".join(core + sorted(out_aux))
+
+
+def compare_sets(got, want):
+    assert len(got) == len(want), f"{len(got)} records != {len(want)}"
+    for a, b in zip(got, want):
+        na = normalize(a, other=b)
+        nb = normalize(b, other=a)
+        assert na == nb, f"\ncram: {na[:300]}\nwant: {nb[:300]}"
+
+
+@pytest.mark.skipif(not has_ref("range.cram"), reason="no corpus")
+def test_range_cram_full_decode_matches_bam():
+    with CramReader(ref_path("range.cram"), ref=ref_path("ce.fa")) as r:
+        got = [rec.to_sam(r.header) for rec in r]
+    with BamReader(ref_path("range.bam")) as r2:
+        want = [rec.to_sam(r2.header) for rec in r2]
+    compare_sets(got, want)
+
+
+@pytest.mark.skipif(not has_ref("range.cram"), reason="no corpus")
+def test_range_cram_region_queries_match_golden():
+    # test.pl:923: region queries on range.cram == range.out (incl. MD/NM)
+    want = [l for l in open(ref_path("range.out")).read().rstrip("\n").split("\n")
+            if not l.startswith("@")]
+    r = CramReader(ref_path("range.cram"), ref=ref_path("ce.fa"))
+    r.load_index(ref_path("range.cram.crai"))
+    got = []
+    for name, beg, end in REGIONS1:
+        tid = r.header.name2tid(name)
+        for rec in r.fetch(tid, beg, end):
+            got.append(rec.to_sam(r.header))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert normalize(a) == normalize(b)
+
+
+@pytest.mark.parametrize("cram,fa,sam", [
+    ("ce#5b_java.cram", "ce.fa", "ce#5b.sam"),
+    ("auxf#values_java.cram", "auxf.fa", "auxf#values.sam"),
+    ("xx#large_aux_java.cram", "xx.fa", "xx#large_aux.sam"),
+])
+def test_java_cram_interop(cram, fa, sam):
+    # htsjdk-produced CRAMs (cross-implementation check, test.pl testv
+    # with compare_sam -Baux -partialmd)
+    if not has_ref(cram):
+        pytest.skip("missing")
+    with CramReader(ref_path(cram), ref=ref_path(fa)) as r:
+        got = [rec.to_sam(r.header) for rec in r]
+    with SamReader(ref_path(sam)) as sr:
+        want = [rec.to_sam(sr.header) for rec in sr]
+    compare_sets(got, want)
+
+
+def test_rans_roundtrips():
+    import os as _os
+    for order in (0, 1):
+        for data in [b"x", b"hello world" * 100, _os.urandom(4000),
+                     bytes(1000), b"ACGT" * 1000]:
+            assert rans4x8.uncompress(rans4x8.compress(data, order)) == data
+
+
+def test_itf8_ltf8():
+    from htslib_tpu.cram.itf8 import (itf8_decode, itf8_encode, ltf8_decode,
+                                      ltf8_encode)
+    for v in [0, 1, 127, 128, 16383, 16384, 2097151, 2097152, (1 << 28) - 1,
+              1 << 28, (1 << 31) - 1, -1, -100]:
+        enc = itf8_encode(v)
+        got, n = itf8_decode(enc, 0)
+        assert got == v and n == len(enc), v
+    for v in [0, 127, 128, 1 << 20, 1 << 35, 1 << 50, (1 << 63) - 1, -1]:
+        enc = ltf8_encode(v)
+        got, n = ltf8_decode(enc, 0)
+        assert got == v and n == len(enc), v
+
+
+@pytest.mark.skipif(not has_ref("range.cram.crai"), reason="no corpus")
+def test_crai_roundtrip(tmp_path):
+    idx = CramIndex.load(ref_path("range.cram.crai"))
+    assert idx.entries
+    out = str(tmp_path / "t.crai")
+    idx.save(out)
+    idx2 = CramIndex.load(out)
+    assert [vars(e) for e in idx2.entries] == [vars(e) for e in idx.entries]
