@@ -1,0 +1,111 @@
+"""Pileup tests — byte-exact vs reference test/mpileup/*.out goldens
+(driver replicates test/pileup.c's output format)."""
+import glob
+import os
+
+import pytest
+
+from htslib_tpu.pileup import MultiPileup, Pileup, plp_insertion
+from htslib_tpu.sam import SamReader
+from htslib_tpu.sam.record import (FDUP, FQCFAIL, FSECONDARY, FUNMAP)
+from tests.conftest import REF_TEST
+
+MP_DIR = os.path.join(REF_TEST, "mpileup")
+
+CASES = sorted(
+    os.path.basename(p)[:-4] for p in glob.glob(os.path.join(MP_DIR, "*.sam"))
+    if os.path.exists(p[:-4] + ".out")
+) if os.path.isdir(MP_DIR) else []
+
+
+def read_filtered(path):
+    """readaln (test/pileup.c:62): skip unmapped/secondary/qcfail/dup."""
+    reader = SamReader(path)
+
+    def func():
+        while True:
+            rec = reader.read1()
+            if rec is None:
+                return None
+            if rec.flag & (FUNMAP | FSECONDARY | FQCFAIL | FDUP):
+                continue
+            return rec
+    return reader, func
+
+
+def format_column(header, tid, pos, plp):
+    """test/pileup.c:76-133 output format."""
+    out = [header.tid2name(tid), str(pos + 1), str(len(plp))]
+    seq_parts = []
+    for p in plp:
+        is_rev = bool(p.b.flag & 0x10)
+        if p.is_head:
+            seq_parts.append("^" + chr(ord("!") + min(p.b.mapq, 93)))
+        if p.is_del:
+            seq_parts.append(("<" if is_rev else ">") if p.is_refskip else "*")
+        else:
+            c = p.b.seq[p.qpos]
+            seq_parts.append(c.lower() if is_rev else c.upper())
+        ins, del_len = plp_insertion(p)
+        if p.indel > 0:
+            seq_parts.append(f"+{len(ins)}(" +
+                             (ins.lower() if is_rev else ins.upper()) + ")")
+        else:
+            del_len = -p.indel
+        if del_len > 0:
+            seq_parts.append(f"-{del_len}()")
+        if p.is_tail:
+            seq_parts.append("$")
+    quals = []
+    for p in plp:
+        q = "~"
+        if p.qpos < p.b.l_qseq and p.b.qual[p.qpos] + 33 < ord("~"):
+            q = chr(p.b.qual[p.qpos] + 33)
+        quals.append(q)
+    return "\t".join(["\t".join(out[:3]), "".join(seq_parts), "".join(quals)])
+
+
+def run_pileup(path, use_mplp=False):
+    reader, func = read_filtered(path)
+    lines = []
+    if use_mplp:
+        mp = MultiPileup([func], overlaps=True)
+        while True:
+            col = mp.auto()
+            if col is None:
+                break
+            tid, pos, plps = col
+            if tid < 0:
+                break
+            plp = plps[0] or []
+            lines.append(format_column(reader.header, tid, pos, plp))
+    else:
+        it = Pileup(func)
+        for tid, pos, plp in it:
+            if tid < 0:
+                break
+            lines.append(format_column(reader.header, tid, pos, plp))
+    reader.close()
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+@pytest.mark.parametrize("case", CASES or ["skip"])
+def test_pileup_goldens(case):
+    if case == "skip":
+        pytest.skip("no corpus")
+    if case.startswith("mp_overlap"):
+        # mpileup.tst runs the overlap files only with -m
+        pytest.skip("overlap cases are -m only")
+    got = run_pileup(os.path.join(MP_DIR, case + ".sam"))
+    want = open(os.path.join(MP_DIR, case + ".out")).read()
+    assert got == want, f"pileup mismatch for {case}"
+
+
+@pytest.mark.parametrize("case", CASES or ["skip"])
+def test_mpileup_goldens_with_overlaps(case):
+    # the -m variant (bam_mplp + init_overlaps); same goldens
+    if case == "skip":
+        pytest.skip("no corpus")
+    got = run_pileup(os.path.join(MP_DIR, case + ".sam"), use_mplp=True)
+    want = open(os.path.join(MP_DIR, case + ".out")).read()
+    assert got == want, f"mpileup mismatch for {case}"
