@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: BAM->SAM decode throughput (the BASELINE.json headline).
+
+Pipeline measured end-to-end: BGZF batch inflate (native libdeflate) ->
+record framing scan -> columnar decode -> fully vectorised SAM text
+formatting, byte-exact vs the record-at-a-time reference path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": ...}
+
+vs_baseline is measured against the north-star per-chip rate from
+BASELINE.json (5 GB/s aggregate on v5e-8 => 0.625 GB/s per chip); the
+reference repo publishes no absolute GB/s numbers (BASELINE.md).
+"""
+import json
+import os
+import struct
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from htslib_tpu.util.memory import tune_host_allocator
+
+NORTH_STAR_PER_CHIP = 5.0 / 8  # GB/s
+
+
+def build_test_bam(path, n_records=400000, read_len=100, seed=42):
+    from htslib_tpu.sam import BamWriter, SamHeader
+    from htslib_tpu.sam.record import BamRecord
+    rng = np.random.default_rng(seed)
+    hdr = SamHeader("@HD\tVN:1.6\tSO:coordinate\n"
+                    "@SQ\tSN:chr1\tLN:249250621\n"
+                    "@RG\tID:rg1\tSM:sample1\n")
+    w = BamWriter(path, hdr, level=6)
+    # realistic template records, randomized fields, written in batches
+    n_templates = 500
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    payloads = []
+    pos = 10000
+    for i in range(n_templates):
+        seq = bases[rng.integers(0, 4, read_len)].tobytes().decode()
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(20, 41, read_len))
+        pos += int(rng.integers(1, 50))
+        nm = int(rng.integers(0, 4))
+        line = (f"read{i:09d}\t99\tchr1\t{pos}\t60\t{read_len}M\t=\t"
+                f"{pos + 300}\t{300 + read_len}\t{seq}\t{qual}\t"
+                f"NM:i:{nm}\tMD:Z:{read_len}\tAS:i:{read_len - nm}\t"
+                f"XS:i:{int(rng.integers(0, 40))}\tRG:Z:rg1")
+        rec = BamRecord.from_sam(line, hdr)
+        buf = rec.to_bam_buffer()
+        payloads.append(struct.pack("<I", len(buf)) + buf)
+    blob = b"".join(payloads)
+    reps = max(1, n_records // n_templates)
+    for _ in range(reps):
+        w.fp.write(blob)
+    w.close()
+    return n_templates * reps
+
+
+def bench_host(bam_path, trials=3):
+    from htslib_tpu.sam import BamReader
+    from htslib_tpu.sam.batch import bam_to_sam_bytes
+    best = None
+    out_len = 0
+    usize = 0
+    for _ in range(trials):
+        t0 = time.time()
+        with BamReader(bam_path) as r:
+            data, offs, sizes = r.raw_records()
+            out = bam_to_sam_bytes(data, offs, sizes, r.header)
+        dt = time.time() - t0
+        usize = len(data)
+        out_len = len(out)
+        best = dt if best is None else min(best, dt)
+    return usize, out_len, best
+
+
+def main():
+    tune_host_allocator(1 << 30)
+    tmpdir = tempfile.mkdtemp(prefix="htstpu_bench_")
+    bam = os.path.join(tmpdir, "bench.bam")
+    n = build_test_bam(bam)
+    usize, out_len, dt = bench_host(bam)
+    gbps = usize / dt / 1e9
+    result = {
+        "metric": "BAM->SAM decode throughput (1 host, batch pipeline)",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / NORTH_STAR_PER_CHIP, 4),
+        "detail": {
+            "records": n,
+            "uncompressed_mb": round(usize / 1e6, 1),
+            "sam_out_mb": round(out_len / 1e6, 1),
+            "seconds": round(dt, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

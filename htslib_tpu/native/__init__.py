@@ -60,6 +60,13 @@ class _Native:
                                         ctypes.c_uint64, u64p, u32p]
         lib.htstpu_crc32.restype = ctypes.c_uint32
         lib.htstpu_crc32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_uint64]
+        lib.htstpu_bam_to_sam.restype = ctypes.c_int64
+        lib.htstpu_bam_to_sam.argtypes = [
+            u8p, u64p, u32p, ctypes.c_int64, u8p, u64p, u32p,
+            ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int]
+        lib.htstpu_buf_free.restype = None
+        lib.htstpu_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
 
     @staticmethod
     def _u8(arr: np.ndarray):
@@ -162,6 +169,33 @@ class _Native:
     def crc32(self, data: np.ndarray, crc: int = 0) -> int:
         data = np.ascontiguousarray(data)
         return int(self._lib.htstpu_crc32(crc, self._u8(data), len(data)))
+
+    def bam_to_sam(self, data: np.ndarray, offs: np.ndarray,
+                   sizes: np.ndarray, ref_names: List[str],
+                   nthreads: int = 0) -> bytes:
+        """Format a whole record batch as SAM text (multithreaded C++)."""
+        data = np.ascontiguousarray(data)
+        offs = np.ascontiguousarray(offs, np.uint64)
+        sizes = np.ascontiguousarray(sizes, np.uint32)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_bam_to_sam(
+            self._u8(data), self._ptr(offs, ctypes.c_uint64),
+            self._ptr(sizes, ctypes.c_uint32), len(offs),
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            ctypes.byref(out_ptr), nthreads)
+        if r < 0:
+            raise IOError(f"native SAM format failed on record {-(r + 3000)}")
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
 
 
 native: Optional[_Native] = None

@@ -17,6 +17,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <cstdlib>
+#include <cstdio>
+#include <algorithm>
 
 namespace {
 
@@ -204,5 +207,350 @@ uint32_t htstpu_crc32(uint32_t crc, const uint8_t* data, uint64_t len) {
 }
 
 int htstpu_version() { return 1; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM -> SAM text formatting (the sam_format_worker equivalent, batch form)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const char kNt16[] = "=ACMGRSVTWYHKDBN";
+const char kCigChar[] = "MIDNSHP=XB??????";
+
+struct NameTable {
+  const uint8_t* buf;
+  const uint64_t* offs;
+  const uint32_t* lens;
+  int32_t n_ref;
+};
+
+class Buf {
+ public:
+  Buf() : data_(nullptr), len_(0), cap_(0) {}
+  ~Buf() { free(data_); }
+  void reserve(size_t need) {
+    if (len_ + need <= cap_) return;
+    size_t ncap = cap_ ? cap_ * 2 : 1 << 20;
+    while (ncap < len_ + need) ncap *= 2;
+    data_ = (uint8_t*)realloc(data_, ncap);
+    cap_ = ncap;
+  }
+  inline void put(const void* p, size_t n) {
+    reserve(n);
+    memcpy(data_ + len_, p, n);
+    len_ += n;
+  }
+  inline void putc(char c) {
+    reserve(1);
+    data_[len_++] = c;
+  }
+  inline void put_i64(int64_t v) {
+    reserve(21);
+    if (v < 0) { data_[len_++] = '-'; }
+    uint64_t x = v < 0 ? (uint64_t)(-v) : (uint64_t)v;
+    char tmp[20];
+    int i = 0;
+    do { tmp[i++] = '0' + (x % 10); x /= 10; } while (x);
+    while (i) data_[len_++] = tmp[--i];
+  }
+  uint8_t* data() { return data_; }
+  size_t len() const { return len_; }
+  inline void bump(size_t n) { len_ += n; }
+
+ private:
+  uint8_t* data_;
+  size_t len_, cap_;
+};
+
+inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+// Format one record's aux blob; returns 0 ok, -1 corrupt.
+// skips a CG tag at `skip_off` (relative to aux start; -1 = none).
+int format_aux(const uint8_t* aux, int64_t alen, int64_t skip_off,
+               int64_t skip_len, Buf* out) {
+  int64_t s = 0;
+  char tmp[64];
+  while (s + 3 <= alen) {
+    if (s == skip_off) { s += skip_len; continue; }
+    const uint8_t* tag = aux + s;
+    char t = (char)aux[s + 2];
+    int64_t p = s + 3;
+    out->putc('\t');
+    out->put(tag, 2);
+    switch (t) {
+      case 'C': if (p+1>alen) return -1;
+        out->put(":i:", 3); out->put_i64(aux[p]); p += 1; break;
+      case 'c': if (p+1>alen) return -1;
+        out->put(":i:", 3); out->put_i64((int8_t)aux[p]); p += 1; break;
+      case 'S': if (p+2>alen) return -1;
+        out->put(":i:", 3); out->put_i64(rd_u16(aux+p)); p += 2; break;
+      case 's': if (p+2>alen) return -1;
+        out->put(":i:", 3); out->put_i64((int16_t)rd_u16(aux+p)); p += 2; break;
+      case 'I': if (p+4>alen) return -1;
+        out->put(":i:", 3); out->put_i64(rd_u32(aux+p)); p += 4; break;
+      case 'i': if (p+4>alen) return -1;
+        out->put(":i:", 3); out->put_i64((int32_t)rd_u32(aux+p)); p += 4; break;
+      case 'A': if (p+1>alen) return -1;
+        out->put(":A:", 3); out->putc((char)aux[p]); p += 1; break;
+      case 'f': {
+        if (p+4>alen) return -1;
+        float f;
+        memcpy(&f, aux + p, 4);
+        int n = snprintf(tmp, sizeof tmp, ":f:%g", (double)f);
+        out->put(tmp, n);
+        p += 4;
+        break;
+      }
+      case 'd': {
+        if (p+8>alen) return -1;
+        double d;
+        memcpy(&d, aux + p, 8);
+        int n = snprintf(tmp, sizeof tmp, ":d:%g", d);
+        out->put(tmp, n);
+        p += 8;
+        break;
+      }
+      case 'Z': case 'H': {
+        out->putc(':'); out->putc(t); out->putc(':');
+        int64_t e = p;
+        while (e < alen && aux[e]) e++;
+        if (e >= alen) return -1;
+        out->put(aux + p, e - p);
+        p = e + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > alen) return -1;
+        char sub = (char)aux[p];
+        uint32_t cnt = rd_u32(aux + p + 1);
+        p += 5;
+        out->put(":B:", 3);
+        out->putc(sub);
+        switch (sub) {
+          case 'c': if (p+(int64_t)cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int8_t)aux[p+i]); }
+            p += cnt; break;
+          case 'C': if (p+(int64_t)cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(aux[p+i]); }
+            p += cnt; break;
+          case 's': if (p+2LL*cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int16_t)rd_u16(aux+p+2*i)); }
+            p += 2LL*cnt; break;
+          case 'S': if (p+2LL*cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(rd_u16(aux+p+2*i)); }
+            p += 2LL*cnt; break;
+          case 'i': if (p+4LL*cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int32_t)rd_u32(aux+p+4*i)); }
+            p += 4LL*cnt; break;
+          case 'I': if (p+4LL*cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(rd_u32(aux+p+4*i)); }
+            p += 4LL*cnt; break;
+          case 'f': if (p+4LL*cnt>alen) return -1;
+            for (uint32_t i = 0; i < cnt; i++) {
+              float f; memcpy(&f, aux+p+4*i, 4);
+              int n = snprintf(tmp, sizeof tmp, ",%g", (double)f);
+              out->put(tmp, n);
+            }
+            p += 4LL*cnt; break;
+          default: return -1;
+        }
+        break;
+      }
+      default:
+        return -1;
+    }
+    s = p;
+  }
+  return s == alen ? 0 : -1;
+}
+
+// Format one BAM record (payload after block_size) as one SAM line + \n.
+int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
+                  Buf* out) {
+  if (size < 32) return -1;
+  int32_t tid = (int32_t)rd_u32(rec + 0);
+  int32_t pos = (int32_t)rd_u32(rec + 4);
+  uint8_t l_qname = rec[8];
+  uint8_t mapq = rec[9];
+  uint16_t n_cigar = rd_u16(rec + 12);
+  uint16_t flag = rd_u16(rec + 14);
+  int32_t l_qseq = (int32_t)rd_u32(rec + 16);
+  int32_t mtid = (int32_t)rd_u32(rec + 20);
+  int32_t mpos = (int32_t)rd_u32(rec + 24);
+  int32_t tlen = (int32_t)rd_u32(rec + 28);
+  const uint8_t* qname = rec + 32;
+  const uint8_t* cig = qname + l_qname;
+  const uint8_t* seq = cig + 4ull * n_cigar;
+  const uint8_t* qual = seq + (l_qseq + 1) / 2;
+  const uint8_t* aux = qual + l_qseq;
+  const uint8_t* end = rec + size;
+  if (aux > end || l_qname == 0) return -1;
+
+  // CG long-cigar escape (bam_tag2cigar, sam.c:680)
+  const uint8_t* real_cig = cig;
+  uint32_t real_n_cigar = n_cigar;
+  int64_t cg_skip_off = -1, cg_skip_len = 0;
+  if (n_cigar > 0 && tid >= 0 && pos >= 0) {
+    uint32_t c0 = rd_u32(cig);
+    if (c0 == (((uint32_t)l_qseq << 4) | 4)) {
+      // look for CG:B,I in aux
+      int64_t alen = end - aux;
+      int64_t s = 0;
+      while (s + 3 <= alen) {
+        char t = (char)aux[s + 2];
+        int64_t p = s + 3;
+        int64_t sz = 0;
+        switch (t) {
+          case 'A': case 'c': case 'C': sz = 1; break;
+          case 's': case 'S': sz = 2; break;
+          case 'i': case 'I': case 'f': sz = 4; break;
+          case 'd': sz = 8; break;
+          case 'Z': case 'H': {
+            int64_t e = p;
+            while (e < alen && aux[e]) e++;
+            sz = e - p + 1;
+            break;
+          }
+          case 'B': {
+            if (p + 5 > alen) { s = alen + 1; continue; }
+            char sub = (char)aux[p];
+            uint32_t cnt = rd_u32(aux + p + 1);
+            int64_t es = (sub=='c'||sub=='C'||sub=='A') ? 1 :
+                         (sub=='s'||sub=='S') ? 2 :
+                         (sub=='i'||sub=='I'||sub=='f') ? 4 : 0;
+            if (!es) { s = alen + 1; continue; }
+            sz = 5 + es * (int64_t)cnt;
+            break;
+          }
+          default: s = alen + 1; continue;
+        }
+        if (aux[s]=='C' && aux[s+1]=='G' && t=='B' && p+1<=alen &&
+            (aux[p]=='I' || aux[p]=='i')) {
+          uint32_t cnt = rd_u32(aux + p + 1);
+          if (cnt >= n_cigar && cnt < (1u<<29) && p + 5 + 4LL*cnt <= alen) {
+            real_cig = aux + p + 5;
+            real_n_cigar = cnt;
+            cg_skip_off = s;
+            cg_skip_len = 3 + 5 + 4LL * cnt;
+          }
+          break;
+        }
+        s = p + sz;
+      }
+    }
+  }
+
+  out->put(qname, l_qname - 1);
+  out->putc('\t');
+  out->put_i64(flag);
+  out->putc('\t');
+  if (tid >= 0 && tid < nt.n_ref) out->put(nt.buf + nt.offs[tid], nt.lens[tid]);
+  else out->putc('*');
+  out->putc('\t');
+  out->put_i64((int64_t)pos + 1);
+  out->putc('\t');
+  out->put_i64(mapq);
+  out->putc('\t');
+  if (real_n_cigar == 0) out->putc('*');
+  else {
+    for (uint32_t k = 0; k < real_n_cigar; k++) {
+      uint32_t c = rd_u32(real_cig + 4ull * k);
+      out->put_i64(c >> 4);
+      out->putc(kCigChar[c & 0xF]);
+    }
+  }
+  out->putc('\t');
+  if (mtid < 0) out->putc('*');
+  else if (mtid == tid) out->putc('=');
+  else if (mtid < nt.n_ref) out->put(nt.buf + nt.offs[mtid], nt.lens[mtid]);
+  else out->putc('*');
+  out->putc('\t');
+  out->put_i64((int64_t)mpos + 1);
+  out->putc('\t');
+  out->put_i64(tlen);
+  out->putc('\t');
+  if (l_qseq == 0) out->putc('*');
+  else {
+    out->reserve(l_qseq);
+    uint8_t* dst = out->data() + out->len();
+    for (int32_t i = 0; i < l_qseq / 2; i++) {
+      dst[2*i] = kNt16[seq[i] >> 4];
+      dst[2*i+1] = kNt16[seq[i] & 0xF];
+    }
+    if (l_qseq & 1) dst[l_qseq - 1] = kNt16[seq[l_qseq / 2] >> 4];
+    out->bump(l_qseq);
+  }
+  out->putc('\t');
+  if (l_qseq == 0 || qual[0] == 0xFF) out->putc('*');
+  else {
+    out->reserve(l_qseq);
+    uint8_t* dst = out->data() + out->len();
+    for (int32_t i = 0; i < l_qseq; i++) dst[i] = qual[i] + 33;
+    out->bump(l_qseq);
+  }
+  if (format_aux(aux, end - aux, cg_skip_off, cg_skip_len, out) < 0)
+    return -1;
+  out->putc('\n');
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Format n BAM records as SAM text, multithreaded by record ranges.
+// Returns total byte length (caller then copies from *out_ptr and calls
+// htstpu_buf_free), or -(3000+i) on a malformed record i.
+int64_t htstpu_bam_to_sam(const uint8_t* data, const uint64_t* offs,
+                          const uint32_t* sizes, int64_t n,
+                          const uint8_t* name_buf, const uint64_t* name_offs,
+                          const uint32_t* name_lens, int32_t n_ref,
+                          uint8_t** out_ptr, int nthreads) {
+  if (nthreads <= 0) nthreads = hardware_threads();
+  NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  int shards = nthreads * 4;
+  if (shards > n) shards = n ? (int)n : 1;
+  std::vector<Buf> bufs(shards);
+  std::atomic<int64_t> err(0);
+  int64_t per = (n + shards - 1) / (shards ? shards : 1);
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    int64_t lo = si * per, hi = std::min<int64_t>(n, lo + per);
+    for (int64_t i = lo; i < hi; i++) {
+      if (format_record(data + offs[i] + 4, sizes[i] - 4, nt, &bufs[si]) < 0) {
+        err.store(-(3000 + i), std::memory_order_relaxed);
+        return;
+      }
+    }
+  });
+  if (err.load()) return err.load();
+  int64_t total = 0;
+  for (auto& b : bufs) total += b.len();
+  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+  if (!out) return -1;
+  int64_t pos = 0;
+  std::vector<int64_t> starts(shards);
+  for (int i = 0; i < shards; i++) {
+    starts[i] = pos;
+    pos += bufs[i].len();
+  }
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    memcpy(out + starts[si], bufs[si].data(), bufs[si].len());
+  });
+  *out_ptr = out;
+  return total;
+}
+
+void htstpu_buf_free(uint8_t* p) { free(p); }
 
 }  // extern "C"

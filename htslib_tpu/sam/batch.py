@@ -666,7 +666,18 @@ def _format_aux_batch(cols: BamColumns, slow: np.ndarray,
 
 
 def bam_to_sam_bytes(data: np.ndarray, offs: np.ndarray, sizes: np.ndarray,
-                     header: SamHeader) -> bytes:
-    """The batch BAM->SAM hot path: columns + vectorised format."""
+                     header: SamHeader, use_native: bool = True) -> bytes:
+    """The batch BAM->SAM hot path.
+
+    Prefers the multithreaded C++ formatter (the sam_format_worker
+    equivalent); the vectorised numpy path is the validated fallback and
+    golden reference."""
+    if use_native:
+        from htslib_tpu.native import native
+        if native is not None:
+            try:
+                return native.bam_to_sam(data, offs, sizes, header.ref_names)
+            except IOError:
+                pass  # malformed record: fall through to python path
     cols = decode_bam_columns(data, offs, sizes)
     return format_sam_batch(cols, header)

@@ -6,7 +6,21 @@ driver's dryrun_multichip)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU-tunnel plugin (loaded by a PYTHONPATH sitecustomize before
+# this file runs) breaks XLA:CPU execution.  Tests need the CPU backend
+# with virtual devices, so re-exec once with a cleaned environment.
+if (".axon_site" in os.environ.get("PYTHONPATH", "")
+        and os.environ.get("HTS_TPU_TEST_REEXEC") != "1"):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and ".axon_site" not in p)
+    env["HTS_TPU_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"]
+              + sys.argv[1:], env)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
