@@ -101,31 +101,38 @@ def qual_to_ascii(qual: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, qual + 33, 0).astype(jnp.uint8)
 
 
+_POW10_I32 = [1, 10, 100, 1000, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 7,
+              10 ** 8, 10 ** 9]
+
+
 @jax.jit
 def dec_len_device(x: jax.Array) -> jax.Array:
-    """Formatted decimal length of int32/int64 values (digits + sign)."""
-    x = x.astype(jnp.int64)
-    neg = (x < 0).astype(jnp.int64)
+    """Formatted decimal length of int32 values in (-2^31, 2^31)
+    (digits + sign), int32-safe (x64 mode not required)."""
+    x = x.astype(jnp.int32)
+    neg = (x < 0).astype(jnp.int32)
     ax = jnp.abs(x)
     nd = jnp.ones_like(ax)
-    p = jnp.int64(10)
-    for _ in range(18):
-        nd = nd + (ax >= p).astype(jnp.int64)
-        p = p * 10
+    for p in _POW10_I32[1:]:
+        nd = nd + (ax >= p).astype(jnp.int32)
     return nd + neg
 
 
 @functools.partial(jax.jit, static_argnames=("max_digits",))
 def itoa_fixed(x: jax.Array, max_digits: int = 11) -> jax.Array:
-    """Right-aligned decimal ASCII in a fixed [N, max_digits] buffer,
-    zero-padded on the left (device analogue of write_ints)."""
-    x = x.astype(jnp.int64)
+    """Right-aligned decimal ASCII of int32 values in a fixed
+    [N, max_digits] buffer, zero-padded on the left (device analogue of
+    write_ints)."""
+    x = x.astype(jnp.int32)
     neg = x < 0
     ax = jnp.abs(x)
-    nd = dec_len_device(x) - neg.astype(jnp.int64)
-    cols = jnp.arange(max_digits - 1, -1, -1, dtype=jnp.int64)  # power index
-    digits = (ax[:, None] // (10 ** cols[None, :])) % 10
-    live = cols[None, :] < nd[:, None]
+    nd = dec_len_device(x) - neg.astype(jnp.int32)
+    # digit for output column c (from the right): (ax // 10^(md-1-c)) % 10
+    pows = jnp.asarray([_POW10_I32[min(max_digits - 1 - c, 9)]
+                        for c in range(max_digits)], jnp.int32)
+    digits = (ax[:, None] // pows[None, :]) % 10
+    col_from_right = jnp.arange(max_digits - 1, -1, -1, dtype=jnp.int32)
+    live = col_from_right[None, :] < nd[:, None]
     out = jnp.where(live, digits + 48, 0).astype(jnp.uint8)
     sign_col = max_digits - 1 - nd
     put_sign = neg[:, None] & (jnp.arange(max_digits)[None, :] == sign_col[:, None])

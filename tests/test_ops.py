@@ -1,0 +1,85 @@
+"""Device op tests: JAX/Pallas kernels must match the numpy goldens, and
+the multi-device mesh step must compile + execute on an 8-device virtual
+CPU mesh.  Runs in a clean-env subprocess where the axon tunnel plugin
+would otherwise break XLA:CPU."""
+import pytest
+
+from tests.conftest import clean_jax_run
+
+_OPS_CODE = r"""
+import numpy as np
+import jax, jax.numpy as jnp
+from htslib_tpu.ops.seqfmt import (unpack_core_fields, nibble_to_base,
+                                   nibble_to_base_pallas, qual_to_ascii,
+                                   dec_len_device, itoa_fixed)
+from htslib_tpu.sam.record import BamRecord, SEQ_NT16_STR
+from htslib_tpu.sam.batch import dec_len
+
+rng = np.random.default_rng(0)
+
+# core unpack matches BamRecord parsing
+recs = []
+for i in range(16):
+    rec = BamRecord()
+    rec.qname = f"r{i}".encode()
+    rec.tid = int(rng.integers(-1, 3))
+    rec.pos = int(rng.integers(0, 1000000))
+    rec.flag = int(rng.integers(0, 4096))
+    rec.mapq = int(rng.integers(0, 255))
+    rec.set_seq("ACGT" * 8)
+    recs.append(rec)
+cores = np.stack([np.frombuffer(r.to_bam_buffer()[:32], np.uint8)
+                  for r in recs])
+fields = unpack_core_fields(jnp.asarray(cores))
+assert list(np.asarray(fields["pos"])) == [r.pos for r in recs]
+assert list(np.asarray(fields["flag"])) == [r.flag for r in recs]
+assert list(np.asarray(fields["tid"])) == [r.tid for r in recs]
+assert list(np.asarray(fields["l_qseq"])) == [32] * 16
+
+# nibble expansion matches record seq
+packed = np.stack([np.frombuffer(r.seq4, np.uint8) for r in recs])
+bases = np.asarray(nibble_to_base(jnp.asarray(packed)))
+assert bytes(bases[0]).decode() == recs[0].seq
+bases_p = np.asarray(nibble_to_base_pallas(jnp.asarray(packed), interpret=True))
+assert np.array_equal(bases, bases_p)
+
+# itoa matches host dec_len/str
+vals = np.array([0, 1, -1, 99, -100, 12345, 2**31 - 1, -(2**31) + 1], np.int64)
+assert list(np.asarray(dec_len_device(jnp.asarray(vals)))) == list(dec_len(vals))
+buf = np.asarray(itoa_fixed(jnp.asarray(vals), max_digits=12))
+for i, v in enumerate(vals):
+    s = bytes(buf[i]).replace(b"\x00", b"").decode()
+    assert s == str(v), (s, v)
+
+# pileup coverage matches brute force
+from htslib_tpu.ops.pileup_kernel import coverage_tile
+starts = rng.integers(0, 900, 50).astype(np.int32)
+ends = (starts + rng.integers(1, 120, 50)).astype(np.int32)
+valid = rng.random(50) > 0.2
+cov = np.asarray(coverage_tile(jnp.asarray(starts), jnp.asarray(ends),
+                               jnp.asarray(valid), jnp.int32(0), 1024))
+brute = np.zeros(1024, np.int32)
+for s, e, v in zip(starts, ends, valid):
+    if v:
+        brute[s:min(e, 1024)] += 1
+assert np.array_equal(cov, brute)
+print("OPS_OK")
+"""
+
+_MESH_CODE = r"""
+from __graft_entry__ import _dryrun_impl
+_dryrun_impl(8)
+print("MESH_OK")
+"""
+
+
+@pytest.mark.slow
+def test_device_ops_match_goldens():
+    out = clean_jax_run(_OPS_CODE)
+    assert "OPS_OK" in out
+
+
+@pytest.mark.slow
+def test_mesh_dryrun_8_devices():
+    out = clean_jax_run(_MESH_CODE)
+    assert "MESH_OK" in out
