@@ -1,0 +1,401 @@
+"""CRAM 3.0 encoder (reference cram/cram_encode.c:4042 cram_put_bam_seq,
+:3382 process_one_read, :1843 cram_encode_container).
+
+Round-1 design: no-ref encoding (RR=0) — every base is carried in the
+BB/IN/SC byte streams so no reference is needed at either end; all data
+series use EXTERNAL codecs over gzip-compressed blocks; mate info is
+stored detached.  The output is spec-conformant CRAM 3.0 readable by the
+reference decoder; the contract is decode(encode(x)) == x
+(test/cross_validate.sh style), not byte-identity of the container bytes.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from htslib_tpu.cram.itf8 import itf8_encode, ltf8_encode
+from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED, CRAM_FLAG_NO_SEQ,
+                                     CRAM_FLAG_PRESERVE_QUAL_SCORES,
+                                     CRAM_M_REVERSE, CRAM_M_UNMAP,
+                                     CT_COMPRESSION_HEADER, CT_CORE,
+                                     CT_EXTERNAL, CT_FILE_HEADER,
+                                     CT_MAPPED_SLICE, E_BYTE_ARRAY_LEN,
+                                     E_BYTE_ARRAY_STOP, E_EXTERNAL, GZIP, RAW)
+from htslib_tpu.hfile import HFile, hopen
+from htslib_tpu.sam.cigar import (BAM_CDEL, BAM_CHARD_CLIP, BAM_CINS,
+                                  BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP)
+from htslib_tpu.sam.header import SamHeader
+from htslib_tpu.sam.record import (FMREVERSE, FMUNMAP, FUNMAP, BamRecord)
+
+CRAM_EOF = None  # built on demand
+
+# data series -> (content id, kind);  kind: int (ITF8) / byte / bytes
+SERIES = {
+    "BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "MF": 7,
+    "NS": 8, "NP": 9, "TS": 10, "TL": 11, "FN": 12, "FC": 13, "FP": 14,
+    "DL": 15, "BA": 16, "BS": 17, "MQ": 18, "QS": 19, "IN": 20, "RN": 21,
+    "SC": 22, "HC": 23, "PD": 24, "RS": 25, "BB": 26,
+}
+TAG_ID_BASE = 0x100000
+
+
+def _enc_encoding_external(cid: int) -> bytes:
+    params = itf8_encode(cid)
+    return itf8_encode(E_EXTERNAL) + itf8_encode(len(params)) + params
+
+
+def _enc_encoding_byte_array_stop(stop: int, cid: int) -> bytes:
+    params = bytes([stop]) + itf8_encode(cid)
+    return itf8_encode(E_BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
+
+
+def _enc_encoding_byte_array_len(cid: int) -> bytes:
+    inner = _enc_encoding_external(cid) + _enc_encoding_external(cid)
+    return itf8_encode(E_BYTE_ARRAY_LEN) + itf8_encode(len(inner)) + inner
+
+
+class _Stream:
+    __slots__ = ("buf",)
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def itf8(self, v: int):
+        self.buf += itf8_encode(v)
+
+    def byte(self, v: int):
+        self.buf.append(v & 0xFF)
+
+    def raw(self, b: bytes):
+        self.buf += b
+
+
+def _write_block(out: bytearray, method: int, content_type: int,
+                 content_id: int, data: bytes) -> None:
+    if method == GZIP:
+        comp = zlib.compress(data, 6)
+        # zlib stream with gzip wrapper:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        comp = co.compress(data) + co.flush()
+    else:
+        comp = data
+    hdr = bytes([method, content_type]) + itf8_encode(content_id) \
+        + itf8_encode(len(comp)) + itf8_encode(len(data))
+    crc = zlib.crc32(hdr + comp) & 0xFFFFFFFF
+    out += hdr
+    out += comp
+    out += struct.pack("<I", crc)
+
+
+class CramEncoder:
+    def __init__(self, dst: Union[str, HFile], header: SamHeader,
+                 ref: Optional[str] = None, seqs_per_slice: int = 1000,
+                 version: Tuple[int, int] = (3, 0)):
+        self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
+        self.header = header
+        self.version = version
+        self.seqs_per_slice = seqs_per_slice
+        self.queue: List[BamRecord] = []
+        self.record_counter = 0
+        self.rg_ids = {ln.get("ID"): i for i, ln in
+                       enumerate(l for l in header.lines if l.type == "RG")}
+        self._write_file_def()
+        self._write_header_container()
+
+    # ------------------------------------------------------------------
+    def _write_file_def(self):
+        self.fp.write(b"CRAM" + bytes(self.version) + b"htslib_tpu".ljust(20, b"\0"))
+
+    def _container(self, blocks_payload: bytes, ref_id: int, start: int,
+                   span: int, nrec: int, nbases: int, nblocks: int,
+                   landmarks: List[int]) -> bytes:
+        head = bytearray()
+        head += itf8_encode(ref_id)
+        head += itf8_encode(start)
+        head += itf8_encode(span)
+        head += itf8_encode(nrec)
+        head += ltf8_encode(self.record_counter)
+        head += ltf8_encode(nbases)
+        head += itf8_encode(nblocks)
+        head += itf8_encode(len(landmarks))
+        for lm in landmarks:
+            head += itf8_encode(lm)
+        # CRC covers the 4-byte length + header varints (cram_io.c:3816)
+        crc = zlib.crc32(struct.pack("<i", len(blocks_payload)) + bytes(head)) & 0xFFFFFFFF
+        return (struct.pack("<i", len(blocks_payload)) + bytes(head)
+                + struct.pack("<I", crc) + blocks_payload)
+
+    def _write_header_container(self):
+        text = self.header.full_text_with_refs().encode()
+        payload = struct.pack("<i", len(text)) + text
+        # pad generously (cram_io.c writes a blank-padded header block)
+        payload += b"\0" * 1024
+        blocks = bytearray()
+        _write_block(blocks, RAW, CT_FILE_HEADER, 0, payload)
+        cont = self._container(bytes(blocks), 0, 0, 0, 0, 0, 1, [0])
+        self.fp.write(cont)
+
+    # ------------------------------------------------------------------
+    def write(self, rec: BamRecord) -> None:
+        self.queue.append(rec)
+        if len(self.queue) >= self.seqs_per_slice:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.queue:
+            return
+        recs = self.queue
+        self.queue = []
+        self._write_data_container(recs)
+        self.record_counter += len(recs)
+
+    # ------------------------------------------------------------------
+    def _write_data_container(self, recs: List[BamRecord]) -> None:
+        streams: Dict[int, _Stream] = defaultdict(_Stream)
+        tag_dict: List[bytes] = []
+        tag_lines: Dict[bytes, int] = {}
+        used_tags: Dict[int, bytes] = {}
+
+        ref_ids = {r.tid for r in recs}
+        multiref = len(ref_ids) > 1
+        slice_ref = -2 if multiref else next(iter(ref_ids))
+        mapped_pos = [r.pos + 1 for r in recs if r.tid >= 0]
+        start = min(mapped_pos) if (not multiref and slice_ref >= 0) else 0
+        end = 0
+        nbases = 0
+
+        def S(key: str) -> _Stream:
+            return streams[SERIES[key]]
+
+        for rec in recs:
+            nbases += rec.l_qseq
+            cf = CRAM_FLAG_DETACHED | CRAM_FLAG_PRESERVE_QUAL_SCORES
+            if rec.l_qseq == 0:
+                cf |= CRAM_FLAG_NO_SEQ
+            S("BF").itf8(rec.flag)
+            S("CF").itf8(cf)
+            if multiref:
+                S("RI").itf8(rec.tid)
+            S("RL").itf8(rec.l_qseq)
+            S("AP").itf8(rec.pos + 1)
+            # RG kept as an ordinary stored tag (preserves tag order);
+            # the RG series carries -1 so the decoder adds no duplicate
+            S("RG").itf8(-1)
+            # names (RN, stop byte 0)
+            S("RN").raw(rec.qname + b"\0")
+            # detached mate info
+            mf = 0
+            if rec.flag & FMREVERSE:
+                mf |= CRAM_M_REVERSE
+            if rec.flag & FMUNMAP:
+                mf |= CRAM_M_UNMAP
+            S("MF").itf8(mf)
+            S("NS").itf8(rec.mtid)
+            S("NP").itf8(rec.mpos + 1)
+            S("TS").itf8(rec.isize)
+            # aux tags
+            line, vals = self._encode_tags(rec)
+            tl = tag_lines.get(line)
+            if tl is None:
+                tl = len(tag_dict)
+                tag_lines[line] = tl
+                tag_dict.append(line)
+            S("TL").itf8(tl)
+            for kid, val in vals:
+                used_tags[kid] = b""
+                st = streams[TAG_ID_BASE + kid]
+                st.itf8(len(val))
+                st.raw(val)
+            if not (rec.flag & FUNMAP):
+                self._encode_features(rec, S)
+                if rec.tid == slice_ref or not multiref:
+                    end = max(end, rec.endpos())
+            else:
+                if rec.l_qseq:
+                    S("BA").raw(rec.seq.encode())
+            # quals last (decode order: features -> MQ -> QS)
+            if rec.l_qseq:
+                S("QS").raw(rec.qual)
+
+        span = max(end - start + 1, 0) if (not multiref and slice_ref >= 0) else 0
+
+        comp_hdr = self._compression_header(tag_dict, sorted(used_tags),
+                                            multiref, set(streams.keys()))
+        # slice
+        ext_ids = sorted(streams.keys())
+        slice_hdr = bytearray()
+        slice_hdr += itf8_encode(slice_ref)
+        slice_hdr += itf8_encode(start if slice_ref >= 0 else 0)
+        slice_hdr += itf8_encode(span)
+        slice_hdr += itf8_encode(len(recs))
+        slice_hdr += ltf8_encode(self.record_counter)
+        slice_hdr += itf8_encode(1 + len(ext_ids))  # core + externals
+        slice_hdr += itf8_encode(len(ext_ids))
+        for cid in ext_ids:
+            slice_hdr += itf8_encode(cid)
+        slice_hdr += itf8_encode(-1)  # embedded ref
+        slice_hdr += b"\0" * 16       # md5 (zero => decoder skips check)
+
+        blocks = bytearray()
+        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr)
+        landmark0 = len(blocks)
+        _write_block(blocks, RAW, CT_MAPPED_SLICE, 0, bytes(slice_hdr))
+        _write_block(blocks, RAW, CT_CORE, 0, b"")
+        for cid in ext_ids:
+            data = bytes(streams[cid].buf)
+            _write_block(blocks, GZIP if len(data) > 64 else RAW,
+                         CT_EXTERNAL, cid, data)
+        nblocks = 3 + len(ext_ids)
+        cont = self._container(bytes(blocks), slice_ref,
+                               start if slice_ref >= 0 else 0, span,
+                               len(recs), nbases, nblocks, [landmark0])
+        self.fp.write(cont)
+
+    # ------------------------------------------------------------------
+    def _encode_tags(self, rec: BamRecord) -> Tuple[bytes, List[Tuple[int, bytes]]]:
+        """Returns (TD line, [(tag_key_int, value_bytes)]).  RG is carried
+        via the RG series, not as a tag (cram_encode.c drops it)."""
+        line = bytearray()
+        vals: List[Tuple[int, bytes]] = []
+        for tag, t, _ in rec.aux_items():
+            start, p, tbyte = rec._aux_find(tag)
+            endv = rec._skip_aux_value(p, tbyte)
+            key3 = tag + t.encode()
+            kid = (key3[0] << 16) | (key3[1] << 8) | key3[2]
+            line += key3
+            vals.append((kid, rec.aux[p:endv]))
+        return bytes(line), vals
+
+    def _encode_features(self, rec: BamRecord, S) -> None:
+        """Feature extraction (process_one_read, cram_encode.c:3382) in
+        no-ref mode: M/=/X runs carried as BB byte arrays."""
+        seq = rec.seq.encode() if rec.l_qseq else b""
+        feats: List[Tuple[int, str]] = []  # (qpos 1-based, code)
+        payload: List[Tuple[str, object]] = []
+        qpos = 1
+        for c in rec.cigar:
+            op = int(c) & 0xF
+            ln = int(c) >> 4
+            if op in (0, 7, 8):  # M/=/X
+                payload.append(("b", seq[qpos - 1:qpos - 1 + ln] if seq
+                                else b"\0" * ln))
+                feats.append((qpos, "b"))
+                qpos += ln
+            elif op == BAM_CINS:
+                payload.append(("I", seq[qpos - 1:qpos - 1 + ln] if seq
+                                else b"\0" * ln))
+                feats.append((qpos, "I"))
+                qpos += ln
+            elif op == BAM_CSOFT_CLIP:
+                payload.append(("S", seq[qpos - 1:qpos - 1 + ln] if seq
+                                else b"\0" * ln))
+                feats.append((qpos, "S"))
+                qpos += ln
+            elif op == BAM_CDEL:
+                payload.append(("D", ln))
+                feats.append((qpos, "D"))
+            elif op == BAM_CREF_SKIP:
+                payload.append(("N", ln))
+                feats.append((qpos, "N"))
+            elif op == BAM_CHARD_CLIP:
+                payload.append(("H", ln))
+                feats.append((qpos, "H"))
+            elif op == BAM_CPAD:
+                payload.append(("P", ln))
+                feats.append((qpos, "P"))
+        S("FN").itf8(len(feats))
+        prev = 0
+        for (fpos, code), (code2, data) in zip(feats, payload):
+            S("FC").byte(ord(code))
+            S("FP").itf8(fpos - prev)
+            prev = fpos
+            if code == "b":
+                st = S("BB")
+                st.itf8(len(data))
+                st.raw(data)
+            elif code == "I":
+                st = S("IN")
+                st.itf8(len(data))
+                st.raw(data)
+            elif code == "S":
+                st = S("SC")
+                st.itf8(len(data))
+                st.raw(data)
+            elif code == "D":
+                S("DL").itf8(data)
+            elif code == "N":
+                S("RS").itf8(data)
+            elif code == "H":
+                S("HC").itf8(data)
+            elif code == "P":
+                S("PD").itf8(data)
+        S("MQ").itf8(rec.mapq)
+
+    # ------------------------------------------------------------------
+    def _compression_header(self, tag_dict: List[bytes],
+                            used_tag_ids: List[int], multiref: bool,
+                            used_cids: set) -> bytes:
+        # preservation map
+        pres = bytearray()
+        n = 0
+        for key, val in (("RN", 1), ("AP", 0), ("RR", 0)):
+            pres += key.encode() + bytes([val])
+            n += 1
+        pres += b"SM" + bytes([0x1B] * 5)
+        n += 1
+        td_blob = b"".join(line + b"\0" for line in tag_dict)
+        pres += b"TD" + itf8_encode(len(td_blob)) + td_blob
+        n += 1
+        pres_full = itf8_encode(n) + bytes(pres)
+        out = bytearray()
+        out += itf8_encode(len(pres_full)) + pres_full
+        # data series encodings
+        ds = bytearray()
+        nds = 0
+        for key, cid in SERIES.items():
+            if cid not in used_cids:
+                continue
+            if key == "RN":
+                enc = _enc_encoding_byte_array_stop(0, cid)
+            elif key in ("BB", "IN", "SC"):
+                enc = _enc_encoding_byte_array_len(cid)
+            else:
+                enc = _enc_encoding_external(cid)
+            ds += key.encode() + enc
+            nds += 1
+        ds_full = itf8_encode(nds) + bytes(ds)
+        out += itf8_encode(len(ds_full)) + ds_full
+        # tag encodings
+        te = bytearray()
+        nte = 0
+        for kid in used_tag_ids:
+            te += itf8_encode(kid)
+            te += _enc_encoding_byte_array_len(TAG_ID_BASE + kid)
+            nte += 1
+        te_full = itf8_encode(nte) + bytes(te)
+        out += itf8_encode(len(te_full)) + te_full
+        return bytes(out)
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        self.flush()
+        self._write_eof()
+        self.fp.flush()
+        self.fp.close()
+
+    def _write_eof(self):
+        blocks = bytearray()
+        # minimal empty compression header block
+        empty = (itf8_encode(1) + itf8_encode(0)
+                 + itf8_encode(1) + itf8_encode(0)
+                 + itf8_encode(1) + itf8_encode(0))
+        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, empty)
+        saved = self.record_counter
+        self.record_counter = 0
+        cont = self._container(bytes(blocks), -1, 0x454F46, 0, 0, 0, 1, [0])
+        self.record_counter = saved
+        self.fp.write(cont)

@@ -75,13 +75,13 @@ def ltf8_decode(buf, p: int) -> Tuple[int, int]:
 
 def ltf8_encode(val: int) -> bytes:
     v = val & 0xFFFFFFFFFFFFFFFF
-    if v < 0x80:
+    if v < (1 << 7):
         return bytes([v])
-    if v < 0x8000:
+    if v < (1 << 14):
         return bytes([0x80 | (v >> 8), v & 0xFF])
-    if v < 0x400000:
+    if v < (1 << 21):
         return bytes([0xC0 | (v >> 16)]) + v.to_bytes(3, "big")[1:]
-    if v < 0x20000000:
+    if v < (1 << 28):
         return bytes([0xE0 | (v >> 24)]) + v.to_bytes(4, "big")[1:]
     if v < (1 << 35):
         return bytes([0xF0 | (v >> 32)]) + v.to_bytes(5, "big")[1:]
