@@ -1,0 +1,138 @@
+"""Remote byte-stream backends (reference hfile_libcurl.c, hfile_s3.c,
+hfile_gcs.c, multipart.c).
+
+http/https handlers use stdlib urllib with HTTP Range requests for
+seeking (the hfile_libcurl model of restarting the transfer at an
+offset); s3:// and gs:// rewrite to signed https URLs.  Registered into
+the hfile scheme registry on import (hfile.c:1054 model).
+"""
+from __future__ import annotations
+
+import io
+import os
+import urllib.request
+from typing import Optional
+
+from htslib_tpu.hfile import HFile, add_scheme_handler
+
+
+class HttpFile(HFile):
+    """Seekable HTTP reader via Range requests; buffers sequentially."""
+
+    def __init__(self, url: str, headers: Optional[dict] = None):
+        self.url = url
+        self.headers = dict(headers or {})
+        self._pos = 0
+        self._resp = None
+        self._size: Optional[int] = None
+        self.name = url
+        self.mode = "r"
+        self.at_eof = False
+
+    def _open_at(self, offset: int):
+        req = urllib.request.Request(self.url, headers=dict(self.headers))
+        if offset:
+            req.add_header("Range", f"bytes={offset}-")
+        self._resp = urllib.request.urlopen(req, timeout=60)
+        clen = self._resp.headers.get("Content-Length")
+        if clen is not None and self._size is None:
+            self._size = offset + int(clen)
+        self._pos = offset
+
+    def read(self, n: int = -1) -> bytes:
+        if self._resp is None:
+            self._open_at(self._pos)
+        data = self._resp.read() if n < 0 else self._resp.read(n)
+        self._pos += len(data)
+        if n >= 0 and len(data) < n:
+            self.at_eof = True
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[:len(data)] = data
+        return len(data)
+
+    def peek(self, n: int) -> bytes:
+        pos = self._pos
+        data = self.read(n)
+        self.seek(pos)
+        return data
+
+    def readline(self) -> bytes:
+        out = bytearray()
+        while True:
+            c = self.read(1)
+            if not c:
+                return bytes(out)
+            out += c
+            if c == b"\n":
+                return bytes(out)
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            offset += self._pos
+        elif whence == 2:
+            if self._size is None:
+                self._open_at(0)
+                if self._size is None:
+                    raise OSError("cannot SEEK_END without Content-Length")
+                self._resp = None
+            offset += self._size
+        if self._resp is not None:
+            self._resp.close()
+            self._resp = None
+        self._pos = offset
+        self.at_eof = False
+        return offset
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seekable(self) -> bool:
+        return True
+
+    def size(self) -> Optional[int]:
+        if self._size is None:
+            pos = self._pos
+            self.seek(0, 2)
+            self.seek(pos)
+        return self._size
+
+    def write(self, data) -> int:
+        raise OSError("http streams are read-only")
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        if self._resp is not None:
+            self._resp.close()
+            self._resp = None
+
+
+def _open_http(url: str, mode: str) -> HFile:
+    if "r" not in mode:
+        raise OSError("remote URLs are read-only")
+    return HttpFile(url)
+
+
+def _open_s3(url: str, mode: str) -> HFile:
+    from htslib_tpu.remote.s3 import s3_open
+    return s3_open(url, mode)
+
+
+def _open_gcs(url: str, mode: str) -> HFile:
+    from htslib_tpu.remote.gcs import gcs_open
+    return gcs_open(url, mode)
+
+
+add_scheme_handler("http", _open_http)
+add_scheme_handler("https", _open_http)
+add_scheme_handler("ftp", _open_http)
+add_scheme_handler("s3", _open_s3)
+add_scheme_handler("s3+http", _open_s3)
+add_scheme_handler("s3+https", _open_s3)
+add_scheme_handler("gs", _open_gcs)
+add_scheme_handler("gs+http", _open_gcs)
+add_scheme_handler("gs+https", _open_gcs)

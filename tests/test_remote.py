@@ -1,0 +1,114 @@
+"""Remote backend tests: local mock HTTP server (the reference's
+test/mock_http_server.py pattern) + S3 signing against AWS's published
+signature test vectors."""
+import http.server
+import os
+import threading
+
+import pytest
+
+from htslib_tpu.bgzf import BGZFReader
+from htslib_tpu.hfile import hopen
+from htslib_tpu.remote.s3 import (S3Auth, parse_s3_url, sign_v2,
+                                  v2_string_to_sign, v4_sign_request,
+                                  v4_signing_key)
+from tests.conftest import ref_path, has_ref
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    docroot = tmp_path_factory.mktemp("www")
+    data = b"0123456789" * 1000
+    (docroot / "data.bin").write_bytes(data)
+    if has_ref("range.bam"):
+        (docroot / "range.bam").write_bytes(
+            open(ref_path("range.bam"), "rb").read())
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(docroot), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def send_head(self):
+            # add Range support
+            path = self.translate_path(self.path)
+            if "Range" in self.headers and os.path.isfile(path):
+                rng = self.headers["Range"].split("=")[1]
+                start_s, _, end_s = rng.partition("-")
+                start = int(start_s)
+                size = os.path.getsize(path)
+                end = int(end_s) if end_s else size - 1
+                f = open(path, "rb")
+                f.seek(start)
+                self.send_response(206)
+                self.send_header("Content-Length", str(end - start + 1))
+                self.send_header("Content-Range",
+                                 f"bytes {start}-{end}/{size}")
+                self.end_headers()
+                return f
+            return super().send_head()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_read_and_seek(http_server):
+    with hopen(http_server + "/data.bin", "rb") as fp:
+        assert fp.read(10) == b"0123456789"
+        fp.seek(9995)
+        assert fp.read(10) == b"56789"
+        assert fp.size() == 10000
+        fp.seek(0)
+        assert len(fp.read(-1)) == 10000
+
+
+def test_http_bam_over_range_requests(http_server):
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    from htslib_tpu.sam import BamReader
+    with BamReader(BGZFReader(hopen(http_server + "/range.bam", "rb"))) as r:
+        n = sum(1 for _ in r)
+    with BamReader(ref_path("range.bam")) as r2:
+        n2 = sum(1 for _ in r2)
+    assert n == n2
+
+
+def test_s3_v2_signature():
+    # AWS S3 docs REST authentication example 1 (GET photos/puppy.jpg)
+    auth_secret = "wJalrXUtnFEMI/K7MDENG/bPxRfiCYEXAMPLEKEY"
+    sts = v2_string_to_sign("GET", "awsexamplebucket1", "photos/puppy.jpg",
+                            "Tue, 27 Mar 2007 19:36:42 +0000")
+    assert sts == ("GET\n\n\nTue, 27 Mar 2007 19:36:42 +0000\n"
+                   "/awsexamplebucket1/photos/puppy.jpg")
+    assert sign_v2(auth_secret, sts) == "qgk2+6Sv9/oM7G3qLEjTH1a1l1g="
+
+
+def test_s3_v4_signing_key():
+    # standard AWS SigV4 key derivation (HMAC chain per the documented
+    # algorithm, cross-checked against an independent implementation)
+    key = v4_signing_key("wJalrXUtnFEMI/K7MDENG/bPxRfiCYEXAMPLEKEY",
+                         "20150830", "us-east-1", "iam")
+    assert key.hex() == ("2c94c0cf5378ada6887f09bb697df8fc0affdb34"
+                         "ba1cdd5bda32b664bd55b73c")
+
+
+def test_s3_v4_authorization_shape():
+    auth = S3Auth(access_key="AKIDEXAMPLE", secret_key="secret",
+                  region="us-east-1")
+    hdrs = v4_sign_request(auth, "GET", "examplebucket.s3.amazonaws.com",
+                           "/test.txt", amzdate="20130524T000000Z")
+    assert hdrs["Authorization"].startswith(
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20130524/us-east-1/s3/"
+        "aws4_request, SignedHeaders=host;x-amz-content-sha256;x-amz-date, "
+        "Signature=")
+
+
+def test_parse_s3_url():
+    assert parse_s3_url("s3://bucket/path/to/file.bam") == \
+        ("bucket", "path/to/file.bam", None)
+    assert parse_s3_url("s3://prof@bucket/key") == ("bucket", "key", "prof")
