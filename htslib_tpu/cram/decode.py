@@ -204,6 +204,16 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
         else:
             ref = get_ref(sh.ref_seq_id, sh.ref_seq_start,
                           sh.ref_seq_start + sh.ref_seq_span - 1)
+        # slice MD5 check (cram_decode.c:2481-2540; zero digest = skip)
+        if ref is not None and sh.md5 != b"\0" * 16:
+            import hashlib
+            window = ref[:sh.ref_seq_span]
+            if hashlib.md5(window).digest() != sh.md5:
+                raise IOError(
+                    f"MD5 checksum reference mismatch at "
+                    f"#{sh.ref_seq_id}:{sh.ref_seq_start}-"
+                    f"{sh.ref_seq_start + sh.ref_seq_span - 1}; "
+                    "please check the reference given is correct")
 
     recs: List[CramRecordTmp] = []
     last_apos = sh.ref_seq_start

@@ -131,20 +131,69 @@ class BamReader:
 
 class BamWriter:
     def __init__(self, dst: Union[str, HFile, BGZFWriter], header: SamHeader,
-                 level: int = -1):
+                 level: int = -1, build_index: bool = False):
         self.fp = dst if isinstance(dst, BGZFWriter) else BGZFWriter(dst, level=level)
         self.header = header
+        self._index_recs = None
+        self._uwritten = 0
+        if build_index:
+            # On-the-fly indexing: record each record's uncompressed end
+            # offset, then map to virtual offsets through the writer's
+            # block table at close.  This reproduces the reader-side
+            # voffset convention exactly (incl. the block-boundary
+            # (next_block, 0) form the reference needs hts_idx_amend_last
+            # for, hts.c:2708).
+            max_len = max(header.ref_lens, default=0)
+            if max_len + 256 > (1 << (14 + 3 * 5)):
+                raise ValueError("reference too long for BAI; use CSI")
+            self._index_recs = []
         write_bam_header(self.fp, header)
+        self._uheader_end = None
 
     def write(self, rec: BamRecord) -> None:
         payload = rec.to_bam_buffer()
+        if self._index_recs is not None and self._uheader_end is None:
+            self._uheader_end = self.fp._uncompressed + \
+                sum(len(p) for p in self.fp._pending) + len(self.fp._buf)
         self.fp.write(struct.pack("<I", len(payload)))
         self.fp.write(payload)
+        if self._index_recs is not None:
+            uend = (self.fp._uncompressed
+                    + sum(len(p) for p in self.fp._pending)
+                    + len(self.fp._buf))
+            from htslib_tpu.sam.record import FUNMAP
+            self._index_recs.append((rec.tid, rec.pos, rec.endpos(), uend,
+                                     not (rec.flag & FUNMAP)))
 
     def tell(self) -> int:
         return self.fp.tell()
 
     def close(self) -> None:
+        if self._index_recs is not None:
+            from htslib_tpu.bgzf import make_virtual_offset
+            from htslib_tpu.index import HTS_FMT_BAI, HtsIndex
+            self.fp.flush()
+            co = self.fp._idx_co  # compressed block offsets (+ EOF entry)
+            uo = self.fp._idx_uo  # uncompressed block start offsets
+            import bisect
+
+            def u2v(u):
+                i = bisect.bisect_right(uo, u) - 1
+                return make_virtual_offset(co[i], u - uo[i])
+
+            idx = HtsIndex(self.header.nref, HTS_FMT_BAI, 14, 5)
+            off0 = u2v(self._uheader_end or 0)
+            idx._last_off = idx._save_off = off0
+            idx._off_beg = idx._off_end = off0
+            for tid, beg, end, uend, mapped in self._index_recs:
+                idx.push(tid, beg, end, u2v(uend), mapped)
+            idx.finish(u2v(self.fp._uncompressed))
+            name = getattr(self.fp, "name", None)
+            self.fp.close()
+            if name and name != "?":
+                idx.save(name + ".bai")
+            self.idx = idx
+            return
         self.fp.close()
 
     def __enter__(self):

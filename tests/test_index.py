@@ -125,3 +125,28 @@ def test_colons_name_queries():
         name = r.header.ref_names[0]
         got = {rec.qname for rec in bam_fetch(r, idx, "{%s}" % name)}
     assert got == tid0 and got
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_on_the_fly_index_matches_post_hoc(tmp_path):
+    # writing with build_index=True must produce the same index as
+    # indexing the finished file (hts_idx_amend_last semantics)
+    out = str(tmp_path / "otf.bam")
+    with BamReader(ref_path("range.bam")) as r:
+        from htslib_tpu.sam import BamWriter
+        w = BamWriter(out, r.header, build_index=True)
+        for rec in r:
+            w.write(rec)
+        w.close()
+    otf = HtsIndex.load(out + ".bai")
+    post = build_bam_index(out, str(tmp_path / "post.bai"))
+    assert otf.n == post.n
+    for tid in range(otf.n):
+        a, b = otf.bidx[tid], post.bidx[tid]
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        assert set(a.keys()) == set(b.keys())
+        for k in a:
+            assert sorted(a[k].chunks) == sorted(b[k].chunks), (tid, k)
+        assert otf.lidx[tid] == post.lidx[tid]
