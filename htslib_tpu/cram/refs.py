@@ -54,7 +54,7 @@ class RefRegistry:
             if sq is not None:
                 ur = sq.get("UR")
                 if ur and not ur.startswith(("http:", "https:", "ftp:")) \
-                        and os.path.exists(ur):
+                        and os.path.isfile(ur):
                     fai = Faidx.load(ur)
                     if fai.has_seq(name):
                         seq = fai.fetch_seq(name).encode().upper()

@@ -1,0 +1,80 @@
+"""ref-cache server tests (reference test/ref_cache suite model): serve
+references by MD5 over HTTP with range support; CRAM decode through
+REF_PATH pointing at the cache."""
+import hashlib
+import os
+import urllib.request
+
+import pytest
+
+from htslib_tpu.refcache import RefCacheServer
+from tests.conftest import ref_path, has_ref
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = RefCacheServer(str(tmp_path / "cache"), upstream=None)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_put_and_get(server):
+    seq = b"ACGT" * 1000
+    md5 = server.put(seq)
+    assert md5 == hashlib.md5(seq).hexdigest()
+    url = server.url_template % md5
+    with urllib.request.urlopen(url) as r:
+        assert r.read() == seq
+    req = urllib.request.Request(url, headers={"Range": "bytes=4-11"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 206
+        assert r.read() == seq[4:12]
+
+
+def test_missing_404(server):
+    url = server.url_template % ("0" * 32)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url)
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(server.url_template % "notamd5")
+
+
+def test_upstream_fetch(tmp_path):
+    # chain two caches: the second uses the first as upstream
+    first = RefCacheServer(str(tmp_path / "a"), upstream=None)
+    first.start()
+    seq = b"TTAGGC" * 500
+    md5 = first.put(seq)
+    second = RefCacheServer(str(tmp_path / "b"),
+                            upstream=first.url_template)
+    second.start()
+    try:
+        with urllib.request.urlopen(second.url_template % md5) as r:
+            assert r.read() == seq
+        # now cached locally in b
+        assert os.path.exists(os.path.join(str(tmp_path / "b"), md5))
+    finally:
+        first.stop()
+        second.stop()
+
+
+@pytest.mark.skipif(not has_ref("range.cram"), reason="no corpus")
+def test_cram_decode_via_ref_path(tmp_path, monkeypatch):
+    # populate a cache from ce.fa, point REF_PATH at the served cache dir
+    from htslib_tpu.faidx import Faidx
+    from htslib_tpu.cram import CramReader
+    from htslib_tpu.sam import BamReader
+    cache = str(tmp_path / "cache")
+    srv = RefCacheServer(cache, upstream=None)
+    fai = Faidx.load(ref_path("ce.fa"), build_missing=False)
+    for name in fai.seq_names():
+        srv.put(fai.fetch_seq(name).encode().upper())
+    fai.close()
+    # local-path REF_PATH resolution (cram_populate_ref, cram_io.c:2977)
+    monkeypatch.setenv("REF_PATH", os.path.join(cache, "%s"))
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    with CramReader(ref_path("range.cram")) as r:  # note: no ref= given
+        got = [rec.to_sam(r.header) for rec in r]
+    assert len(got) == 112
