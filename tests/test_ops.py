@@ -83,3 +83,29 @@ def test_device_ops_match_goldens():
 def test_mesh_dryrun_8_devices():
     out = clean_jax_run(_MESH_CODE)
     assert "MESH_OK" in out
+
+
+_RANS_CODE = r"""
+import numpy as np
+from htslib_tpu.codecs import rans4x8
+from htslib_tpu.ops.rans import uncompress_batch
+rng = np.random.default_rng(7)
+blocks, wants = [], []
+for i in range(12):
+    n = int(rng.integers(1, 800)) * 4
+    data = rng.integers(30, 80, n, dtype=np.uint8).tobytes()
+    blocks.append(rans4x8.compress(data, 0))
+    wants.append(data)
+# also a non-multiple-of-4 block (host fallback path)
+odd = rng.integers(0, 255, 1001, dtype=np.uint8).tobytes()
+blocks.append(rans4x8.compress(odd, 0))
+wants.append(odd)
+assert uncompress_batch(blocks) == wants
+print("RANS_OK")
+"""
+
+
+@pytest.mark.slow
+def test_device_rans_batch_decode():
+    out = clean_jax_run(_RANS_CODE)
+    assert "RANS_OK" in out
