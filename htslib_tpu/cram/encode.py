@@ -74,11 +74,62 @@ class _Stream:
         self.buf += b
 
 
+class CodecMetrics:
+    """Online per-data-series codec selection (the cram_metrics model,
+    cram/cram_structs.h:284-305 + cram_compress_block3 trials,
+    cram_io.c:1912-2160): every TRIAL_EVERY containers each candidate
+    method is tried on the series' block and the cost-weighted winner is
+    cached for the following containers."""
+
+    TRIAL_EVERY = 32
+    CANDIDATES = ("rans0", "rans1", "gzip", "raw")
+
+    def __init__(self):
+        self.best: Dict[int, str] = {}
+        self.count: Dict[int, int] = defaultdict(int)
+
+    def choose(self, cid: int, data: bytes) -> Tuple[int, bytes]:
+        n = self.count[cid]
+        self.count[cid] += 1
+        if len(data) < 64:
+            return RAW, data
+        if cid in self.best and n % self.TRIAL_EVERY:
+            return self._apply(self.best[cid], data)
+        sizes = {}
+        outs = {}
+        for cand in self.CANDIDATES:
+            m, comp = self._apply(cand, data)
+            # mild cost weighting: raw is free, rans cheap, gzip slower
+            weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.03,
+                      "gzip": 1.05}[cand]
+            sizes[cand] = len(comp) * weight
+            outs[cand] = (m, comp)
+        winner = min(sizes, key=sizes.get)
+        self.best[cid] = winner
+        return outs[winner]
+
+    @staticmethod
+    def _apply(cand: str, data: bytes) -> Tuple[int, bytes]:
+        if cand == "raw":
+            return RAW, data
+        if cand == "gzip":
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return GZIP, co.compress(data) + co.flush()
+        from htslib_tpu.codecs import rans4x8
+        from htslib_tpu.cram.structs import RANS
+        order = 0 if cand == "rans0" else 1
+        try:
+            return RANS, rans4x8.compress(data, order)
+        except (ValueError, ZeroDivisionError):
+            return RAW, data
+
+
 def _write_block(out: bytearray, method: int, content_type: int,
-                 content_id: int, data: bytes) -> None:
-    if method == GZIP:
-        comp = zlib.compress(data, 6)
-        # zlib stream with gzip wrapper:
+                 content_id: int, data: bytes,
+                 precompressed: Optional[bytes] = None) -> None:
+    if precompressed is not None:
+        comp = precompressed
+    elif method == GZIP:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         comp = co.compress(data) + co.flush()
     else:
@@ -103,6 +154,7 @@ class CramEncoder:
         self.record_counter = 0
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
+        self.metrics = CodecMetrics()
         self._write_file_def()
         self._write_header_container()
 
@@ -247,8 +299,9 @@ class CramEncoder:
         _write_block(blocks, RAW, CT_CORE, 0, b"")
         for cid in ext_ids:
             data = bytes(streams[cid].buf)
-            _write_block(blocks, GZIP if len(data) > 64 else RAW,
-                         CT_EXTERNAL, cid, data)
+            method, comp = self.metrics.choose(cid, data)
+            _write_block(blocks, method, CT_EXTERNAL, cid, data,
+                         precompressed=comp if method != RAW else None)
         nblocks = 3 + len(ext_ids)
         cont = self._container(bytes(blocks), slice_ref,
                                start if slice_ref >= 0 else 0, span,
