@@ -27,7 +27,7 @@ CRAM_EOF_START = 0x454F46  # container ref_seq_start magic in EOF block
 
 class CramReader:
     def __init__(self, src: Union[str, HFile], ref: Optional[str] = None,
-                 ignore_md5: bool = False):
+                 ignore_md5: bool = False, decode_md: bool = True):
         if isinstance(src, str):
             self.fp = hopen(src, "rb")
             self.name = src
@@ -39,6 +39,7 @@ class CramReader:
         self.header = self._read_sam_header()
         self.refs = RefRegistry(self.header, fasta=ref,
                                 ignore_md5=ignore_md5)
+        self.decode_md = decode_md
         self._rec_queue: List[BamRecord] = []
         self._qi = 0
         self._eof = False
@@ -75,7 +76,8 @@ class CramReader:
             sh = decode_slice_header(hdr_block, self.version[0])
             blocks = [self.io.read_block() for _ in range(sh.num_blocks)]
             out.extend(decode_slice(chdr, sh, blocks, self.header,
-                                    self.refs.get, self.version[0]))
+                                    self.refs.get, self.version[0],
+                                    decode_md=self.decode_md))
         return out
 
     def _next_container(self) -> bool:

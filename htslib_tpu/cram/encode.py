@@ -148,6 +148,10 @@ class CramEncoder:
                  version: Tuple[int, int] = (3, 0)):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
         self.header = header
+        self.refs = None
+        if ref is not None:
+            from htslib_tpu.cram.refs import RefRegistry
+            self.refs = RefRegistry(header, fasta=ref)
         self.version = version
         self.seqs_per_slice = seqs_per_slice
         self.queue: List[BamRecord] = []
@@ -219,6 +223,37 @@ class CramEncoder:
         start = min(mapped_pos) if (not multiref and slice_ref >= 0) else 0
         end = 0
         nbases = 0
+        ref_seq = None
+        ref_md5 = b"\0" * 16
+        # reference mode: single-ref slices compare against a fetched
+        # window; multi-ref slices (ref_seq_id == -2) fetch whole
+        # sequences per record tid, mirroring the decoder's
+        # multi_ref_cache (cram_decode.c CRAM_MULTI_SEQ handling)
+        use_ref = (self.refs is not None
+                   and (multiref or slice_ref >= 0))
+        mref_cache: Dict[int, Optional[bytes]] = {}
+        if use_ref and not multiref:
+            start = max(start, 1)
+            wend = max((r.endpos() for r in recs if r.tid >= 0),
+                       default=start)
+            wend = max(wend, start)
+            try:
+                ref_seq = self.refs.get(slice_ref, start, wend)
+            except Exception:
+                ref_seq = None
+                use_ref = False
+            else:
+                import hashlib
+                ref_md5 = hashlib.md5(ref_seq).digest()
+                ref_span = wend - start + 1
+        elif use_ref:
+            for tid in sorted(t for t in ref_ids if t >= 0):
+                try:
+                    mref_cache[tid] = self.refs.get(tid, 1, -1)
+                except Exception:
+                    use_ref = False
+                    mref_cache.clear()
+                    break
 
         def S(key: str) -> _Stream:
             return streams[SERIES[key]]
@@ -263,7 +298,11 @@ class CramEncoder:
                 st.itf8(len(val))
                 st.raw(val)
             if not (rec.flag & FUNMAP):
-                self._encode_features(rec, S)
+                if multiref and use_ref:
+                    self._encode_features(rec, S,
+                                          mref_cache.get(rec.tid), 1)
+                else:
+                    self._encode_features(rec, S, ref_seq, start)
                 if rec.tid == slice_ref or not multiref:
                     end = max(end, rec.endpos())
             else:
@@ -274,9 +313,12 @@ class CramEncoder:
                 S("QS").raw(rec.qual)
 
         span = max(end - start + 1, 0) if (not multiref and slice_ref >= 0) else 0
+        if use_ref and not multiref:
+            span = max(span, ref_span)
 
         comp_hdr = self._compression_header(tag_dict, sorted(used_tags),
-                                            multiref, set(streams.keys()))
+                                            multiref, set(streams.keys()),
+                                            no_ref=not use_ref)
         # slice
         ext_ids = sorted(streams.keys())
         slice_hdr = bytearray()
@@ -290,7 +332,7 @@ class CramEncoder:
         for cid in ext_ids:
             slice_hdr += itf8_encode(cid)
         slice_hdr += itf8_encode(-1)  # embedded ref
-        slice_hdr += b"\0" * 16       # md5 (zero => decoder skips check)
+        slice_hdr += ref_md5
 
         blocks = bytearray()
         _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr)
@@ -323,20 +365,50 @@ class CramEncoder:
             vals.append((kid, rec.aux[p:endv]))
         return bytes(line), vals
 
-    def _encode_features(self, rec: BamRecord, S) -> None:
-        """Feature extraction (process_one_read, cram_encode.c:3382) in
-        no-ref mode: M/=/X runs carried as BB byte arrays."""
+    def _encode_features(self, rec: BamRecord, S,
+                         ref_seq: Optional[bytes] = None,
+                         ref_start: int = 0) -> None:
+        """Feature extraction (process_one_read, cram_encode.c:3382).
+
+        No-ref mode carries M/=/X runs as BB byte arrays; reference mode
+        leaves matches implicit and emits X (substitution-code) features
+        for single-base mismatches, falling back to B (literal base +
+        qual) where the substitution matrix cannot express the base or
+        the position is outside the reference window."""
         seq = rec.seq.encode() if rec.l_qseq else b""
+        quals = rec.qual
         feats: List[Tuple[int, str]] = []  # (qpos 1-based, code)
         payload: List[Tuple[str, object]] = []
         qpos = 1
+        rpos = rec.pos  # 0-based genome coordinate
+        sub_rows = {0: b"CGTN", 1: b"AGTN", 2: b"ACTN", 3: b"ACGN",
+                    4: b"ACGT"}
+        from htslib_tpu.cram.structs import l1
         for c in rec.cigar:
             op = int(c) & 0xF
             ln = int(c) >> 4
-            if op in (0, 7, 8):  # M/=/X
+            if op in (0, 7, 8) and ref_seq is not None:  # M/=/X vs ref
+                for i in range(ln):
+                    r = rpos + i - (ref_start - 1)
+                    b = seq[qpos - 1 + i] if seq else 0
+                    rb = ref_seq[r] if 0 <= r < len(ref_seq) else None
+                    if rb is not None and rb == b:
+                        continue  # implicit match
+                    row = sub_rows[l1(rb)] if rb is not None else None
+                    if row is not None and b in row:
+                        payload.append(("X", row.index(b)))
+                        feats.append((qpos + i, "X"))
+                    else:
+                        q = quals[qpos - 1 + i] if qpos - 1 + i < len(quals) else 0xFF
+                        payload.append(("B", (b if b else 0x4E, q)))
+                        feats.append((qpos + i, "B"))
+                rpos += ln
+                qpos += ln
+            elif op in (0, 7, 8):  # M/=/X, no-ref: whole run as bases
                 payload.append(("b", seq[qpos - 1:qpos - 1 + ln] if seq
                                 else b"\0" * ln))
                 feats.append((qpos, "b"))
+                rpos += ln
                 qpos += ln
             elif op == BAM_CINS:
                 payload.append(("I", seq[qpos - 1:qpos - 1 + ln] if seq
@@ -351,9 +423,11 @@ class CramEncoder:
             elif op == BAM_CDEL:
                 payload.append(("D", ln))
                 feats.append((qpos, "D"))
+                rpos += ln
             elif op == BAM_CREF_SKIP:
                 payload.append(("N", ln))
                 feats.append((qpos, "N"))
+                rpos += ln
             elif op == BAM_CHARD_CLIP:
                 payload.append(("H", ln))
                 feats.append((qpos, "H"))
@@ -378,6 +452,11 @@ class CramEncoder:
                 st = S("SC")
                 st.itf8(len(data))
                 st.raw(data)
+            elif code == "X":
+                S("BS").byte(data)
+            elif code == "B":
+                S("BA").byte(data[0])
+                S("QS").byte(data[1])
             elif code == "D":
                 S("DL").itf8(data)
             elif code == "N":
@@ -391,11 +470,11 @@ class CramEncoder:
     # ------------------------------------------------------------------
     def _compression_header(self, tag_dict: List[bytes],
                             used_tag_ids: List[int], multiref: bool,
-                            used_cids: set) -> bytes:
+                            used_cids: set, no_ref: bool = True) -> bytes:
         # preservation map
         pres = bytearray()
         n = 0
-        for key, val in (("RN", 1), ("AP", 0), ("RR", 0)):
+        for key, val in (("RN", 1), ("AP", 0), ("RR", 0 if no_ref else 1)):
             pres += key.encode() + bytes([val])
             n += 1
         pres += b"SM" + bytes([0x1B] * 5)

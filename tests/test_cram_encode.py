@@ -27,13 +27,20 @@ def norm(line):
     if int(f[1]) & 4:
         f[4] = "0"
         f[5] = "*"
+    # =/X degrade to M; zero-length ops are unrepresentable; adjacent
+    # same-op runs merge in the CRAM feature stream (all as in the
+    # reference decoder)
     f[5] = re.sub(r"(\d+)[=X]", r"\1M", f[5])
-    f[5] = re.sub(r"0[MIDNSHP]", "", f[5]) or "*"
-    while True:
-        m = re.match(r"(.*?)(\d+)M(\d+)M(.*)", f[5])
-        if not m:
-            break
-        f[5] = m.group(1) + str(int(m.group(2)) + int(m.group(3))) + "M" + m.group(4)
+    f[5] = re.sub(r"(?<![0-9])0[MIDNSHP]", "", f[5]) or "*"
+    if f[5] != "*":
+        ops = re.findall(r"(\d+)([MIDNSHP])", f[5])
+        merged = []
+        for n, op in ops:
+            if merged and merged[-1][1] == op:
+                merged[-1][0] += int(n)
+            else:
+                merged.append([int(n), op])
+        f[5] = "".join(f"{n}{op}" for n, op in merged) or "*"
     return "\t".join(f)
 
 
@@ -83,3 +90,51 @@ def test_multi_slice_container(tmp_path):
     with CramReader(cram) as r2:
         got = [rec.to_sam(hdr) for rec in r2]
     assert got == [rec.to_sam(hdr) for rec in recs]
+
+
+REF_CASES = [f for f in CORPUS
+             if os.path.exists(os.path.join(
+                 REF_TEST, f.split("#")[0] + ".fa"))]
+
+
+@pytest.mark.parametrize("fname", REF_CASES or ["skip"])
+def test_cram_encode_roundtrip_with_reference(fname, tmp_path):
+    # reference-based mode: implicit matches + substitution features
+    if fname == "skip":
+        pytest.skip("no corpus")
+    fa = ref_path(fname.split("#")[0] + ".fa")
+    with SamReader(ref_path(fname)) as r:
+        hdr = r.header
+        recs = list(r)
+    cram = str(tmp_path / "t.cram")
+    with CramWriter(cram, hdr, ref=fa) as w:
+        for rec in recs:
+            w.write(rec)
+    with CramReader(cram, ref=fa, decode_md=False) as r2:
+        got = [norm(rec.to_sam(hdr)) for rec in r2]
+    want = [norm(rec.to_sam(hdr)) for rec in recs]
+    assert got == want, f"ref-based CRAM round-trip mismatch for {fname}"
+
+
+def test_ref_based_is_smaller_and_generates_md(tmp_path):
+    # encoding with a reference should beat no-ref size on real data and
+    # the decoder regenerates MD/NM from the reference
+    from htslib_tpu.sam import BamReader
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    with BamReader(ref_path("range.bam")) as r:
+        hdr = r.header
+        recs = list(r)
+    noref = str(tmp_path / "noref.cram")
+    withref = str(tmp_path / "ref.cram")
+    with CramWriter(noref, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    with CramWriter(withref, hdr, ref=ref_path("ce.fa")) as w:
+        for rec in recs:
+            w.write(rec)
+    assert os.path.getsize(withref) < os.path.getsize(noref)
+    with CramReader(withref, ref=ref_path("ce.fa")) as r2:
+        rec = r2.read1()
+        assert rec.get_aux("MD") is not None
+        assert rec.get_aux("NM") is not None
