@@ -61,17 +61,17 @@ def build_test_bam(path, n_records=400000, read_len=100, seed=42):
     return n_templates * reps
 
 
-def bench_host(bam_path, trials=3):
+def bench_host(bam_path, trials=6):
     from htslib_tpu.sam import BamReader
-    from htslib_tpu.sam.batch import bam_to_sam_bytes
+    from htslib_tpu.sam.batch import bam_stream_to_sam
     best = None
     out_len = 0
     usize = 0
     for _ in range(trials):
         t0 = time.time()
         with BamReader(bam_path) as r:
-            data, offs, sizes = r.raw_records()
-            out = bam_to_sam_bytes(data, offs, sizes, r.header)
+            data = r.fp.read_all()
+            out = bam_stream_to_sam(data, r.header)
         dt = time.time() - t0
         usize = len(data)
         out_len = len(out)

@@ -65,6 +65,11 @@ class _Native:
             u8p, u64p, u32p, ctypes.c_int64, u8p, u64p, u32p,
             ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int]
+        lib.htstpu_bam_scan_format.restype = ctypes.c_int64
+        lib.htstpu_bam_scan_format.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, u32p,
+            ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
 
@@ -196,6 +201,37 @@ class _Native:
             return ctypes.string_at(out_ptr, r)
         finally:
             self._lib.htstpu_buf_free(out_ptr)
+
+    def bam_scan_format(self, data: np.ndarray, start: int,
+                        ref_names: List[str],
+                        nthreads: int = 0) -> np.ndarray:
+        """Fused record-scan + SAM formatting over an uncompressed BAM
+        stream: the serial framing walk overlaps with the format
+        workers instead of preceding them.  Returns a zero-copy uint8
+        view of the native buffer (freed when the array dies)."""
+        import weakref
+        data = np.ascontiguousarray(data)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_bam_scan_format(
+            self._u8(data), len(data), start,
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            ctypes.byref(out_ptr), nthreads)
+        if r == -2 or r == -3:
+            self._lib.htstpu_buf_free(out_ptr)
+            raise IOError("truncated BAM record stream")
+        if r < 0:
+            raise IOError(f"native SAM format failed on record {-(r + 3000)}")
+        cbuf = ctypes.cast(out_ptr,
+                           ctypes.POINTER(ctypes.c_uint8 * r)).contents
+        weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
+        return np.frombuffer(cbuf, np.uint8)
 
 
 native: Optional[_Native] = None

@@ -113,28 +113,38 @@ int64_t htstpu_inflate_batch(const uint8_t* data, uint64_t len, int64_t n,
                              int verify_crc, int nthreads) {
   if (nthreads <= 0) nthreads = hardware_threads();
   std::atomic<int64_t> err(0);
-  parallel_for(n, nthreads, [&](int64_t i) {
-    if (err.load(std::memory_order_relaxed)) return;
+  std::atomic<int64_t> next(0);
+  // one decompressor per worker, work-stolen block at a time
+  auto worker = [&]() {
     struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
-    const uint8_t* p = data + coffsets[i];
-    uint32_t csize = csizes[i], usize = usizes[i];
-    // payload bounds: header (with extras) .. footer
-    unsigned xlen = p[10] | (p[11] << 8);
-    const uint8_t* payload = p + 12 + xlen;
-    size_t paylen = csize - (12 + xlen) - kBlockFooter;
-    size_t actual = 0;
-    enum libdeflate_result r = libdeflate_deflate_decompress(
-        d, payload, paylen, out + out_offsets[i], usize, &actual);
-    if (r != LIBDEFLATE_SUCCESS || actual != usize) {
-      err.store(-(1000 + i), std::memory_order_relaxed);
-    } else if (verify_crc) {
-      uint32_t want;
-      std::memcpy(&want, p + csize - 8, 4);
-      uint32_t got = libdeflate_crc32(0, out + out_offsets[i], usize);
-      if (got != want) err.store(-(1000 + i), std::memory_order_relaxed);
+    for (;;) {
+      int64_t i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n || err.load(std::memory_order_relaxed)) break;
+      const uint8_t* p = data + coffsets[i];
+      uint32_t csize = csizes[i], usize = usizes[i];
+      // payload bounds: header (with extras) .. footer
+      unsigned xlen = p[10] | (p[11] << 8);
+      const uint8_t* payload = p + 12 + xlen;
+      size_t paylen = csize - (12 + xlen) - kBlockFooter;
+      size_t actual = 0;
+      enum libdeflate_result r = libdeflate_deflate_decompress(
+          d, payload, paylen, out + out_offsets[i], usize, &actual);
+      if (r != LIBDEFLATE_SUCCESS || actual != usize) {
+        err.store(-(1000 + i), std::memory_order_relaxed);
+      } else if (verify_crc) {
+        uint32_t want;
+        std::memcpy(&want, p + csize - 8, 4);
+        uint32_t got = libdeflate_crc32(0, out + out_offsets[i], usize);
+        if (got != want) err.store(-(1000 + i), std::memory_order_relaxed);
+      }
     }
     libdeflate_free_decompressor(d);
-  });
+  };
+  std::vector<std::thread> team;
+  int t = std::min<int64_t>(nthreads, n);
+  for (int i = 1; i < t; i++) team.emplace_back(worker);
+  worker();
+  for (auto& th : team) th.join();
   return err.load();
 }
 
@@ -219,6 +229,21 @@ namespace {
 const char kNt16[] = "=ACMGRSVTWYHKDBN";
 const char kCigChar[] = "MIDNSHP=XB??????";
 
+// 256-entry packed-byte -> two-ASCII-base table (portable analogue of the
+// reference's SSSE3/NEON nibble2base, simd.c:121-229)
+struct Nt16x2 {
+  uint16_t t[256];
+  Nt16x2() {
+    for (int b = 0; b < 256; b++) {
+      uint16_t v;
+      char two[2] = {kNt16[b >> 4], kNt16[b & 0xF]};
+      memcpy(&v, two, 2);
+      t[b] = v;
+    }
+  }
+};
+const Nt16x2 kNt16x2;
+
 struct NameTable {
   const uint8_t* buf;
   const uint64_t* offs;
@@ -246,14 +271,37 @@ class Buf {
     reserve(1);
     data_[len_++] = c;
   }
+  // two digits at a time via a 100-entry pair table (kputll-style,
+  // reference NEWS:461-462 credits this with +5% BAM->SAM)
+  static const char* digit_pairs() {
+    static const char p[] =
+        "00010203040506070809101112131415161718192021222324"
+        "25262728293031323334353637383940414243444546474849"
+        "50515253545556575859606162636465666768697071727374"
+        "75767778798081828384858687888990919293949596979899";
+    return p;
+  }
   inline void put_i64(int64_t v) {
     reserve(21);
     if (v < 0) { data_[len_++] = '-'; }
     uint64_t x = v < 0 ? (uint64_t)(-v) : (uint64_t)v;
+    const char* dp = digit_pairs();
     char tmp[20];
-    int i = 0;
-    do { tmp[i++] = '0' + (x % 10); x /= 10; } while (x);
-    while (i) data_[len_++] = tmp[--i];
+    int i = 20;
+    while (x >= 100) {
+      uint64_t r = x % 100;
+      x /= 100;
+      i -= 2;
+      memcpy(tmp + i, dp + 2 * r, 2);
+    }
+    if (x >= 10) {
+      i -= 2;
+      memcpy(tmp + i, dp + 2 * x, 2);
+    } else {
+      tmp[--i] = '0' + (char)x;
+    }
+    memcpy(data_ + len_, tmp + i, 20 - i);
+    len_ += 20 - i;
   }
   uint8_t* data() { return data_; }
   size_t len() const { return len_; }
@@ -485,8 +533,8 @@ int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
     out->reserve(l_qseq);
     uint8_t* dst = out->data() + out->len();
     for (int32_t i = 0; i < l_qseq / 2; i++) {
-      dst[2*i] = kNt16[seq[i] >> 4];
-      dst[2*i+1] = kNt16[seq[i] & 0xF];
+      uint16_t two = kNt16x2.t[seq[i]];
+      memcpy(dst + 2 * i, &two, 2);
     }
     if (l_qseq & 1) dst[l_qseq - 1] = kNt16[seq[l_qseq / 2] >> 4];
     out->bump(l_qseq);
@@ -526,6 +574,12 @@ int64_t htstpu_bam_to_sam(const uint8_t* data, const uint64_t* offs,
   int64_t per = (n + shards - 1) / (shards ? shards : 1);
   parallel_for(shards, nthreads, [&](int64_t si) {
     int64_t lo = si * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) return;
+    // pre-size the shard buffer: SAM text runs ~2.2x the BAM record
+    // bytes; with the host allocator's mmap path disabled every realloc
+    // is a full copy, so growth-by-doubling would copy each shard twice
+    uint64_t in_bytes = (offs[hi - 1] + sizes[hi - 1]) - offs[lo];
+    bufs[si].reserve(in_bytes * 5 / 2 + 4096);
     for (int64_t i = lo; i < hi; i++) {
       if (format_record(data + offs[i] + 4, sizes[i] - 4, nt, &bufs[si]) < 0) {
         err.store(-(3000 + i), std::memory_order_relaxed);
@@ -546,6 +600,105 @@ int64_t htstpu_bam_to_sam(const uint8_t* data, const uint64_t* offs,
   }
   parallel_for(shards, nthreads, [&](int64_t si) {
     memcpy(out + starts[si], bufs[si].data(), bufs[si].len());
+  });
+  *out_ptr = out;
+  return total;
+}
+
+// Fused record-scan + format pipeline over an uncompressed BAM byte
+// stream (everything after the header).  A scanner walks the record
+// framing (inherently sequential, sam.c:784) while format workers chase
+// its frontier in fixed-size record batches — the serial scan overlaps
+// with formatting instead of preceding it.  Returns total SAM byte
+// length via *out_ptr (caller frees with htstpu_buf_free), or
+// -2 truncated / -3 bad record / -(3000+i) malformed record i.
+int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
+                               uint64_t start, const uint8_t* name_buf,
+                               const uint64_t* name_offs,
+                               const uint32_t* name_lens, int32_t n_ref,
+                               uint8_t** out_ptr, int nthreads) {
+  if (nthreads <= 0) nthreads = hardware_threads();
+  NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  const int64_t kBatch = 4096;
+  uint64_t cap = (len - start) / 36 + 1;  // 32B core + 4B size minimum
+  std::vector<uint64_t> offs(cap);
+  std::atomic<int64_t> n_scanned(0);
+  std::atomic<int64_t> scan_err(0);
+  std::atomic<bool> scan_done(false);
+  std::atomic<int64_t> next_batch(0);
+  std::atomic<int64_t> fmt_err(0);
+  int64_t max_batches = (int64_t)(cap + kBatch - 1) / kBatch;
+  std::vector<Buf> bufs(max_batches);
+
+  auto format_batches = [&]() {
+    for (;;) {
+      int64_t bi = next_batch.fetch_add(1, std::memory_order_relaxed);
+      int64_t lo = bi * kBatch;
+      // wait for the scanner to pass lo + kBatch (or finish)
+      for (;;) {
+        int64_t ns = n_scanned.load(std::memory_order_acquire);
+        if (ns >= lo + kBatch || scan_done.load(std::memory_order_acquire))
+          break;
+        std::this_thread::yield();
+      }
+      int64_t total = n_scanned.load(std::memory_order_acquire);
+      if (lo >= total) return;
+      int64_t hi = std::min<int64_t>(total, lo + kBatch);
+      if (fmt_err.load(std::memory_order_relaxed) ||
+          scan_err.load(std::memory_order_relaxed))
+        return;
+      // record sizes are self-describing (u32 length prefix), so the
+      // worker never needs offs[] entries past its own batch
+      uint64_t est = (hi - lo) * ((len - start) / (total ? total : 1));
+      bufs[bi].reserve(est * 5 / 2 + 4096);
+      for (int64_t i = lo; i < hi; i++) {
+        uint32_t bsz;
+        std::memcpy(&bsz, data + offs[i], 4);
+        if (format_record(data + offs[i] + 4, bsz, nt, &bufs[bi]) < 0) {
+          fmt_err.store(-(3000 + i), std::memory_order_relaxed);
+          return;
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> team;
+  for (int i = 1; i < nthreads; i++) team.emplace_back(format_batches);
+
+  // scanner on the calling thread, then it joins the format pool
+  {
+    uint64_t pos = start;
+    int64_t n = 0;
+    while (pos + 4 <= len) {
+      uint32_t bsz;
+      std::memcpy(&bsz, data + pos, 4);
+      if (pos + 4 + bsz > len) { scan_err.store(-2); break; }
+      if (bsz < 32) { scan_err.store(-3); break; }
+      offs[n++] = pos;
+      pos += 4 + (uint64_t)bsz;
+      if ((n & 1023) == 0)
+        n_scanned.store(n, std::memory_order_release);
+    }
+    if (!scan_err.load() && pos != len) scan_err.store(-2);
+    n_scanned.store(n, std::memory_order_release);
+    scan_done.store(true, std::memory_order_release);
+  }
+  format_batches();
+  for (auto& th : team) th.join();
+  if (scan_err.load()) return scan_err.load();
+  if (fmt_err.load()) return fmt_err.load();
+
+  int64_t n = n_scanned.load();
+  int64_t nb = (n + kBatch - 1) / kBatch;
+  int64_t total = 0;
+  for (int64_t i = 0; i < nb; i++) total += bufs[i].len();
+  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+  if (!out) return -1;
+  std::vector<int64_t> starts(nb);
+  int64_t pos = 0;
+  for (int64_t i = 0; i < nb; i++) { starts[i] = pos; pos += bufs[i].len(); }
+  parallel_for(nb, nthreads, [&](int64_t i) {
+    memcpy(out + starts[i], bufs[i].data(), bufs[i].len());
   });
   *out_ptr = out;
   return total;

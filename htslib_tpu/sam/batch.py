@@ -681,3 +681,32 @@ def bam_to_sam_bytes(data: np.ndarray, offs: np.ndarray, sizes: np.ndarray,
                 pass  # malformed record: fall through to python path
     cols = decode_bam_columns(data, offs, sizes)
     return format_sam_batch(cols, header)
+
+
+def bam_stream_to_sam(data: np.ndarray, header: SamHeader,
+                      start: int = 0) -> np.ndarray:
+    """Fused scan+format over an uncompressed record stream: the serial
+    record-framing walk runs concurrently with the format workers
+    (native pipeline), avoiding a separate scan pass.  Returns the SAM
+    text as a uint8 array (zero-copy from the native buffer).  Falls
+    back to the two-pass path without the native library."""
+    from htslib_tpu.native import native
+    if native is not None:
+        try:
+            return native.bam_scan_format(data, start, header.ref_names)
+        except IOError:
+            pass
+    offs_l, sizes_l = [], []
+    pos, n = int(start), len(data)
+    mv = memoryview(data)
+    while pos + 4 <= n:
+        bsz = int.from_bytes(mv[pos:pos + 4], "little")
+        offs_l.append(pos)
+        sizes_l.append(bsz + 4)
+        pos += 4 + bsz
+    if pos != n:
+        raise IOError("truncated BAM record stream")
+    offs = np.array(offs_l, np.uint64)
+    sizes = np.array(sizes_l, np.uint32)
+    out = bam_to_sam_bytes(data, offs, sizes, header, use_native=False)
+    return np.frombuffer(out, np.uint8)
