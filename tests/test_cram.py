@@ -8,7 +8,7 @@ from htslib_tpu.cram import CramReader
 from htslib_tpu.cram.index import CramIndex
 from htslib_tpu.codecs import rans4x8
 from htslib_tpu.sam import BamReader, SamReader
-from tests.conftest import ref_path, has_ref
+from tests.conftest import REF_TEST, ref_path, has_ref
 
 REGIONS1 = [("CHROMOSOME_II", 2979, 2980), ("CHROMOSOME_IV", 1499, 1500),
             ("CHROMOSOME_II", 2979, 2980), ("CHROMOSOME_I", 999, 1100)]
@@ -127,3 +127,18 @@ def test_crai_roundtrip(tmp_path):
     idx.save(out)
     idx2 = CramIndex.load(out)
     assert [vars(e) for e in idx2.entries] == [vars(e) for e in idx.entries]
+
+
+def test_tlen_cram_corpus_exact():
+    # test/tlen: 30 CRAMs exercising mate/tlen cross-referencing
+    # (cram_decode_slice_xref); decode must match sibling SAMs exactly
+    import glob
+    crams = sorted(glob.glob(os.path.join(REF_TEST, "tlen", "*.cram")))
+    if not crams:
+        pytest.skip("no corpus")
+    for cram in crams:
+        with CramReader(cram) as r:
+            got = [rec.to_sam(r.header) for rec in r]
+        with SamReader(cram[:-5] + ".sam") as sr:
+            want = [rec.to_sam(sr.header) for rec in sr]
+        assert got == want, f"tlen mismatch for {os.path.basename(cram)}"

@@ -64,3 +64,91 @@ def test_vcf_sweep_roundtrip():
             bwd.append(r.to_vcf(sw.header))
     assert bwd == fwd[::-1]
     assert len(fwd) > 0
+
+
+# ---------------------------------------------------------------------------
+# bcf_hdr_merge / bcf_translate (vcf.c:4918, 5020)
+
+HDR_A = """##fileformat=VCFv4.2
+##FILTER=<ID=q10,Description="Q10">
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##contig=<ID=chr1,length=1000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+"""
+
+HDR_B = """##fileformat=VCFv4.3
+##FILTER=<ID=q20,Description="Q20">
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##INFO=<ID=AF,Number=A,Type=Float,Description="Freq">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">
+##contig=<ID=chr1,length=1000>
+##contig=<ID=chr2,length=2000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS2
+"""
+
+
+def test_bcf_hdr_merge_combines_records():
+    from htslib_tpu.vcf import BcfHeader, bcf_hdr_merge
+    dst = BcfHeader(HDR_A)
+    src = BcfHeader(HDR_B)
+    out = bcf_hdr_merge(dst, src)
+    assert out is dst
+    # all of src's new IDs landed, dst originals kept
+    for key, id_ in [("FILTER", "q10"), ("FILTER", "q20"), ("INFO", "DP"),
+                     ("INFO", "AF"), ("FORMAT", "AD"), ("contig", "chr2")]:
+        assert any(r.key == key and r.get("ID") == id_ for r in dst.hrecs), \
+            (key, id_)
+    # fileformat bumped to the newer version
+    assert dst.version == "VCFv4.3"
+    # no duplicate DP line
+    assert sum(1 for r in dst.hrecs
+               if r.key == "INFO" and r.get("ID") == "DP") == 1
+
+
+def test_bcf_hdr_merge_none_dst_copies():
+    from htslib_tpu.vcf import BcfHeader, bcf_hdr_merge
+    src = BcfHeader(HDR_B)
+    out = bcf_hdr_merge(None, src)
+    assert out is not src
+    assert out.id2int("AF") == src.id2int("AF")
+
+
+def test_bcf_translate_remaps_ids():
+    from htslib_tpu.vcf import BcfHeader, BcfRecord, bcf_hdr_merge, \
+        bcf_translate
+    dst = BcfHeader(HDR_A)
+    src = BcfHeader(HDR_B)
+    bcf_hdr_merge(dst, src)
+    line = ("chr2\t100\t.\tA\tT\t30\tq20\tDP=7;AF=0.5\tGT:AD\t0/1:3,4")
+    rec = BcfRecord.from_vcf(line, src)
+    bcf_translate(dst, src, rec)
+    # record now renders identically under the merged header
+    assert rec.to_vcf(dst) == line
+    # and the ids really moved to dst's dictionary slots
+    assert rec.rid == dst.name2rid("chr2")
+    assert rec.filters == [dst.id2int("q20")]
+    assert {dst.id2int("DP"), dst.id2int("AF")} == {e.key for e in rec.info}
+
+
+def test_bcf_translate_roundtrip_through_bcf(tmp_path):
+    # translated records must re-encode to valid BCF under the dst header
+    from htslib_tpu.vcf import (BcfHeader, BcfRecord, BcfReader, BcfWriter,
+                                bcf_hdr_merge, bcf_translate)
+    dst = BcfHeader(HDR_A)
+    src = BcfHeader(HDR_B)
+    bcf_hdr_merge(dst, src)
+    lines = ["chr1\t5\t.\tG\tC\t10\tq10\tDP=2\tGT\t0/0",
+             "chr2\t100\trs1\tA\tT\t30\tq20\tDP=7;AF=0.25\tGT:AD\t1/1:0,9"]
+    recs = [BcfRecord.from_vcf(l, src) for l in lines]
+    for r in recs:
+        bcf_translate(dst, src, r)
+    p = str(tmp_path / "t.bcf")
+    w = BcfWriter(p, dst)
+    for r in recs:
+        w.write(r)
+    w.close()
+    with BcfReader(p) as rd:
+        back = [rec.to_vcf(rd.header) for rec in rd]
+    assert back == lines
