@@ -70,6 +70,10 @@ class _Native:
             u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, u32p,
             ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int]
+        lib.htstpu_sam_to_bam.restype = ctypes.c_int64
+        lib.htstpu_sam_to_bam.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
 
@@ -228,6 +232,34 @@ class _Native:
             raise IOError("truncated BAM record stream")
         if r < 0:
             raise IOError(f"native SAM format failed on record {-(r + 3000)}")
+        cbuf = ctypes.cast(out_ptr,
+                           ctypes.POINTER(ctypes.c_uint8 * r)).contents
+        weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
+        return np.frombuffer(cbuf, np.uint8)
+
+    def sam_to_bam(self, text: np.ndarray, ref_names: List[str],
+                   nthreads: int = 0) -> np.ndarray:
+        """Parse SAM text into a BAM record stream (u32 length-prefixed
+        records), multithreaded (sam_parse_worker equivalent).  Raises
+        IOError naming the offending line on malformed input or when a
+        line needs the Python slow path (unknown reference, >65535-op
+        CIGAR)."""
+        import weakref
+        text = np.ascontiguousarray(text)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_sam_to_bam(
+            self._u8(text), len(text),
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            ctypes.byref(out_ptr), nthreads)
+        if r < 0:
+            raise IOError(f"native SAM parse failed on line {-(r + 4000)}")
         cbuf = ctypes.cast(out_ptr,
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)

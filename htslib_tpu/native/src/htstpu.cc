@@ -19,7 +19,10 @@
 #include <vector>
 #include <cstdlib>
 #include <cstdio>
+#include <cctype>
 #include <algorithm>
+#include <string>
+#include <unordered_map>
 
 namespace {
 
@@ -306,6 +309,8 @@ class Buf {
   uint8_t* data() { return data_; }
   size_t len() const { return len_; }
   inline void bump(size_t n) { len_ += n; }
+  inline void clear() { len_ = 0; }
+  inline void set_len(size_t n) { len_ = n; }
 
  private:
   uint8_t* data_;
@@ -705,5 +710,447 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
 }
 
 void htstpu_buf_free(uint8_t* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SAM text -> BAM record-stream parsing (sam_parse_worker equivalent,
+// batch form; semantics mirror sam_parse1 sam.c:2662)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// ASCII base -> nt16 code (hts.c:239 seq_nt16_table: '='ACMGRSVTWYHKDBN,
+// lowercase, legacy digits 0-3, U->T)
+struct Nt16Enc {
+  uint8_t t[256];
+  Nt16Enc() {
+    memset(t, 15, sizeof(t));
+    for (int i = 0; i < 16; i++) {
+      t[(uint8_t)kNt16[i]] = i;
+      t[(uint8_t)tolower(kNt16[i])] = i;
+    }
+    for (int i = 0; i < 4; i++) t[(uint8_t)('0' + i)] = 1 << i;
+    t['U'] = 8; t['u'] = 8;
+  }
+};
+const Nt16Enc kNt16Enc;
+
+// CIGAR op char -> code ("MIDNSHP=XB", sam.h BAM_CIGAR_STR)
+struct CigEnc {
+  int8_t t[256];
+  CigEnc() {
+    memset(t, -1, sizeof(t));
+    const char* s = "MIDNSHP=XB";
+    for (int i = 0; s[i]; i++) t[(uint8_t)s[i]] = i;
+  }
+};
+const CigEnc kCigEnc;
+
+inline int32_t reg2bin_c(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return (int32_t)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return (int32_t)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return (int32_t)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return (int32_t)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return (int32_t)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+inline bool parse_i64(const char* p, const char* end, int64_t* out) {
+  if (p >= end) return false;
+  bool neg = false;
+  if (*p == '-') { neg = true; p++; }
+  else if (*p == '+') p++;
+  if (p >= end) return false;
+  int64_t v = 0;
+  for (; p < end; p++) {
+    if (*p < '0' || *p > '9') return false;
+    v = v * 10 + (*p - '0');
+  }
+  *out = neg ? -v : v;
+  return true;
+}
+
+inline void put_smallest_int(Buf* out, int64_t x) {
+  // _encode_int_aux semantics (sam.c:2570 aux 'i' storage)
+  if (x < 0) {
+    if (x >= -128) { out->putc('c'); out->putc((char)(int8_t)x); }
+    else if (x >= -32768) { int16_t v = (int16_t)x; out->putc('s'); out->put(&v, 2); }
+    else { int32_t v = (int32_t)x; out->putc('i'); out->put(&v, 4); }
+  } else if (x <= 0xFF) { out->putc('C'); out->putc((char)(uint8_t)x); }
+  else if (x <= 0xFFFF) { uint16_t v = (uint16_t)x; out->putc('S'); out->put(&v, 2); }
+  else { uint32_t v = (uint32_t)x; out->putc('I'); out->put(&v, 4); }
+}
+
+inline bool fits_sub(int64_t v, char sub) {
+  switch (sub) {
+    case 'c': return v >= -128 && v <= 127;
+    case 'C': return v >= 0 && v <= 255;
+    case 's': return v >= -32768 && v <= 32767;
+    case 'S': return v >= 0 && v <= 65535;
+    case 'i': return v >= INT32_MIN && v <= INT32_MAX;
+    case 'I': return v >= 0 && v <= (int64_t)UINT32_MAX;
+  }
+  return false;
+}
+
+inline void put_sub(Buf* out, int64_t v, char sub) {
+  switch (sub) {
+    case 'c': case 'C': out->putc((char)(uint8_t)v); break;
+    case 's': case 'S': { uint16_t x = (uint16_t)v; out->put(&x, 2); break; }
+    default: { uint32_t x = (uint32_t)v; out->put(&x, 4); break; }
+  }
+}
+
+struct SamParseCtx {
+  const std::unordered_map<std::string, int32_t>* names;
+  std::vector<uint32_t> cigar;   // scratch
+  std::vector<int64_t> bvals;    // scratch
+  Buf aux;                       // scratch (reset per record)
+  Buf payload;                   // scratch (reset per record)
+};
+
+// Parse one SAM line [p, end) into out (u32 block_size + payload framing).
+// Returns 0 or a negative reason.
+int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
+                   Buf* out) {
+  // split into fields
+  const char* f[12];
+  const char* fe[12];
+  int nf = 0;
+  const char* q = p;
+  while (q <= end && nf < 12) {
+    const char* t = (const char*)memchr(q, '\t', end - q);
+    f[nf] = q;
+    fe[nf] = t ? t : end;
+    q = (t ? t + 1 : end + 1);
+    nf++;
+    if (nf == 12) { fe[11] = end; break; }  // rest = aux region
+  }
+  if (nf < 11) return -1;
+  bool has_aux = nf == 12;
+
+  // qname
+  size_t l_qname = fe[0] - f[0];
+  if (l_qname == 0 || l_qname > 254) return -1;
+  // flag (decimal or 0x hex)
+  int64_t flag;
+  if (fe[1] - f[1] > 2 && f[1][0] == '0' && (f[1][1] == 'x' || f[1][1] == 'X')) {
+    flag = strtoll(std::string(f[1] + 2, fe[1]).c_str(), nullptr, 16);
+  } else if (!parse_i64(f[1], fe[1], &flag)) return -1;
+  // rname -> tid
+  int32_t tid = -1;
+  if (!(fe[2] - f[2] == 1 && *f[2] == '*')) {
+    auto it = ctx->names->find(std::string(f[2], fe[2]));
+    if (it == ctx->names->end()) return -2;  // unknown ref: python fallback
+    tid = it->second;
+  }
+  int64_t pos1, mapq, mpos1, tlen;
+  if (!parse_i64(f[3], fe[3], &pos1)) return -1;
+  int64_t pos = pos1 - 1;
+  if (!parse_i64(f[4], fe[4], &mapq)) return -1;
+  // cigar
+  ctx->cigar.clear();
+  if (!(fe[5] - f[5] == 1 && *f[5] == '*')) {
+    const char* c = f[5];
+    while (c < fe[5]) {
+      uint32_t n = 0;
+      if (*c < '0' || *c > '9') return -1;
+      while (c < fe[5] && *c >= '0' && *c <= '9') n = n * 10 + (*c++ - '0');
+      if (c >= fe[5]) return -1;
+      int8_t op = kCigEnc.t[(uint8_t)*c++];
+      if (op < 0) return -1;
+      ctx->cigar.push_back(n << 4 | (uint32_t)op);
+    }
+  }
+  if (!ctx->cigar.empty() && pos < 0) return -1;
+  // rnext / pnext / tlen
+  int32_t mtid = -1;
+  if (fe[6] - f[6] == 1 && *f[6] == '=') mtid = tid;
+  else if (!(fe[6] - f[6] == 1 && *f[6] == '*')) {
+    auto it = ctx->names->find(std::string(f[6], fe[6]));
+    if (it == ctx->names->end()) return -2;
+    mtid = it->second;
+  }
+  if (!parse_i64(f[7], fe[7], &mpos1)) return -1;
+  if (!parse_i64(f[8], fe[8], &tlen)) return -1;
+  // seq / qual
+  const char* seq = f[9];
+  int32_t l_qseq = 0;
+  bool has_seq = !(fe[9] - f[9] == 1 && *f[9] == '*');
+  if (has_seq) l_qseq = (int32_t)(fe[9] - f[9]);
+  bool has_qual = !(fe[10] - f[10] == 1 && *f[10] == '*');
+  if (has_qual && !has_seq) return -1;       // QUAL without SEQ
+  if (has_qual && fe[10] - f[10] != l_qseq) return -1;
+  // CIGAR qlen consistency
+  if (!ctx->cigar.empty() && l_qseq) {
+    int64_t qlen = 0;
+    for (uint32_t c : ctx->cigar) {
+      int op = c & 0xF;
+      if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8)
+        qlen += c >> 4;
+    }
+    if (qlen != l_qseq) return -1;
+  }
+  int64_t rlen = 0;
+  for (uint32_t c : ctx->cigar) {
+    int op = c & 0xF;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rlen += c >> 4;
+  }
+  int32_t bin = pos >= 0 ? reg2bin_c(pos, pos + (rlen ? rlen : 1))
+                         : reg2bin_c(-1, 0);
+
+  // aux fields
+  ctx->aux.clear();
+  Buf* aux = &ctx->aux;
+  int64_t cg_tag_off = -1, cg_data_off = -1, cg_n = 0;
+  if (has_aux) {
+    const char* a = f[11];
+    while (a < end) {
+      const char* t = (const char*)memchr(a, '\t', end - a);
+      const char* ae = t ? t : end;
+      if (ae - a < 5 || a[2] != ':' || a[4] != ':') return -1;
+      char type = a[3];
+      const char* v = a + 5;
+      int64_t tag_off = (int64_t)aux->len();
+      aux->put(a, 2);
+      switch (type) {
+        case 'A': case 'a': case 'c': case 'C':
+          if (ae - v < 1) return -1;
+          aux->putc('A'); aux->putc(*v);
+          break;
+        case 'i': case 'I': {
+          int64_t x;
+          if (!parse_i64(v, ae, &x)) return -1;
+          put_smallest_int(aux, x);
+          break;
+        }
+        case 'f': {
+          float fv = strtof(std::string(v, ae).c_str(), nullptr);
+          aux->putc('f'); aux->put(&fv, 4);
+          break;
+        }
+        case 'd': {
+          double dv = strtod(std::string(v, ae).c_str(), nullptr);
+          aux->putc('d'); aux->put(&dv, 8);
+          break;
+        }
+        case 'Z':
+          aux->putc('Z'); aux->put(v, ae - v); aux->putc('\0');
+          break;
+        case 'H':
+          if ((ae - v) % 2) return -1;
+          aux->putc('H'); aux->put(v, ae - v); aux->putc('\0');
+          break;
+        case 'B': {
+          if (ae - v < 1) return -1;
+          char sub = *v;
+          const char* iv = v + 1;
+          if (iv < ae && *iv != ',') return -1;
+          if (sub == 'f') {
+            aux->putc('B'); aux->putc('f');
+            int64_t noff = (int64_t)aux->len();
+            uint32_t n = 0; aux->put(&n, 4);
+            while (iv < ae) {
+              iv++;  // skip ','
+              const char* c2 = (const char*)memchr(iv, ',', ae - iv);
+              const char* ve = c2 ? c2 : ae;
+              float fv = strtof(std::string(iv, ve).c_str(), nullptr);
+              aux->put(&fv, 4);
+              n++;
+              iv = ve;
+            }
+            memcpy(aux->data() + noff, &n, 4);
+          } else {
+            if (!strchr("cCsSiI", sub)) return -1;
+            ctx->bvals.clear();
+            bool fit = true;
+            while (iv < ae) {
+              iv++;
+              const char* c2 = (const char*)memchr(iv, ',', ae - iv);
+              const char* ve = c2 ? c2 : ae;
+              int64_t x;
+              if (!parse_i64(iv, ve, &x)) return -1;
+              if (!fits_sub(x, sub)) fit = false;
+              ctx->bvals.push_back(x);
+              iv = ve;
+            }
+            char use = sub;
+            if (!fit) {
+              // widen to the smallest covering type
+              // (sam_parse_B_vals_r retry, sam.c:2452-2485)
+              int64_t mn = 0, mx = 0;
+              for (int64_t x : ctx->bvals) { mn = std::min(mn, x); mx = std::max(mx, x); }
+              if (mn < 0) {
+                if (mn >= -128 && mx <= 127) use = 'c';
+                else if (mn >= -32768 && mx <= 32767) use = 's';
+                else if (mn >= INT32_MIN && mx <= INT32_MAX) use = 'i';
+                else return -1;
+              } else {
+                if (mx < 0xFF) use = 'C';
+                else if (mx <= 0xFFFF) use = 'S';
+                else if (mx <= (int64_t)UINT32_MAX) use = 'I';
+                else return -1;
+              }
+            }
+            if (a[0] == 'C' && a[1] == 'G' && (use == 'I' || use == 'i')) {
+              cg_tag_off = tag_off;
+              cg_n = (int64_t)ctx->bvals.size();
+            }
+            aux->putc('B'); aux->putc(use);
+            uint32_t n = (uint32_t)ctx->bvals.size();
+            aux->put(&n, 4);
+            if (a[0] == 'C' && a[1] == 'G' && (use == 'I' || use == 'i'))
+              cg_data_off = (int64_t)aux->len();
+            for (int64_t x : ctx->bvals) put_sub(aux, x, use);
+          }
+          break;
+        }
+        default:
+          return -1;
+      }
+      a = (t ? t + 1 : end);
+    }
+  }
+
+  // CG long-CIGAR promotion (bam_tag2cigar, sam.c:680)
+  uint32_t* cig = ctx->cigar.data();
+  size_t n_cigar = ctx->cigar.size();
+  std::vector<uint32_t> promoted;
+  if (n_cigar > 0 && tid >= 0 && pos >= 0 && cg_tag_off >= 0 &&
+      cig[0] == (((uint32_t)l_qseq << 4) | 4) &&
+      cg_n >= (int64_t)n_cigar && cg_n < (1ll << 29)) {
+    promoted.resize(cg_n);
+    memcpy(promoted.data(), aux->data() + cg_data_off, 4 * cg_n);
+    // remove the CG tag from aux
+    int64_t cg_end2 = cg_data_off + 4 * cg_n;
+    int64_t tail = (int64_t)aux->len() - cg_end2;
+    memmove(aux->data() + cg_tag_off, aux->data() + cg_end2, tail);
+    aux->set_len(cg_tag_off + tail);
+    cig = promoted.data();
+    n_cigar = promoted.size();
+    int64_t rl = 0;
+    for (size_t i2 = 0; i2 < n_cigar; i2++) {
+      int op = cig[i2] & 0xF;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        rl += cig[i2] >> 4;
+    }
+    if (flag & 4) rl = 0;
+    bin = reg2bin_c(pos, pos + (rl ? rl : 1));
+  }
+  if (n_cigar > 0xFFFF) return -2;  // CG escape on write: python fallback
+
+  // emit framed record
+  uint32_t bsz = (uint32_t)(32 + l_qname + 1 + 4 * n_cigar +
+                            (l_qseq + 1) / 2 + l_qseq + aux->len());
+  out->reserve(4 + bsz);
+  out->put(&bsz, 4);
+  int32_t i32;
+  i32 = tid; out->put(&i32, 4);
+  i32 = (int32_t)pos; out->put(&i32, 4);
+  out->putc((char)(uint8_t)(l_qname + 1));
+  out->putc((char)(uint8_t)mapq);
+  uint16_t u16 = (uint16_t)bin; out->put(&u16, 2);
+  u16 = (uint16_t)n_cigar; out->put(&u16, 2);
+  u16 = (uint16_t)flag; out->put(&u16, 2);
+  i32 = l_qseq; out->put(&i32, 4);
+  i32 = mtid; out->put(&i32, 4);
+  i32 = (int32_t)(mpos1 - 1); out->put(&i32, 4);
+  i32 = (int32_t)tlen; out->put(&i32, 4);
+  out->put(f[0], l_qname); out->putc('\0');
+  out->put(cig, 4 * n_cigar);
+  // packed seq nibbles
+  if (l_qseq) {
+    out->reserve((l_qseq + 1) / 2);
+    uint8_t* dst = out->data() + out->len();
+    for (int32_t i2 = 0; i2 < l_qseq / 2; i2++)
+      dst[i2] = (kNt16Enc.t[(uint8_t)seq[2 * i2]] << 4) |
+                kNt16Enc.t[(uint8_t)seq[2 * i2 + 1]];
+    if (l_qseq & 1)
+      dst[l_qseq / 2] = kNt16Enc.t[(uint8_t)seq[l_qseq - 1]] << 4;
+    out->bump((l_qseq + 1) / 2);
+    // quals
+    out->reserve(l_qseq);
+    uint8_t* qd = out->data() + out->len();
+    if (has_qual) {
+      for (int32_t i2 = 0; i2 < l_qseq; i2++) {
+        if (f[10][i2] < 33) return -1;
+        qd[i2] = (uint8_t)(f[10][i2] - 33);
+      }
+    } else {
+      memset(qd, 0xFF, l_qseq);
+    }
+    out->bump(l_qseq);
+  }
+  out->put(aux->data(), aux->len());
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse SAM text (body lines; '@' header lines and blanks are skipped)
+// into a BAM record stream (u32 block_size + payload per record).
+// Returns total bytes via *out_ptr (htstpu_buf_free to release), or
+// -(4000+line_index) for a malformed/fallback-needed line.
+int64_t htstpu_sam_to_bam(const uint8_t* text, uint64_t len,
+                          const uint8_t* name_buf, const uint64_t* name_offs,
+                          const uint32_t* name_lens, int32_t n_ref,
+                          uint8_t** out_ptr, int nthreads) {
+  if (nthreads <= 0) nthreads = hardware_threads();
+  std::unordered_map<std::string, int32_t> names;
+  names.reserve(n_ref * 2);
+  for (int32_t i = 0; i < n_ref; i++)
+    names.emplace(std::string((const char*)name_buf + name_offs[i],
+                              name_lens[i]), i);
+  // line table (skipping headers/blanks)
+  std::vector<std::pair<uint64_t, uint64_t>> lines;
+  const char* p = (const char*)text;
+  uint64_t pos = 0;
+  while (pos < len) {
+    const char* nl = (const char*)memchr(p + pos, '\n', len - pos);
+    uint64_t e = nl ? (uint64_t)(nl - p) : len;
+    uint64_t e2 = e;
+    if (e2 > pos && p[e2 - 1] == '\r') e2--;
+    if (e2 > pos && p[pos] != '@')
+      lines.emplace_back(pos, e2);
+    pos = e + 1;
+  }
+  int64_t n = (int64_t)lines.size();
+  int shards = nthreads * 4;
+  if (shards > n) shards = n ? (int)n : 1;
+  std::vector<Buf> bufs(shards);
+  std::atomic<int64_t> err(0);
+  int64_t per = (n + shards - 1) / (shards ? shards : 1);
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    SamParseCtx ctx;
+    ctx.names = &names;
+    int64_t lo = si * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) return;
+    bufs[si].reserve((lines[hi - 1].second - lines[lo].first) + 4096);
+    for (int64_t i = lo; i < hi; i++) {
+      if (parse_sam_line(p + lines[i].first, p + lines[i].second, &ctx,
+                         &bufs[si]) < 0) {
+        err.store(-(4000 + i), std::memory_order_relaxed);
+        return;
+      }
+    }
+  });
+  if (err.load()) return err.load();
+  int64_t total = 0;
+  for (auto& b : bufs) total += b.len();
+  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+  if (!out) return -1;
+  std::vector<int64_t> starts(shards);
+  int64_t acc = 0;
+  for (int i = 0; i < shards; i++) { starts[i] = acc; acc += bufs[i].len(); }
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    memcpy(out + starts[si], bufs[si].data(), bufs[si].len());
+  });
+  *out_ptr = out;
+  return total;
+}
 
 }  // extern "C"

@@ -710,3 +710,26 @@ def bam_stream_to_sam(data: np.ndarray, header: SamHeader,
     sizes = np.array(sizes_l, np.uint32)
     out = bam_to_sam_bytes(data, offs, sizes, header, use_native=False)
     return np.frombuffer(out, np.uint8)
+
+
+def sam_text_to_bam(text: bytes, header: SamHeader) -> np.ndarray:
+    """Batch SAM text -> BAM record stream (u32 length-prefixed records),
+    the sam_parse_worker direction (sam.c:3215).  Native multithreaded
+    parser with a per-call Python fallback for lines it rejects (unknown
+    reference names with nref==0, >65535-op CIGARs)."""
+    from htslib_tpu.native import native
+    if native is not None:
+        try:
+            return native.sam_to_bam(np.frombuffer(text, np.uint8),
+                                     header.ref_names)
+        except IOError:
+            pass
+    from htslib_tpu.sam.record import BamRecord
+    parts = []
+    for line in text.split(b"\n"):
+        if not line or line.startswith(b"@"):
+            continue
+        rec = BamRecord.from_sam(line.decode("utf-8").rstrip("\r"), header)
+        buf = rec.to_bam_buffer()
+        parts.append(struct.pack("<I", len(buf)) + buf)
+    return np.frombuffer(b"".join(parts) or b"", np.uint8)

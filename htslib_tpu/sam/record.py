@@ -373,8 +373,13 @@ class BamRecord:
     @classmethod
     def from_sam(cls, line: str, header: SamHeader,
                  lenient_refs: bool = False) -> "BamRecord":
-        """sam_parse1 (sam.c:2662)."""
-        cols = line.rstrip("\n").split("\t")
+        """sam_parse1 (sam.c:2662).  A trailing CR is stripped like
+        hts_getline's KS_SEP_LINE terminator handling (DOS line
+        endings, test/index_dos.sam)."""
+        line = line.rstrip("\n")
+        if line.endswith("\r"):
+            line = line[:-1]
+        cols = line.split("\t")
         if len(cols) < 11:
             raise ValueError(f"SAM record has {len(cols)} fields; need 11")
         b = cls()

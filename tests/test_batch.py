@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from htslib_tpu.sam import BamReader, BamWriter, SamReader
-from htslib_tpu.sam.batch import (bam_to_sam_bytes, decode_bam_columns,
+from htslib_tpu.sam.batch import (sam_text_to_bam, bam_stream_to_sam, bam_to_sam_bytes, decode_bam_columns,
                                   format_sam_batch, dec_len, write_ints,
                                   ragged_gather, ragged_indices)
 from tests.conftest import REF_TEST, ref_path, has_ref
@@ -74,3 +74,47 @@ def test_batch_all_corpus_sams(fname, tmp_path):
                 w.write(rec)
     want, got = batch_vs_records(bam_path)
     assert got == want, f"batch mismatch for {fname}"
+
+
+# ---------------------------------------------------------------------------
+# sam_text_to_bam (native sam_parse_worker equivalent, sam.c:3215)
+
+SAM_PARSE_CASES = ["ce#1000.sam", "index_dos.sam", "xx#large_aux.sam",
+                   "auxf#values.sam", "sam_alignment.tmp.sam"]
+
+
+@pytest.mark.parametrize("fname", SAM_PARSE_CASES)
+def test_sam_text_to_bam_matches_record_path(fname):
+    import struct as _struct
+    if not has_ref(fname):
+        pytest.skip("missing")
+    path = ref_path(fname)
+    with SamReader(path) as r:
+        hdr = r.header
+        want = b"".join(_struct.pack("<I", len(b)) + b
+                        for b in (rec.to_bam_buffer() for rec in r))
+    got = sam_text_to_bam(open(path, "rb").read(), hdr)
+    assert got.tobytes() == want
+
+
+def test_sam_text_to_bam_roundtrip_through_formatter():
+    path = ref_path("ce#1000.sam")
+    if not has_ref("ce#1000.sam"):
+        pytest.skip("missing")
+    with SamReader(path) as r:
+        hdr = r.header
+    body = b"".join(l + b"\n" for l in open(path, "rb").read().split(b"\n")
+                    if l and not l.startswith(b"@"))
+    stream = sam_text_to_bam(body, hdr)
+    back = bam_stream_to_sam(np.asarray(stream), hdr)
+    assert back.tobytes() == body
+
+
+def test_sam_text_to_bam_rejects_garbage():
+    from htslib_tpu.sam import SamHeader
+    hdr = SamHeader("@SQ\tSN:c1\tLN:100\n")
+    with pytest.raises((IOError, ValueError)):
+        sam_text_to_bam(b"r1\tnot_a_flag\tc1\t1\t0\t*\t*\t0\t0\t*\t*\n", hdr)
+    with pytest.raises((IOError, ValueError)):
+        # SEQ/QUAL length mismatch (sam_parse1 errors)
+        sam_text_to_bam(b"r1\t0\tc1\t1\t0\t4M\t*\t0\t0\tACGT\t##\n", hdr)
