@@ -127,6 +127,10 @@ int64_t htstpu_inflate_batch(const uint8_t* data, uint64_t len, int64_t n,
       uint32_t csize = csizes[i], usize = usizes[i];
       // payload bounds: header (with extras) .. footer
       unsigned xlen = p[10] | (p[11] << 8);
+      if (12u + xlen + kBlockFooter > csize) {
+        err.store(-(1000 + i), std::memory_order_relaxed);
+        continue;
+      }
       const uint8_t* payload = p + 12 + xlen;
       size_t paylen = csize - (12 + xlen) - kBlockFooter;
       size_t actual = 0;
@@ -448,7 +452,7 @@ int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
   const uint8_t* qual = seq + (l_qseq + 1) / 2;
   const uint8_t* aux = qual + l_qseq;
   const uint8_t* end = rec + size;
-  if (aux > end || l_qname == 0) return -1;
+  if (l_qseq < 0 || aux > end || l_qname == 0) return -1;
 
   // CG long-cigar escape (bam_tag2cigar, sam.c:680)
   const uint8_t* real_cig = cig;
