@@ -14,7 +14,25 @@ from htslib_tpu.format import Category, Format, detect_format
 from htslib_tpu.hfile import hopen
 
 
-def hts_open(name: str, mode: str = "r", header=None, ref: Optional[str] = None):
+def hts_open(name: str, mode: str = "r", header=None,
+             ref: Optional[str] = None, opts=None):
+    """opts: iterable of ``key[=value]`` strings (hts_opt_add grammar) or
+    a pre-parsed option list; applied to the constructed reader/writer
+    (hts_process_opts, hts.c:1407)."""
+    obj = _hts_open(name, mode, header, ref)
+    if opts:
+        from htslib_tpu.opts import hts_opt_add, hts_opt_apply
+        if isinstance(opts, (list, tuple)) and opts and isinstance(opts[0], str):
+            parsed = []
+            for o in opts:
+                hts_opt_add(parsed, o)
+        else:
+            parsed = list(opts)
+        hts_opt_apply(obj, parsed)
+    return obj
+
+
+def _hts_open(name: str, mode: str, header, ref: Optional[str]):
     if "r" in mode:
         fp = hopen(name, "rb")
         fmt = detect_format(fp.peek(1 << 16))

@@ -136,3 +136,6 @@ add_scheme_handler("s3+https", _open_s3)
 add_scheme_handler("gs", _open_gcs)
 add_scheme_handler("gs+http", _open_gcs)
 add_scheme_handler("gs+https", _open_gcs)
+
+# htsget multipart streams (reference multipart.c + hfile_libcurl htsget)
+from htslib_tpu.remote import multipart as _multipart  # noqa: E402,F401

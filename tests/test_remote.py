@@ -112,3 +112,67 @@ def test_parse_s3_url():
     assert parse_s3_url("s3://bucket/path/to/file.bam") == \
         ("bucket", "path/to/file.bam", None)
     assert parse_s3_url("s3://prof@bucket/key") == ("bucket", "key", "prof")
+
+
+# ---------------------------------------------------------------------------
+# multipart / htsget (reference multipart.c)
+
+def _b64(b):
+    import base64
+    return base64.b64encode(b).decode()
+
+
+def test_multipart_concatenates_data_parts():
+    from htslib_tpu.remote.multipart import MultipartFile, parse_ticket
+    ticket = {
+        "htsget": {
+            "format": "BAM",
+            "urls": [
+                {"url": "data:;base64," + _b64(b"hello ")},
+                {"url": "data:;base64," + _b64(b"multipart ")},
+                {"url": "data:;base64," + _b64(b"world")},
+            ],
+        }
+    }
+    import json
+    parts = parse_ticket(json.dumps(ticket).encode())
+    f = MultipartFile(parts)
+    assert f.has_multiple_parts()
+    assert f.read(-1) == b"hello multipart world"
+    # backwards seek restarts the chain
+    f.seek(6)
+    assert f.read(9) == b"multipart"
+    # peek across a part boundary
+    f.seek(0)
+    assert f.peek(12) == b"hello multip"
+    assert f.read(12) == b"hello multip"
+    f.close()
+
+
+def test_multipart_bgzf_payload(tmp_path):
+    # a real BGZF file split across parts must decode transparently
+    import json
+    from htslib_tpu.bgzf import BGZFReader, BGZFWriter
+    from htslib_tpu.remote.multipart import MultipartFile, parse_ticket
+    p = str(tmp_path / "t.gz")
+    w = BGZFWriter(p)
+    w.write(b"line1\nline2\n" * 500)
+    w.close()
+    raw = open(p, "rb").read()
+    mid = len(raw) // 2
+    ticket = {"htsget": {"urls": [
+        {"url": "data:;base64," + _b64(raw[:mid])},
+        {"url": "data:;base64," + _b64(raw[mid:])},
+    ]}}
+    f = MultipartFile(parse_ticket(json.dumps(ticket).encode()))
+    r = BGZFReader(f)
+    assert bytes(r.read_all()) == b"line1\nline2\n" * 500
+
+
+def test_htsget_scheme_registered():
+    from htslib_tpu.hfile import hopen
+    # no server: the scheme must resolve to the htsget opener and fail
+    # with a connection error, not "unsupported URL scheme"
+    with pytest.raises(Exception) as e:
+        hopen("htsget+http://127.0.0.1:1/reads/x", "rb")
+    assert "unsupported URL scheme" not in str(e.value)
