@@ -325,6 +325,16 @@ class HtsIndex:
     def get_n_no_coor(self) -> int:
         return self.n_no_coor
 
+    def get_stat(self, tid: int) -> Tuple[int, int]:
+        """(mapped, unmapped) record counts for one reference from the
+        meta pseudo-bin (hts_idx_get_stat, hts.c:3115).  Raises KeyError
+        when the reference has no entries."""
+        h = self.bidx[tid] if 0 <= tid < self.n else None
+        if not h or self.meta_bin not in h:
+            raise KeyError(f"no index statistics for tid {tid}")
+        chunks = h[self.meta_bin].chunks
+        return chunks[1][0], chunks[1][1]
+
     # -- save (idx_save_core, hts.c:2759) --------------------------------
     def save(self, fnidx: str) -> None:
         if self.fmt == HTS_FMT_BAI:

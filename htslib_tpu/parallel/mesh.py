@@ -56,6 +56,50 @@ def make_decode_pileup_step(mesh: Mesh, tile_len: int = 1 << 14):
     return jax.jit(step)
 
 
+def make_coord_sharded_pileup(mesh: Mesh, tile_len: int = 1 << 14,
+                              halo: int = 1 << 10, axis: str = "data"):
+    """Genomic-coordinate sharding (SURVEY §5): device d owns the tile
+    [d*tile_len, (d+1)*tile_len) and receives the reads *starting* in its
+    tile.  Reads extend rightward up to `halo` bases (>= max read span),
+    so each device accumulates an extended tile and ships the spill-over
+    tail to its right neighbour with a one-hop ppermute — the halo
+    exchange that is the only neighbour communication in the system.
+
+    Returns a jitted fn (starts, ends, valid) -> coverage, where inputs
+    are per-device read shards (global genome coordinates) and the output
+    is the genome coverage of all tiles, coordinate-sharded over the
+    mesh.
+    """
+    ndev = mesh.devices.size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def step(starts, ends, valid):
+        idx = jax.lax.axis_index(axis)
+        tile_start = (idx * tile_len).astype(jnp.int32)
+        cov_ext = coverage_tile(starts, ends, valid, tile_start,
+                                tile_len + halo)
+        own = cov_ext[:tile_len]
+        spill = cov_ext[tile_len:]
+        # ship the tail one hop right; the wrap-around edge (last -> 0)
+        # is zero for genomes that do not wrap because no read extends
+        # past the last tile's halo
+        recv = jax.lax.ppermute(spill, axis,
+                                [(i, (i + 1) % ndev) for i in range(ndev)])
+        # device 0's inbound spill wrapped from the last tile: that
+        # coverage lies beyond the genome end and is dropped (clip
+        # semantics, matching hts_pos clamping)
+        recv = jnp.where(idx == 0, 0, recv)
+        own = own.at[:halo].add(recv)
+        return own
+
+    return jax.jit(step)
+
+
 def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
     """Place arrays with their leading dim sharded over the mesh."""
     out = []

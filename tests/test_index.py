@@ -150,3 +150,21 @@ def test_on_the_fly_index_matches_post_hoc(tmp_path):
         for k in a:
             assert sorted(a[k].chunks) == sorted(b[k].chunks), (tid, k)
         assert otf.lidx[tid] == post.lidx[tid]
+
+
+def test_idx_get_stat_counts():
+    # hts_idx_get_stat (hts.c:3115): meta pseudo-bin mapped/unmapped
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    from htslib_tpu.sam.indexing import build_bam_index
+    idx = build_bam_index(ref_path("range.bam"))
+    assert [idx.get_stat(t) for t in range(4)] == [
+        (18, 0), (34, 0), (41, 0), (19, 0)]
+    with pytest.raises(KeyError):
+        idx.get_stat(99)
+
+
+def test_hts_features():
+    import htslib_tpu
+    assert htslib_tpu.hts_features() & 32  # libdeflate path present
+    assert "libdeflate=yes" in htslib_tpu.hts_feature_string()

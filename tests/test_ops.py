@@ -109,3 +109,45 @@ print("RANS_OK")
 def test_device_rans_batch_decode():
     out = clean_jax_run(_RANS_CODE)
     assert "RANS_OK" in out
+
+
+_HALO_CODE = r"""
+import numpy as np
+import jax
+from htslib_tpu.parallel.mesh import make_mesh, make_coord_sharded_pileup, shard_batch
+
+TILE, HALO, NDEV = 1024, 256, 8
+mesh = make_mesh(n=NDEV)
+step = make_coord_sharded_pileup(mesh, tile_len=TILE, halo=HALO)
+rng = np.random.default_rng(3)
+
+# reads assigned to the device owning their start tile; spans <= HALO
+per_dev = 64
+starts_l, ends_l, valid_l = [], [], []
+for d in range(NDEV):
+    s = (d * TILE + rng.integers(0, TILE, per_dev)).astype(np.int32)
+    e = (s + rng.integers(1, HALO, per_dev)).astype(np.int32)
+    v = rng.random(per_dev) > 0.1
+    starts_l.append(s); ends_l.append(e); valid_l.append(v)
+starts = np.concatenate(starts_l); ends = np.concatenate(ends_l)
+valid = np.concatenate(valid_l)
+sh = shard_batch(mesh, starts, ends, valid)
+cov = np.asarray(step(*sh))
+assert cov.shape == (NDEV * TILE,)
+
+brute = np.zeros(NDEV * TILE, np.int32)
+for s, e, v in zip(starts, ends, valid):
+    if v:
+        brute[s:min(e, NDEV * TILE)] += 1
+assert np.array_equal(cov, brute), (np.abs(cov - brute).sum(),)
+print("HALO_OK")
+"""
+
+
+@pytest.mark.slow
+def test_coord_sharded_pileup_halo_exchange():
+    # coverage across tile boundaries must match brute force exactly:
+    # the ppermute halo exchange moves spill-over counts to the right
+    # neighbour (SURVEY §5 genomic-coordinate sharding)
+    out = clean_jax_run(_HALO_CODE)
+    assert "HALO_OK" in out
