@@ -145,7 +145,7 @@ def _write_block(out: bytearray, method: int, content_type: int,
 class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 1000,
-                 version: Tuple[int, int] = (3, 0)):
+                 version: Tuple[int, int] = (3, 0), embed_ref: int = 0):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
         self.header = header
         self.refs = None
@@ -154,6 +154,9 @@ class CramEncoder:
             self.refs = RefRegistry(header, fasta=ref)
         self.version = version
         self.seqs_per_slice = seqs_per_slice
+        # CRAM_OPT_EMBED_REF: carry the reference window as an extra
+        # external block so slices decode without the fasta
+        self.embed_ref = embed_ref
         self.queue: List[BamRecord] = []
         self.record_counter = 0
         self.rg_ids = {ln.get("ID"): i for i, ln in
@@ -206,8 +209,23 @@ class CramEncoder:
             return
         recs = self.queue
         self.queue = []
-        self._write_data_container(recs)
-        self.record_counter += len(recs)
+        if self.embed_ref and self.refs is not None:
+            # embedded references require single-ref slices: split into
+            # per-tid container runs (htslib disables multi_seq when
+            # embedding, cram_encode.c embed_ref handling)
+            run: List[BamRecord] = []
+            for rec in recs:
+                if run and rec.tid != run[-1].tid:
+                    self._write_data_container(run)
+                    self.record_counter += len(run)
+                    run = []
+                run.append(rec)
+            if run:
+                self._write_data_container(run)
+                self.record_counter += len(run)
+        else:
+            self._write_data_container(recs)
+            self.record_counter += len(recs)
 
     # ------------------------------------------------------------------
     def _write_data_container(self, recs: List[BamRecord]) -> None:
@@ -321,17 +339,21 @@ class CramEncoder:
                                             no_ref=not use_ref)
         # slice
         ext_ids = sorted(streams.keys())
+        embed = (self.embed_ref and use_ref and not multiref
+                 and ref_seq is not None)
+        EMBED_REF_ID = 27  # after the 26 series ids, below TAG_ID_BASE
+        all_ids = ext_ids + ([EMBED_REF_ID] if embed else [])
         slice_hdr = bytearray()
         slice_hdr += itf8_encode(slice_ref)
         slice_hdr += itf8_encode(start if slice_ref >= 0 else 0)
         slice_hdr += itf8_encode(span)
         slice_hdr += itf8_encode(len(recs))
         slice_hdr += ltf8_encode(self.record_counter)
-        slice_hdr += itf8_encode(1 + len(ext_ids))  # core + externals
-        slice_hdr += itf8_encode(len(ext_ids))
-        for cid in ext_ids:
+        slice_hdr += itf8_encode(1 + len(all_ids))  # core + externals
+        slice_hdr += itf8_encode(len(all_ids))
+        for cid in all_ids:
             slice_hdr += itf8_encode(cid)
-        slice_hdr += itf8_encode(-1)  # embedded ref
+        slice_hdr += itf8_encode(EMBED_REF_ID if embed else -1)
         slice_hdr += ref_md5
 
         blocks = bytearray()
@@ -344,7 +366,11 @@ class CramEncoder:
             method, comp = self.metrics.choose(cid, data)
             _write_block(blocks, method, CT_EXTERNAL, cid, data,
                          precompressed=comp if method != RAW else None)
-        nblocks = 3 + len(ext_ids)
+        if embed:
+            method, comp = self.metrics.choose(EMBED_REF_ID, ref_seq)
+            _write_block(blocks, method, CT_EXTERNAL, EMBED_REF_ID, ref_seq,
+                         precompressed=comp if method != RAW else None)
+        nblocks = 3 + len(all_ids)
         cont = self._container(bytes(blocks), slice_ref,
                                start if slice_ref >= 0 else 0, span,
                                len(recs), nbases, nblocks, [landmark0])

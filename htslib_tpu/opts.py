@@ -115,6 +115,11 @@ def hts_opt_apply(obj, opts: Optional[HtsOptList]) -> None:
             obj.refs.ignore_md5 = bool(val)
         elif key == "seqs_per_slice" and hasattr(obj, "_enc"):
             obj._enc.seqs_per_slice = int(val)
+        elif key == "embed_ref" and hasattr(obj, "_enc"):
+            obj._enc.embed_ref = int(val)
+        elif key == "no_ref" and hasattr(obj, "_enc"):
+            if val:
+                obj._enc.refs = None
         elif key == "seqs_per_slice" and hasattr(obj, "seqs_per_slice"):
             obj.seqs_per_slice = int(val)
         elif key == "level" and hasattr(obj, "level"):

@@ -138,3 +138,21 @@ def test_ref_based_is_smaller_and_generates_md(tmp_path):
         rec = r2.read1()
         assert rec.get_aux("MD") is not None
         assert rec.get_aux("NM") is not None
+
+
+def test_embed_ref_decodes_without_fasta(tmp_path):
+    # CRAM_OPT_EMBED_REF: the reference window travels inside each slice
+    # (ref_base_id block), so decode needs no external reference at all
+    from htslib_tpu.sam import BamReader
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    with BamReader(ref_path("range.bam")) as r:
+        hdr = r.header
+        recs = list(r)
+    p = str(tmp_path / "e.cram")
+    with CramWriter(p, hdr, ref=ref_path("ce.fa"), embed_ref=1) as w:
+        for rec in recs:
+            w.write(rec)
+    with CramReader(p) as r2:  # no ref argument
+        back = [rec.to_sam(hdr) for rec in r2]
+    assert back == [rec.to_sam(hdr) for rec in recs]
