@@ -34,16 +34,19 @@ BCF_VL_VAR = 1
 BCF_VL_A = 2
 BCF_VL_G = 3
 BCF_VL_R = 4
-BCF_VL_P = 5  # 4.5 local alleles LA
-BCF_VL_LA = 5
-BCF_VL_LG = 6
-BCF_VL_LR = 7
+BCF_VL_P = 5   # VCFv4.4, FORMAT only: one value per GT allele
+BCF_VL_LA = 6  # VCFv4.5 local alleles (htslib/vcf.h:79-82)
+BCF_VL_LG = 7
+BCF_VL_LR = 8
+BCF_VL_M = 9   # one value per base modification
 
 _HT_NAME = {"Integer": BCF_HT_INT, "Float": BCF_HT_REAL,
             "String": BCF_HT_STR, "Character": BCF_HT_STR,
             "Flag": BCF_HT_FLAG}
-_VL_NAME = {"A": BCF_VL_A, "G": BCF_VL_G, "R": BCF_VL_R, ".": BCF_VL_VAR,
-            "LA": BCF_VL_LA, "LG": BCF_VL_LG, "LR": BCF_VL_LR}
+_VL_NAME = {"A": BCF_VL_A, "G": BCF_VL_G, "R": BCF_VL_R, ".": BCF_VL_VAR}
+# VCFv4.4/4.5 codes valid only on FORMAT lines (vcf.c:947-951)
+_VL_NAME_FMT = {"P": BCF_VL_P, "LA": BCF_VL_LA, "LG": BCF_VL_LG,
+                "LR": BCF_VL_LR, "M": BCF_VL_M}
 
 
 def _parse_structured(value: str) -> List[Tuple[str, str]]:
@@ -307,8 +310,11 @@ class BcfHeader:
         num = rec.get("Number")
         typ = rec.get("Type")
         info.type[hl] = _HT_NAME.get(typ or "String", BCF_HT_STR)
-        if num in _VL_NAME:
-            info.vl[hl] = _VL_NAME[num]
+        vl_names = dict(_VL_NAME)
+        if hl == BCF_HL_FMT:
+            vl_names.update(_VL_NAME_FMT)
+        if num in vl_names:
+            info.vl[hl] = vl_names[num]
             info.number[hl] = 0xFFFFF
         elif num is not None:
             try:
@@ -418,3 +424,69 @@ class BcfHeader:
 
     def append_line(self, raw: str) -> None:
         self.add_hrec_line(raw.rstrip("\n"))
+
+    # -- header hygiene (bcf_hdr_check_sanity, vcf.c:1290-1430) ---------
+    _SANITY_INFO = {
+        "AA": ("1", BCF_HT_STR), "AC": ("A", BCF_HT_INT),
+        "AD": ("R", BCF_HT_INT), "ADF": ("R", BCF_HT_INT),
+        "ADR": ("R", BCF_HT_INT), "AF": ("A", BCF_HT_REAL),
+        "AN": ("1", BCF_HT_INT), "BQ": ("1", BCF_HT_REAL),
+        "CIGAR": ("A", BCF_HT_STR), "DB": ("0", BCF_HT_FLAG),
+        "DP": ("1", BCF_HT_INT), "END": ("1", BCF_HT_INT),
+        "H2": ("0", BCF_HT_FLAG), "H3": ("0", BCF_HT_FLAG),
+        "MQ": ("1", BCF_HT_REAL), "MQ0": ("1", BCF_HT_INT),
+        "NS": ("1", BCF_HT_INT), "SB": ("4", BCF_HT_INT),
+        "SOMATIC": ("0", BCF_HT_FLAG), "VALIDATED": ("0", BCF_HT_FLAG),
+        "1000G": ("0", BCF_HT_FLAG),
+    }
+    _SANITY_FMT = {
+        "AD": ("R", BCF_HT_INT), "ADF": ("R", BCF_HT_INT),
+        "ADR": ("R", BCF_HT_INT), "EC": ("A", BCF_HT_INT),
+        "GL": ("G", BCF_HT_REAL), "GP": ("G", BCF_HT_REAL),
+        "PL": ("G", BCF_HT_INT), "PP": ("G", BCF_HT_INT),
+        "DP": ("1", BCF_HT_INT), "LEN": ("1", BCF_HT_INT),
+        "FT": ("1", BCF_HT_STR), "GQ": ("1", BCF_HT_INT),
+        "GT": ("1", BCF_HT_STR), "HQ": ("2", BCF_HT_INT),
+        "MQ": ("1", BCF_HT_INT), "PQ": ("1", BCF_HT_INT),
+        "PS": ("1", BCF_HT_INT),
+        "PSL": ("P", BCF_HT_STR), "PSO": ("P", BCF_HT_INT),
+        "PSQ": ("P", BCF_HT_INT),
+        "LGL": ("LG", BCF_HT_INT), "LGP": ("LG", BCF_HT_INT),
+        "LPL": ("LG", BCF_HT_INT), "LPP": ("LG", BCF_HT_INT),
+        "LEC": ("LA", BCF_HT_INT), "LAD": ("LR", BCF_HT_INT),
+        "LADF": ("LR", BCF_HT_INT), "LADR": ("LR", BCF_HT_INT),
+    }
+
+    def check_sanity(self) -> List[str]:
+        """Warn when reserved INFO/FORMAT tags are declared with a
+        Number or Type that contradicts the VCF spec
+        (bcf_hdr_check_sanity, vcf.c:1290).  Returns the warnings."""
+        from htslib_tpu.util.log import log_warning
+        name_to_vl = dict(_VL_NAME)
+        name_to_vl.update(_VL_NAME_FMT)
+        out = []
+        for hl, table in ((BCF_HL_INFO, self._SANITY_INFO),
+                          (BCF_HL_FMT, self._SANITY_FMT)):
+            kind = "INFO" if hl == BCF_HL_INFO else "FORMAT"
+            for name, (num_str, want_type) in table.items():
+                i = self._id_lookup.get(name)
+                if i is None or self.id_info[i].hrec[hl] is None:
+                    continue
+                info = self.id_info[i]
+                if num_str.isdigit():
+                    ok = (info.vl[hl] == BCF_VL_FIXED
+                          and info.number[hl] == int(num_str))
+                else:
+                    ok = info.vl[hl] == name_to_vl[num_str]
+                if not ok and info.vl[hl] != BCF_VL_VAR:
+                    out.append(f"{name} should be declared as "
+                               f"Number={num_str}")
+                if info.type[hl] != want_type:
+                    tname = {BCF_HT_FLAG: "Flag", BCF_HT_INT: "Integer",
+                             BCF_HT_REAL: "Float",
+                             BCF_HT_STR: "String"}[want_type]
+                    out.append(f"{name} ({kind}) should be declared as "
+                               f"Type={tname}")
+        for w in out:
+            log_warning("%s", w)
+        return out

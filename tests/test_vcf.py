@@ -161,3 +161,55 @@ def test_gt_edge_cases():
     line = "c\t5\t.\tA\tT\t.\t.\t.\tGT\t./.\t1\t0|1"
     v = BcfRecord.from_vcf(line, h)
     assert v.to_vcf(h) == line
+
+
+# ---------------------------------------------------------------------------
+# VCFv4.4/4.5 local alleles + header sanity (vcf.c:947-951, 1290-1430)
+
+LA_HDR = """##fileformat=VCFv4.5
+##contig=<ID=c1,length=1000>
+##FORMAT=<ID=GT,Number=1,Type=String,Description="g">
+##FORMAT=<ID=LAA,Number=.,Type=Integer,Description="local alt indices">
+##FORMAT=<ID=LAD,Number=LR,Type=Integer,Description="local depths">
+##FORMAT=<ID=LPL,Number=LG,Type=Integer,Description="local PL">
+##FORMAT=<ID=PSL,Number=P,Type=String,Description="phase set list">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+"""
+
+
+def test_local_allele_number_codes():
+    from htslib_tpu.vcf.header import (BCF_HL_FMT, BCF_VL_LA, BCF_VL_LG,
+                                       BCF_VL_LR, BCF_VL_P)
+    hdr = BcfHeader(LA_HDR)
+    assert hdr.id_info[hdr.id2int("LAD")].vl[BCF_HL_FMT] == BCF_VL_LR
+    assert hdr.id_info[hdr.id2int("LPL")].vl[BCF_HL_FMT] == BCF_VL_LG
+    assert hdr.id_info[hdr.id2int("PSL")].vl[BCF_HL_FMT] == BCF_VL_P
+    # LA/LR/LG are FORMAT-only: on INFO they fall back to Number=.
+    h2 = BcfHeader('##fileformat=VCFv4.5\n'
+                   '##INFO=<ID=X,Number=LR,Type=Integer,Description="x">\n'
+                   '#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n')
+    from htslib_tpu.vcf.header import BCF_HL_INFO, BCF_VL_LR as LR
+    assert h2.id_info[h2.id2int("X")].vl[BCF_HL_INFO] != LR
+
+
+def test_local_allele_roundtrip():
+    hdr = BcfHeader(LA_HDR)
+    line = ("c1\t10\t.\tA\tT,G,C\t50\t.\t.\tGT:LAA:LAD:LPL\t"
+            "0/2:2:30,14:40,0,50")
+    rec = BcfRecord.from_vcf(line, hdr)
+    assert rec.to_vcf(hdr) == line
+    sh, ind = rec.to_bcf()
+    assert BcfRecord.from_bcf(sh, ind, hdr).to_vcf(hdr) == line
+
+
+def test_header_check_sanity():
+    bad = BcfHeader('##fileformat=VCFv4.5\n'
+                    '##INFO=<ID=AC,Number=1,Type=Float,Description="x">\n'
+                    '##FORMAT=<ID=LAD,Number=.,Type=Integer,Description="x">\n'
+                    '##FORMAT=<ID=PL,Number=G,Type=Float,Description="x">\n'
+                    '#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n')
+    w = bad.check_sanity()
+    assert any("AC should be declared as Number=A" in x for x in w)
+    assert any("PL (FORMAT) should be declared as Type=Integer" in x
+               for x in w)
+    assert not any(x.startswith("LAD") for x in w)  # Number=. tolerated
