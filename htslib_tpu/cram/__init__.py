@@ -149,9 +149,10 @@ class CramWriter:
     """CRAM encoding lands with the encode milestone (SURVEY §7 stage 8);
     see htslib_tpu.cram.encode."""
 
-    def __init__(self, dst, header, ref=None, embed_ref=0):
+    def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0):
         from htslib_tpu.cram.encode import CramEncoder
-        self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref)
+        self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref,
+                                lossy_names=lossy_names)
         self.header = header
 
     def write(self, rec: BamRecord) -> None:

@@ -18,7 +18,9 @@ from typing import Dict, List, Optional, Tuple, Union
 import numpy as np
 
 from htslib_tpu.cram.itf8 import itf8_encode, ltf8_encode
-from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED, CRAM_FLAG_NO_SEQ,
+from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED,
+                                     CRAM_FLAG_MATE_DOWNSTREAM,
+                                     CRAM_FLAG_NO_SEQ,
                                      CRAM_FLAG_PRESERVE_QUAL_SCORES,
                                      CRAM_M_REVERSE, CRAM_M_UNMAP,
                                      CT_COMPRESSION_HEADER, CT_CORE,
@@ -27,9 +29,12 @@ from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED, CRAM_FLAG_NO_SEQ,
                                      E_BYTE_ARRAY_STOP, E_EXTERNAL, GZIP, RAW)
 from htslib_tpu.hfile import HFile, hopen
 from htslib_tpu.sam.cigar import (BAM_CDEL, BAM_CHARD_CLIP, BAM_CINS,
-                                  BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP)
+                                  BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
+                                  cigar2rlen)
 from htslib_tpu.sam.header import SamHeader
-from htslib_tpu.sam.record import (FMREVERSE, FMUNMAP, FUNMAP, BamRecord)
+from htslib_tpu.sam.record import (FMREVERSE, FMUNMAP, FPAIRED, FREVERSE,
+                                   FSECONDARY, FSUPPLEMENTARY, FUNMAP,
+                                   BamRecord)
 
 CRAM_EOF = None  # built on demand
 
@@ -38,7 +43,7 @@ SERIES = {
     "BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "MF": 7,
     "NS": 8, "NP": 9, "TS": 10, "TL": 11, "FN": 12, "FC": 13, "FP": 14,
     "DL": 15, "BA": 16, "BS": 17, "MQ": 18, "QS": 19, "IN": 20, "RN": 21,
-    "SC": 22, "HC": 23, "PD": 24, "RS": 25, "BB": 26,
+    "SC": 22, "HC": 23, "PD": 24, "RS": 25, "BB": 26, "NF": 28,
 }
 TAG_ID_BASE = 0x100000
 
@@ -145,7 +150,8 @@ def _write_block(out: bytearray, method: int, content_type: int,
 class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 1000,
-                 version: Tuple[int, int] = (3, 0), embed_ref: int = 0):
+                 version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
+                 lossy_names: int = 0):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
         self.header = header
         self.refs = None
@@ -157,6 +163,10 @@ class CramEncoder:
         # CRAM_OPT_EMBED_REF: carry the reference window as an extra
         # external block so slices decode without the fasta
         self.embed_ref = embed_ref
+        # CRAM_OPT_LOSSY_NAMES: drop read names for mate-linked pairs;
+        # the decoder synthesizes prefix:counter names (cram_decode.c
+        # cram_to_bam nameless path)
+        self.lossy_names = lossy_names
         self.queue: List[BamRecord] = []
         self.record_counter = 0
         self.rg_ids = {ln.get("ID"): i for i, ln in
@@ -276,9 +286,29 @@ class CramEncoder:
         def S(key: str) -> _Stream:
             return streams[SERIES[key]]
 
-        for rec in recs:
+        # mate linkage pre-pass: pair primary paired reads by qname and
+        # keep the link only when the decoder xref reproduces them
+        link = [-1] * len(recs)
+        linked_down = [False] * len(recs)
+        pending: Dict[bytes, int] = {}
+        for i, rec in enumerate(recs):
+            if (not rec.flag & FPAIRED
+                    or rec.flag & (FSECONDARY | FSUPPLEMENTARY)):
+                continue
+            j = pending.pop(rec.qname, None)
+            if j is None:
+                pending[rec.qname] = i
+            elif self._mate_link_ok(recs[j], rec):
+                link[j] = i
+                linked_down[i] = True
+
+        for i, rec in enumerate(recs):
             nbases += rec.l_qseq
-            cf = CRAM_FLAG_DETACHED | CRAM_FLAG_PRESERVE_QUAL_SCORES
+            cf = CRAM_FLAG_PRESERVE_QUAL_SCORES
+            if link[i] >= 0:
+                cf |= CRAM_FLAG_MATE_DOWNSTREAM
+            elif not linked_down[i]:
+                cf |= CRAM_FLAG_DETACHED
             if rec.l_qseq == 0:
                 cf |= CRAM_FLAG_NO_SEQ
             S("BF").itf8(rec.flag)
@@ -290,18 +320,27 @@ class CramEncoder:
             # RG kept as an ordinary stored tag (preserves tag order);
             # the RG series carries -1 so the decoder adds no duplicate
             S("RG").itf8(-1)
-            # names (RN, stop byte 0)
-            S("RN").raw(rec.qname + b"\0")
-            # detached mate info
-            mf = 0
-            if rec.flag & FMREVERSE:
-                mf |= CRAM_M_REVERSE
-            if rec.flag & FMUNMAP:
-                mf |= CRAM_M_UNMAP
-            S("MF").itf8(mf)
-            S("NS").itf8(rec.mtid)
-            S("NP").itf8(rec.mpos + 1)
-            S("TS").itf8(rec.isize)
+            # names (RN, stop byte 0); with lossy_names only detached
+            # records keep theirs (cram_encode.c lossy read-name mode)
+            if not self.lossy_names:
+                S("RN").raw(rec.qname + b"\0")
+            if cf & CRAM_FLAG_DETACHED:
+                # detached mate info
+                mf = 0
+                if rec.flag & FMREVERSE:
+                    mf |= CRAM_M_REVERSE
+                if rec.flag & FMUNMAP:
+                    mf |= CRAM_M_UNMAP
+                S("MF").itf8(mf)
+                if self.lossy_names:
+                    # names kept only for detached records, in the
+                    # decoder's MF->RN->NS read order
+                    S("RN").raw(rec.qname + b"\0")
+                S("NS").itf8(rec.mtid)
+                S("NP").itf8(rec.mpos + 1)
+                S("TS").itf8(rec.isize)
+            elif cf & CRAM_FLAG_MATE_DOWNSTREAM:
+                S("NF").itf8(link[i] - i - 1)
             # aux tags
             line, vals = self._encode_tags(rec)
             tl = tag_lines.get(line)
@@ -341,7 +380,7 @@ class CramEncoder:
         ext_ids = sorted(streams.keys())
         embed = (self.embed_ref and use_ref and not multiref
                  and ref_seq is not None)
-        EMBED_REF_ID = 27  # after the 26 series ids, below TAG_ID_BASE
+        EMBED_REF_ID = 100  # clear of series ids, below TAG_ID_BASE
         all_ids = ext_ids + ([EMBED_REF_ID] if embed else [])
         slice_hdr = bytearray()
         slice_hdr += itf8_encode(slice_ref)
@@ -375,6 +414,53 @@ class CramEncoder:
                                start if slice_ref >= 0 else 0, span,
                                len(recs), nbases, nblocks, [landmark0])
         self.fp.write(cont)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _mate_link_ok(a: BamRecord, b: BamRecord) -> bool:
+        """Link a -> b (b downstream in the same slice) only when the
+        decoder's cross-reference (cram_decode_slice_xref,
+        cram_decode.c:2140) would reconstruct both records' mate fields,
+        flags, and tlen exactly as stored.  Self-validating equivalent of
+        process_one_read's mate matching (cram_encode.c:3382)."""
+        def apos(r):
+            return r.pos + 1
+
+        def aend(r):
+            if r.flag & FUNMAP:
+                return apos(r)
+            rl = cigar2rlen(r.cigar)
+            return apos(r) + rl - 1 if rl > 0 else apos(r)
+
+        aleft = min(apos(a), apos(b))
+        aright = max(aend(a), aend(b))
+        left_cnt = sum(1 for r in (a, b) if apos(r) == aleft)
+        right_cnt = sum(1 for r in (a, b) if aend(r) == aright)
+        if a.tid != b.tid:
+            tlen_a = tlen_b = 0
+        else:
+            tlen = aright - aleft + 1
+            if apos(a) == aleft and (aend(a) < aright or left_cnt <= 1):
+                tlen_a, tlen_b = tlen, -tlen
+            elif (apos(a) == aleft and aend(a) == aright
+                  and left_cnt > 1 and right_cnt > 1):
+                tlen_a, tlen_b = (tlen, -tlen) if a.flag & 0x40 \
+                    else (-tlen, tlen)
+            else:
+                tlen_a, tlen_b = -tlen, tlen
+        for x, y, tl in ((a, b, tlen_a), (b, a, tlen_b)):
+            fl = x.flag | FPAIRED
+            if y.flag & FUNMAP:
+                fl |= FMUNMAP
+                tl = 0
+            if x.flag & FUNMAP:
+                tl = 0
+            if y.flag & FREVERSE:
+                fl |= FMREVERSE
+            if (fl != x.flag or y.tid != x.mtid or y.pos != x.mpos
+                    or tl != x.isize):
+                return False
+        return True
 
     # ------------------------------------------------------------------
     def _encode_tags(self, rec: BamRecord) -> Tuple[bytes, List[Tuple[int, bytes]]]:
@@ -500,7 +586,8 @@ class CramEncoder:
         # preservation map
         pres = bytearray()
         n = 0
-        for key, val in (("RN", 1), ("AP", 0), ("RR", 0 if no_ref else 1)):
+        for key, val in (("RN", 0 if self.lossy_names else 1), ("AP", 0),
+                         ("RR", 0 if no_ref else 1)):
             pres += key.encode() + bytes([val])
             n += 1
         pres += b"SM" + bytes([0x1B] * 5)

@@ -156,3 +156,59 @@ def test_embed_ref_decodes_without_fasta(tmp_path):
     with CramReader(p) as r2:  # no ref argument
         back = [rec.to_sam(hdr) for rec in r2]
     assert back == [rec.to_sam(hdr) for rec in recs]
+
+
+def test_mate_linkage_roundtrip(tmp_path):
+    # proper pairs are stored linked (CRAM_FLAG_MATE_DOWNSTREAM + NF)
+    # and the decoder xref reconstructs mate fields/tlen exactly
+    from htslib_tpu.cram.encode import CramEncoder
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.record import BamRecord
+    hdr = SamHeader("@SQ\tSN:c1\tLN:10000\n")
+
+    def mk(q, flag, pos, mpos, tlen):
+        return BamRecord.from_sam(
+            f"{q}\t{flag}\tc1\t{pos}\t60\t10M\t=\t{mpos}\t{tlen}\t"
+            f"{'ACGTACGTAC'}\t{'I' * 10}", hdr)
+
+    a = mk("p1", 99, 100, 300, 210)
+    b = mk("p1", 147, 300, 100, -210)
+    assert CramEncoder._mate_link_ok(a, b)
+    # inconsistent stored mate info must force detached storage
+    assert not CramEncoder._mate_link_ok(mk("p2", 99, 100, 999, 5),
+                                         mk("p2", 147, 300, 100, -210))
+    p = str(tmp_path / "t.cram")
+    with CramWriter(p, hdr) as w:
+        w.write(a)
+        w.write(b)
+    with CramReader(p) as r:
+        back = [rec.to_sam(hdr) for rec in r]
+    assert back == [a.to_sam(hdr), b.to_sam(hdr)]
+
+
+def test_lossy_names(tmp_path):
+    # CRAM_OPT_LOSSY_NAMES: linked pairs lose names (decoder synthesizes
+    # consistent ones); every other field survives exactly
+    from htslib_tpu.sam import BamReader
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    with BamReader(ref_path("range.bam")) as r:
+        hdr, recs = r.header, list(r)
+    p = str(tmp_path / "l.cram")
+    with CramWriter(p, hdr, ref=ref_path("ce.fa"), lossy_names=1) as w:
+        for rec in recs:
+            w.write(rec)
+    with CramReader(p, ref=ref_path("ce.fa"), decode_md=False) as r2:
+        back = list(r2)
+
+    def rest(l):
+        return "\t".join(l.split("\t")[1:])
+
+    assert [rest(a.to_sam(hdr)) for a in back] == \
+        [rest(b.to_sam(hdr)) for b in recs]
+    # smaller than the name-preserving encoding
+    p2 = str(tmp_path / "full.cram")
+    with CramWriter(p2, hdr, ref=ref_path("ce.fa")) as w:
+        for rec in recs:
+            w.write(rec)
+    assert os.path.getsize(p) < os.path.getsize(p2)
