@@ -147,6 +147,47 @@ def _write_block(out: bytearray, method: int, content_type: int,
     out += struct.pack("<I", crc)
 
 
+_CONS_CODE = np.full(256, 4, np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _CONS_CODE[_b] = _i
+    _CONS_CODE[_b + 32] = _i
+_CONS_BASE = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def _consensus_reference(recs: List[BamRecord], start: int,
+                         wend: int) -> bytes:
+    """Majority-vote consensus over the slice window from the reads'
+    aligned bases (cram_generate_reference, cram_encode.c:1730);
+    uncovered positions become N."""
+    L = wend - start + 1
+    counts = np.zeros((5, L), np.int32)
+    for rec in recs:
+        if rec.tid < 0 or (rec.flag & FUNMAP) or not rec.l_qseq:
+            continue
+        seq = np.frombuffer(rec.seq.encode(), np.uint8)
+        qpos = 0
+        rpos = rec.pos + 1  # 1-based
+        for c in rec.cigar:
+            op = int(c) & 0xF
+            ln = int(c) >> 4
+            if op in (0, 7, 8):
+                off = rpos - start
+                lo = max(0, -off)
+                hi = min(ln, L - off)
+                if hi > lo:
+                    codes = _CONS_CODE[seq[qpos + lo:qpos + hi]]
+                    np.add.at(counts, (codes, off + np.arange(lo, hi)), 1)
+                qpos += ln
+                rpos += ln
+            elif op in (1, 4):
+                qpos += ln
+            elif op in (2, 3):
+                rpos += ln
+    best = counts.argmax(axis=0)
+    best[counts.max(axis=0) == 0] = 4
+    return _CONS_BASE[best].tobytes()
+
+
 class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 1000,
@@ -219,7 +260,7 @@ class CramEncoder:
             return
         recs = self.queue
         self.queue = []
-        if self.embed_ref and self.refs is not None:
+        if self.embed_ref:
             # embedded references require single-ref slices: split into
             # per-tid container runs (htslib disables multi_seq when
             # embedding, cram_encode.c embed_ref handling)
@@ -282,6 +323,20 @@ class CramEncoder:
                     use_ref = False
                     mref_cache.clear()
                     break
+        elif (self.embed_ref == 2 and not multiref and slice_ref >= 0
+              and mapped_pos):
+            # no external reference: build a majority-vote consensus from
+            # the reads themselves and embed it
+            # (cram_generate_reference, cram_encode.c:1730)
+            start = max(start, 1)
+            wend = max((r.endpos() for r in recs if r.tid >= 0),
+                       default=start)
+            wend = max(wend, start)
+            ref_seq = _consensus_reference(recs, start, wend)
+            import hashlib
+            ref_md5 = hashlib.md5(ref_seq).digest()
+            ref_span = wend - start + 1
+            use_ref = True
 
         def S(key: str) -> _Stream:
             return streams[SERIES[key]]

@@ -212,3 +212,32 @@ def test_lossy_names(tmp_path):
         for rec in recs:
             w.write(rec)
     assert os.path.getsize(p) < os.path.getsize(p2)
+
+
+def test_consensus_reference_no_fasta(tmp_path):
+    # embed_ref=2: build a majority-vote consensus from the reads and
+    # embed it (cram_generate_reference) — no fasta needed at either end
+    from htslib_tpu.sam import BamReader
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    with BamReader(ref_path("range.bam")) as r:
+        hdr, recs = r.header, list(r)
+    p = str(tmp_path / "c.cram")
+    with CramWriter(p, hdr, embed_ref=2) as w:
+        for rec in recs:
+            w.write(rec)
+    with CramReader(p, decode_md=False) as r2:
+        back = [rec.to_sam(hdr) for rec in r2]
+    assert back == [rec.to_sam(hdr) for rec in recs]
+
+
+def test_consensus_majority_vote():
+    from htslib_tpu.cram.encode import _consensus_reference
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.record import BamRecord
+    hdr = SamHeader("@SQ\tSN:c1\tLN:100\n")
+    recs = [BamRecord.from_sam(f"r{i}\t0\tc1\t1\t60\t4M\t*\t0\t0\t"
+                               f"{s}\tIIII", hdr)
+            for i, s in enumerate(["ACGT", "ACGT", "ATGT"])]
+    cons = _consensus_reference(recs, 1, 6)
+    assert cons == b"ACGTNN"  # majority C at pos 2; no coverage -> N
