@@ -142,3 +142,24 @@ def test_tlen_cram_corpus_exact():
         with SamReader(cram[:-5] + ".sam") as sr:
             want = [rec.to_sam(sr.header) for rec in sr]
         assert got == want, f"tlen mismatch for {os.path.basename(cram)}"
+
+
+def test_cram_external_accessors(tmp_path):
+    # cram_external.c equivalents: container walkers + transcode_rg
+    from htslib_tpu.cram.external import (container_stats, num_containers,
+                                          transcode_rg)
+    if not has_ref("range.cram"):
+        pytest.skip("no corpus")
+    p = ref_path("range.cram")
+    assert num_containers(p) == 3  # data containers (header excluded)
+    stats = container_stats(p)
+    assert sum(s["num_records"] for s in stats) == 112
+    assert all(s["length"] > 0 for s in stats)
+
+    out = str(tmp_path / "t.cram")
+    n = transcode_rg(p, out, {"1": "rg_new"}, ref=ref_path("ce.fa"))
+    assert n == 112
+    with CramReader(out, ref=ref_path("ce.fa")) as r:
+        assert any("ID:rg_new" in l for l in r.header.text.split("\n")
+                   if l.startswith("@RG"))
+        assert {rec.get_aux("RG") for rec in r} == {"rg_new"}
