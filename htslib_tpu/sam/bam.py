@@ -58,11 +58,23 @@ class BamReader:
     def __iter__(self) -> Iterator[BamRecord]:
         return self
 
+    def set_filter(self, expr: Optional[str]) -> None:
+        """hts_set_filter_expression (hts.c:1967): the iterator skips
+        records failing the expression (sam_passes_filter, sam.c:1535)."""
+        from htslib_tpu.hts_expr import HtsFilter
+        self._filter = HtsFilter(expr) if expr else None
+
     def __next__(self) -> BamRecord:
-        rec = self.read1()
-        if rec is None:
-            raise StopIteration
-        return rec
+        while True:
+            rec = self.read1()
+            if rec is None:
+                raise StopIteration
+            filt = getattr(self, "_filter", None)
+            if filt is None:
+                return rec
+            from htslib_tpu.hts_expr import sam_passes_filter
+            if sam_passes_filter(rec, self.header, filt):
+                return rec
 
     def read1(self) -> Optional[BamRecord]:
         """bam_read1 (sam.c:784)."""

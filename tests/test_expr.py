@@ -67,3 +67,23 @@ def test_expression_basics():
     assert HtsFilter("sqrt(16) == 4").passes(lambda s: None)
     assert HtsFilter("pow(2,10) == 1024").passes(lambda s: None)
     assert HtsFilter("!0").passes(lambda s: None)
+
+
+def test_reader_set_filter():
+    # hts_set_filter_expression wired into readers (hts.c:1967)
+    from htslib_tpu.sam import BamReader
+    from tests.conftest import has_ref, ref_path
+    if not has_ref("range.bam"):
+        import pytest
+        pytest.skip("no corpus")
+    with BamReader(ref_path("range.bam")) as r:
+        r.set_filter("mapq >= 50 && flag.paired")
+        got = sum(1 for _ in r)
+    with BamReader(ref_path("range.bam")) as r:
+        want = sum(1 for rec in r if rec.mapq >= 50 and rec.flag & 1)
+    assert got == want == 80
+    # clearing the filter restores everything
+    with BamReader(ref_path("range.bam")) as r:
+        r.set_filter("mapq >= 50")
+        r.set_filter(None)
+        assert sum(1 for _ in r) == 112
