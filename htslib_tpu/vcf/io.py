@@ -69,6 +69,7 @@ class VcfReader:
 
 class BcfReader:
     def __init__(self, src: Union[str, HFile, BGZFReader]):
+        self.name = src if isinstance(src, str) else getattr(src, "name", "?")
         self.fp = src if isinstance(src, BGZFReader) else BGZFReader(src)
         magic = self.fp.read(5)
         if magic[:3] != b"BCF" or magic[3] != 2:
@@ -105,6 +106,30 @@ class BcfReader:
 
     def seek(self, voffset: int) -> None:
         self.fp.seek(voffset)
+
+    def fetch(self, rid: int, beg: int, end: int,
+              index: "Optional[object]" = None) -> Iterator[BcfRecord]:
+        """Indexed region query over a CSI index (bcf_itr_queryi; the
+        shared hts_itr machinery, hts.c:3426).  beg/end 0-based
+        half-open."""
+        if index is None:
+            index = getattr(self, "_index", None)
+        if index is None:
+            from htslib_tpu.index import HtsIndex
+            index = HtsIndex.load(self.name + ".csi")
+            self._index = index
+        for u, v in index.query_chunks(rid, beg, end):
+            self.fp.seek(u)
+            while True:
+                if v and self.fp.tell() >= v:
+                    break
+                rec = self.read1()
+                if rec is None:
+                    break
+                if rec.rid != rid or rec.pos >= end:
+                    break
+                if rec.pos + max(rec.rlen, 1) > beg:
+                    yield rec
 
     def close(self) -> None:
         self.fp.close()
@@ -195,3 +220,27 @@ def open_vcf(name: str, mode: str = "r", header: Optional[BcfHeader] = None):
     if "b" in mode and "u" not in mode:
         return BcfWriter(name, header, level=level)
     return VcfWriter(name, header, compress="z" in mode, level=level)
+
+
+def bcf_index_build(path: str, min_shift: int = 14,
+                    out: "Optional[str]" = None) -> "object":
+    """Build a CSI index for a BCF (bcf_index_build, vcf.c; same binning
+    machinery as BAM).  Returns the HtsIndex and writes ``path.csi``."""
+    from htslib_tpu.index import HTS_FMT_CSI, HtsIndex
+    with BcfReader(path) as r:
+        n_lvls = 5
+        idx = HtsIndex(len(r.header.ctg_names), HTS_FMT_CSI,
+                       min_shift, n_lvls)
+        last = r.tell()
+        idx._last_off = idx._save_off = last
+        idx._off_beg = idx._off_end = last
+        while True:
+            rec = r.read1()
+            if rec is None:
+                break
+            last = r.tell()
+            idx.push(rec.rid, rec.pos, rec.pos + max(rec.rlen, 1), last,
+                     True)
+        idx.finish(last)
+    idx.save(out or path + ".csi")
+    return idx

@@ -213,3 +213,33 @@ def test_header_check_sanity():
     assert any("PL (FORMAT) should be declared as Type=Integer" in x
                for x in w)
     assert not any(x.startswith("LAD") for x in w)  # Number=. tolerated
+
+
+def test_bcf_csi_index_and_fetch(tmp_path):
+    # bcf_index_build + indexed region queries (vcf.c bcf_index_build,
+    # bcf_itr_queryi via the shared hts_itr machinery)
+    from htslib_tpu.vcf import BcfReader, BcfWriter, VcfReader
+    from htslib_tpu.vcf.io import bcf_index_build
+    from tests.conftest import has_ref, ref_path
+    if not has_ref("index.vcf"):
+        import pytest
+        pytest.skip("no corpus")
+    with VcfReader(ref_path("index.vcf")) as r:
+        hdr, recs = r.header, list(r)
+    p = str(tmp_path / "t.bcf")
+    w = BcfWriter(p, hdr)
+    for rec in recs:
+        w.write(rec)
+    w.close()
+    bcf_index_build(p)
+    import os
+    assert os.path.exists(p + ".csi")
+    with BcfReader(p) as r2:
+        for name, beg, end in [("1", 10000000, 10001000), ("1", 0, 1 << 31),
+                               ("2", 3199000, 3200000), ("3", 0, 10 ** 9)]:
+            rid = r2.header.name2rid(name)
+            got = [(rec.rid, rec.pos) for rec in r2.fetch(rid, beg, end)]
+            want = [(rec.rid, rec.pos) for rec in recs
+                    if rec.rid == rid and rec.pos < end
+                    and rec.pos + max(rec.rlen, 1) > beg]
+            assert got == want, (name, beg, end)
