@@ -172,24 +172,62 @@ class VcfWriter:
 
 class BcfWriter:
     def __init__(self, dst: Union[str, HFile, BGZFWriter], header: BcfHeader,
-                 level: int = -1):
+                 level: int = -1, build_index: bool = False):
+        self._name = dst if isinstance(dst, str) else None
         self.fp = dst if isinstance(dst, BGZFWriter) else BGZFWriter(dst, level=level)
         self.header = header
         text = header.text(with_idx=False).encode("utf-8") + b"\0"
         self.fp.write(BCF_MAGIC)
         self.fp.write(struct.pack("<I", len(text)))
         self.fp.write(text)
+        # on-the-fly CSI (bcf_idx_init/bcf_idx_save, the --write-index
+        # path): record uncompressed end offsets, map to virtual offsets
+        # through the writer's block table at close
+        self._index_recs = [] if build_index else None
+        self._uheader_end = self._utell() if build_index else None
+
+    def _utell(self) -> int:
+        return (self.fp._uncompressed + sum(len(p) for p in self.fp._pending)
+                + len(self.fp._buf))
 
     def write(self, rec: BcfRecord) -> None:
         shared, indiv = rec.to_bcf()
         self.fp.write(struct.pack("<II", len(shared), len(indiv)))
         self.fp.write(shared)
         self.fp.write(indiv)
+        if self._index_recs is not None:
+            self._index_recs.append((rec.rid, rec.pos,
+                                     rec.pos + max(rec.rlen, 1),
+                                     self._utell()))
 
     def tell(self) -> int:
         return self.fp.tell()
 
     def close(self) -> None:
+        if self._index_recs is not None:
+            import bisect
+
+            from htslib_tpu.bgzf import make_virtual_offset
+            from htslib_tpu.index import HTS_FMT_CSI, HtsIndex
+            self.fp.flush()
+            co, uo = self.fp._idx_co, self.fp._idx_uo
+
+            def u2v(u):
+                i = bisect.bisect_right(uo, u) - 1
+                return make_virtual_offset(co[i], u - uo[i])
+
+            idx = HtsIndex(len(self.header.ctg_names), HTS_FMT_CSI, 14, 5)
+            off0 = u2v(self._uheader_end or 0)
+            idx._last_off = idx._save_off = off0
+            idx._off_beg = idx._off_end = off0
+            last = off0
+            for rid, beg, end, uend in self._index_recs:
+                last = u2v(uend)
+                idx.push(rid, beg, end, last, True)
+            idx.finish(last)
+            if self._name:
+                idx.save(self._name + ".csi")
+            self.index = idx
         self.fp.close()
 
     def __enter__(self):

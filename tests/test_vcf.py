@@ -243,3 +243,25 @@ def test_bcf_csi_index_and_fetch(tmp_path):
                     if rec.rid == rid and rec.pos < end
                     and rec.pos + max(rec.rlen, 1) > beg]
             assert got == want, (name, beg, end)
+
+
+def test_bcf_on_the_fly_index_matches_posthoc(tmp_path):
+    # --write-index path: the index built while writing must be
+    # byte-identical to one built by re-reading the finished file
+    from htslib_tpu.vcf import BcfReader, BcfWriter, VcfReader
+    from htslib_tpu.vcf.io import bcf_index_build
+    from tests.conftest import has_ref, ref_path
+    import os
+    if not has_ref("index.vcf"):
+        import pytest
+        pytest.skip("no corpus")
+    with VcfReader(ref_path("index.vcf")) as r:
+        hdr, recs = r.header, list(r)
+    p = str(tmp_path / "t.bcf")
+    w = BcfWriter(p, hdr, build_index=True)
+    for rec in recs:
+        w.write(rec)
+    w.close()
+    otf = open(p + ".csi", "rb").read()
+    bcf_index_build(p)
+    assert open(p + ".csi", "rb").read() == otf
