@@ -88,10 +88,12 @@ class CodecMetrics:
 
     TRIAL_EVERY = 32
     CANDIDATES = ("rans0", "rans1", "gzip", "raw")
+    CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack")
 
-    def __init__(self):
+    def __init__(self, v31: bool = False):
         self.best: Dict[int, str] = {}
         self.count: Dict[int, int] = defaultdict(int)
+        self.candidates = self.CANDIDATES_V31 if v31 else self.CANDIDATES
 
     def choose(self, cid: int, data: bytes) -> Tuple[int, bytes]:
         n = self.count[cid]
@@ -102,11 +104,12 @@ class CodecMetrics:
             return self._apply(self.best[cid], data)
         sizes = {}
         outs = {}
-        for cand in self.CANDIDATES:
+        for cand in self.candidates:
             m, comp = self._apply(cand, data)
             # mild cost weighting: raw is free, rans cheap, gzip slower
             weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.03,
-                      "gzip": 1.05}[cand]
+                      "gzip": 1.05, "r16o0": 1.0, "r16o1": 1.03,
+                      "r16pack": 1.02}[cand]
             sizes[cand] = len(comp) * weight
             outs[cand] = (m, comp)
         winner = min(sizes, key=sizes.get)
@@ -120,6 +123,15 @@ class CodecMetrics:
         if cand == "gzip":
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             return GZIP, co.compress(data) + co.flush()
+        if cand.startswith("r16"):
+            from htslib_tpu.codecs import rans4x16
+            from htslib_tpu.cram.structs import RANSPR
+            fl = {"r16o0": 0, "r16o1": rans4x16.O_ORDER1,
+                  "r16pack": rans4x16.O_PACK | rans4x16.O_ORDER1}[cand]
+            try:
+                return RANSPR, rans4x16.compress(data, fl)
+            except (ValueError, ZeroDivisionError):
+                return RAW, data
         from htslib_tpu.codecs import rans4x8
         from htslib_tpu.cram.structs import RANS
         order = 0 if cand == "rans0" else 1
@@ -212,7 +224,7 @@ class CramEncoder:
         self.record_counter = 0
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
-        self.metrics = CodecMetrics()
+        self.metrics = CodecMetrics(v31=version >= (3, 1))
         self._write_file_def()
         self._write_header_container()
 
