@@ -470,6 +470,17 @@ class CramEncoder:
         for cid in ext_ids:
             data = bytes(streams[cid].buf)
             method, comp = self.metrics.choose(cid, data)
+            if (self.version >= (3, 1) and cid == SERIES["RN"]
+                    and len(data) >= 64):
+                # name tokeniser for the read-name series (TOK3)
+                from htslib_tpu.codecs import tok3
+                from htslib_tpu.cram.structs import TOK3
+                try:
+                    t = tok3.encode_names(data.split(b"\0")[:-1])
+                    if len(t) < len(comp):
+                        method, comp = TOK3, t
+                except ValueError:
+                    pass
             _write_block(blocks, method, CT_EXTERNAL, cid, data,
                          precompressed=comp if method != RAW else None)
         if embed:
