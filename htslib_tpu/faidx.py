@@ -73,9 +73,10 @@ class Faidx:
                     break
                 if line.startswith(b">"):
                     close_seq()
-                    state_name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                    if not state_name:
-                        raise IOError("FASTA sequence with empty name")
+                    parts = line[1:].split()
+                    # an empty name is recorded as-is (test/faidx/faidx.fa
+                    # starts with a bare '>' and expected.fai keeps it)
+                    state_name = parts[0].decode() if parts else ""
                     length = 0
                     line_blen = line_len = -1
                     last_line_blen = -1

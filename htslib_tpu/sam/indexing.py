@@ -181,3 +181,76 @@ class MultiRegionIterator:
                 if rec.pos < e and end > b:
                     return rec
         raise StopIteration
+
+
+def build_sam_gz_index(path: str, min_shift: int = 14,
+                       out_path: Optional[str] = None) -> HtsIndex:
+    """CSI index over bgzipped SAM text (sam_index_build3 on SAM,
+    sam.c:1638; depth adjusted for long references via
+    hts_adjust_csi_settings, hts.c:2372)."""
+    from htslib_tpu.bgzf import BGZFReader
+    from htslib_tpu.sam.record import FUNMAP, BamRecord
+    from htslib_tpu.sam.samtext import SamReader
+
+    with SamReader(path) as sr:
+        header = sr.header
+    n_lvls = 5
+    max_len = max(header.ref_lens, default=0)
+    maxpos = 1 << (min_shift + 3 * n_lvls)
+    while max_len + 256 > maxpos:
+        n_lvls += 1
+        maxpos <<= 3
+    idx = HtsIndex(header.nref, HTS_FMT_CSI, min_shift, n_lvls)
+    fp = BGZFReader(path)
+    try:
+        # skip header lines, seed builder offsets at the first record
+        while True:
+            off = fp.tell()
+            line = fp.readline()
+            if not line:
+                break
+            if line.startswith(b"@"):
+                continue
+            fp.seek(off)
+            break
+        last = fp.tell()
+        idx._last_off = idx._save_off = last
+        idx._off_beg = idx._off_end = last
+        while True:
+            line = fp.readline()
+            if not line:
+                break
+            last = fp.tell()
+            rec = BamRecord.from_sam(line.decode("utf-8"), header)
+            idx.push(rec.tid, rec.pos, rec.endpos(), last,
+                     not (rec.flag & FUNMAP))
+        idx.finish(last)
+    finally:
+        fp.close()
+    idx.save(out_path or path + ".csi")
+    return idx
+
+
+def sam_gz_fetch(path: str, idx: HtsIndex, header, tid: int, beg: int,
+                 end: int):
+    """Region query over an indexed bgzipped SAM (the sam_itr_queryi
+    readrec path for SAM text)."""
+    from htslib_tpu.bgzf import BGZFReader
+    from htslib_tpu.sam.record import BamRecord
+    fp = BGZFReader(path)
+    try:
+        for u, v in idx.query_chunks(tid, beg, end):
+            fp.seek(u)
+            while True:
+                if v and fp.tell() >= v:
+                    break
+                line = fp.readline()
+                if not line or line.startswith(b"@"):
+                    break
+                rec = BamRecord.from_sam(line.decode("utf-8"), header)
+                if rec.tid != tid or rec.pos >= end:
+                    break
+                if rec.endpos() > beg:
+                    yield rec
+    finally:
+        fp.close()

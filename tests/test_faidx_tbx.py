@@ -162,3 +162,34 @@ def test_tbx_parse1_vcf_end():
     assert (beg, end) == (99, 200)
     _, beg, end = tbx_parse1(conf, "chr1\t100\t.\tA\t<DEL>\t.\t.\tSVLEN=-50\n")
     assert (beg, end) == (99, 149)
+
+
+# ---------------------------------------------------------------------------
+# test/faidx subdir goldens (faidx.tst: hostile FASTA/FASTQ geometry)
+
+def test_faidx_subdir_goldens(tmp_path):
+    import shutil
+    from tests.conftest import REF_TEST
+    sub = os.path.join(REF_TEST, "faidx")
+    if not os.path.isdir(sub):
+        pytest.skip("no corpus")
+    fa = str(tmp_path / "faidx.fa")
+    fq = str(tmp_path / "fastqs.fq")
+    shutil.copy(os.path.join(sub, "faidx.fa"), fa)
+    shutil.copy(os.path.join(sub, "fastqs.fq"), fq)
+    Faidx.build(fa)
+    assert open(fa + ".fai").read() == \
+        open(os.path.join(sub, "faidx.fa.expected.fai")).read()
+    Faidx.build(fq)
+    assert open(fq + ".fqi").read() == \
+        open(os.path.join(sub, "fastqs.fq.expected.fai")).read()
+    f = Faidx.load(fa)
+    # faidx.1.expected.fa regions (empty names, trailing blanks, CRLF)
+    for reg, want in [("trailingblank2:28-33", "GGGCCC"),
+                      ("trailingblank3:4-5", "TA"), ("bar:4-5", "TA")]:
+        _, seq = f.fetch(reg)
+        assert seq == want, reg
+    # accessor semantics from faidx.tst
+    assert f.entries[3].name == "trailingblank3"
+    assert f._byname["trailingblank1"].length == 33
+    assert "absent" not in f._byname
