@@ -64,7 +64,7 @@ class CramReader:
         comp_block = self.io.read_block()
         if comp_block.content_type != CT_COMPRESSION_HEADER:
             raise IOError("CRAM: expected compression header block")
-        chdr = decode_compression_header(comp_block)
+        chdr = decode_compression_header(comp_block, self.version[0])
         out: List[BamRecord] = []
         end = c.data_offset + c.length
         while self.fp.tell() < end:
@@ -161,10 +161,11 @@ class CramWriter:
     """CRAM encoding lands with the encode milestone (SURVEY §7 stage 8);
     see htslib_tpu.cram.encode."""
 
-    def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0):
+    def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0,
+                 version=(3, 0)):
         from htslib_tpu.cram.encode import CramEncoder
         self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref,
-                                lossy_names=lossy_names)
+                                lossy_names=lossy_names, version=version)
         self.header = header
 
     def write(self, rec: BamRecord) -> None:

@@ -15,6 +15,7 @@ from htslib_tpu.cram.structs import (
     E_EXTERNAL, E_GAMMA, E_GOLOMB, E_GOLOMB_RICE, E_HUFFMAN, E_NULL,
     E_SUBEXP, E_VARINT_SIGNED, E_VARINT_UNSIGNED, E_XDELTA, E_XPACK, E_XRLE,
 )
+from htslib_tpu.cram.v4 import VarintVec, s7_decode, u7_decode, varint_vec
 
 
 class BitReader:
@@ -55,6 +56,14 @@ class ExternalStream:
         v, self.pos = itf8_decode(self.data, self.pos)
         return v
 
+    def read_u7(self) -> int:
+        v, self.pos = u7_decode(self.data, self.pos)
+        return v
+
+    def read_s7(self) -> int:
+        v, self.pos = s7_decode(self.data, self.pos)
+        return v
+
     def read_byte(self) -> int:
         b = self.data[self.pos]
         self.pos += 1
@@ -87,6 +96,10 @@ class SliceStreams:
         self.core = BitReader(core)
         self.ext: Dict[int, ExternalStream] = {
             cid: ExternalStream(d) for cid, d in external.items()}
+        # per-slice expanded streams of transform codecs (XPACK/XRLE/
+        # XDELTA), keyed by codec identity — the slice->block_by_id[512+
+        # codec_id] cache of the reference (cram_codecs.c:1376)
+        self.expanded: Dict[int, ExternalStream] = {}
 
     def external(self, cid: int) -> ExternalStream:
         s = self.ext.get(cid)
@@ -127,17 +140,179 @@ class NullCodec(Codec):
 class ExternalCodec(Codec):
     codec_id = E_EXTERNAL
 
-    def __init__(self, content_id: int):
+    def __init__(self, content_id: int, v4: bool = False):
         self.content_id = content_id
+        self.v4 = v4
 
     def read_int(self, st: SliceStreams) -> int:
-        return st.external(self.content_id).read_itf8()
+        s = st.external(self.content_id)
+        return s.read_u7() if self.v4 else s.read_itf8()
 
     def read_byte(self, st: SliceStreams) -> int:
         return st.external(self.content_id).read_byte()
 
     def read_bytes(self, st: SliceStreams, n: int) -> bytes:
         return st.external(self.content_id).read(n)
+
+    def get_block(self, st: SliceStreams) -> ExternalStream:
+        """Whole-block access for transform codecs wrapping EXTERNAL
+        (cram_external_get_block semantics)."""
+        return st.external(self.content_id)
+
+
+class VarintCodec(Codec):
+    """E_VARINT_UNSIGNED / E_VARINT_SIGNED (CRAM 4; cram_codecs.c:760
+    cram_varint_decode_init): uint7/sint7 varints in an external block,
+    plus an offset so e.g. -2..1e6 avoids zigzag entirely."""
+
+    def __init__(self, content_id: int, offset: int, signed: bool):
+        self.codec_id = E_VARINT_SIGNED if signed else E_VARINT_UNSIGNED
+        self.content_id = content_id
+        self.offset = offset
+        self.signed = signed
+
+    def read_int(self, st: SliceStreams) -> int:
+        s = st.external(self.content_id)
+        v = s.read_s7() if self.signed else s.read_u7()
+        return v + self.offset
+
+    def get_block(self, st: SliceStreams) -> ExternalStream:
+        return st.external(self.content_id)
+
+
+class ConstCodec(Codec):
+    """E_CONST_BYTE / E_CONST_INT (CRAM 4; cram_codecs.c:981): a constant
+    decoded from the codec parameters, consuming no stream bytes."""
+
+    def __init__(self, value: int, codec_id: int = E_CONST_INT):
+        self.codec_id = codec_id
+        self.value = value
+
+    def read_int(self, st) -> int:
+        return self.value
+
+    def read_bytes(self, st, n: int) -> bytes:
+        return bytes([self.value & 0xFF]) * n
+
+
+class XPackCodec(Codec):
+    """E_XPACK (cram_codecs.c:1453): 1/2/4-bit symbols packed into bytes
+    by a sub-codec; expanded en-masse per slice (decode_expand_char)."""
+    codec_id = E_XPACK
+
+    def __init__(self, nbits: int, rmap: List[int], sub: Codec):
+        self.nbits = nbits
+        self.rmap = rmap
+        self.sub = sub
+
+    def _expand(self, st: SliceStreams) -> ExternalStream:
+        key = id(self)
+        s = st.expanded.get(key)
+        if s is None:
+            src = self.sub.get_block(st)
+            data = src.data[src.pos:]
+            if self.nbits == 0:
+                out = bytes([self.rmap[0]])
+            elif self.nbits == 8:
+                out = bytes(data)
+            else:
+                per = 8 // self.nbits
+                mask = (1 << self.nbits) - 1
+                outb = bytearray(len(data) * per)
+                i = 0
+                for b in data:
+                    for k in range(per - 1, -1, -1):
+                        outb[i] = self.rmap[(b >> (k * self.nbits)) & mask]
+                        i += 1
+                out = bytes(outb)
+            s = st.expanded[key] = ExternalStream(out)
+        return s
+
+    def read_byte(self, st: SliceStreams) -> int:
+        return self._expand(st).read_byte()
+
+    def read_bytes(self, st: SliceStreams, n: int) -> bytes:
+        return self._expand(st).read(n)
+
+    def read_int(self, st: SliceStreams) -> int:
+        if self.nbits == 0:
+            return self.rmap[0]
+        return self.rmap[st.core.get_bits(self.nbits)]
+
+    def get_block(self, st: SliceStreams) -> ExternalStream:
+        return self._expand(st)
+
+
+class XRleCodec(Codec):
+    """E_XRLE (cram_codecs.c:2184): literals + run lengths for a declared
+    symbol set; the length stream leads with a uint7 total output size."""
+    codec_id = E_XRLE
+
+    def __init__(self, rep_syms: set, len_codec: Codec, lit_codec: Codec):
+        self.rep_syms = rep_syms
+        self.len_codec = len_codec
+        self.lit_codec = lit_codec
+
+    def _expand(self, st: SliceStreams) -> ExternalStream:
+        key = id(self)
+        s = st.expanded.get(key)
+        if s is None:
+            lit_s = self.lit_codec.get_block(st)
+            lits = lit_s.data[lit_s.pos:]
+            len_s = self.len_codec.get_block(st)
+            lbuf = len_s.data
+            lp = len_s.pos
+            out_sz, lp = u7_decode(lbuf, lp)
+            out = bytearray()
+            for b in lits:
+                if b in self.rep_syms:
+                    run, lp = u7_decode(lbuf, lp)
+                    out += bytes([b]) * (run + 1)
+                else:
+                    out.append(b)
+                if len(out) >= out_sz:
+                    break
+            s = st.expanded[key] = ExternalStream(bytes(out[:out_sz]))
+        return s
+
+    def read_byte(self, st: SliceStreams) -> int:
+        return self._expand(st).read_byte()
+
+    def read_bytes(self, st: SliceStreams, n: int) -> bytes:
+        return self._expand(st).read(n)
+
+    def get_block(self, st: SliceStreams) -> ExternalStream:
+        return self._expand(st)
+
+
+class XDeltaCodec(Codec):
+    """E_XDELTA (cram_codecs.c:1781): word-wise delta + zigzag transform
+    stored as uint7 varints; decoded per array with the accumulator reset
+    each call, words emitted little-endian and a leading partial word when
+    the array length is not word-aligned (cram_xdelta_decode_block)."""
+    codec_id = E_XDELTA
+
+    def __init__(self, word_size: int, sub: Codec):
+        self.word_size = word_size
+        self.sub = sub
+
+    def read_bytes(self, st: SliceStreams, n: int) -> bytes:
+        src = self.sub.get_block(st)
+        w = self.word_size
+        mask = (1 << (8 * w)) - 1
+        npad = (w - n % w) % w
+        out = bytearray()
+        last = 0
+        for _ in range(0, n + npad, w):
+            z = src.read_u7()
+            d = (z >> 1) ^ -(z & 1)
+            last = (last + d) & mask
+            out += int(last).to_bytes(w, "little")[:w - npad]
+            npad = 0
+        return bytes(out)
+
+    def read_byte(self, st: SliceStreams) -> int:
+        return self.read_bytes(st, 1)[0]
 
 
 class HuffmanCodec(Codec):
@@ -257,63 +432,86 @@ class ByteArrayStopCodec(Codec):
         return self.read_array(st)
 
 
-class ConstByteCodec(Codec):
-    codec_id = E_CONST_BYTE
-
-    def __init__(self, value: int):
-        self.value = value
-
-    def read_int(self, st):
-        return self.value
-
-
-def parse_encoding(buf, p: int) -> Tuple[Optional[Codec], int]:
+def parse_encoding(buf, p: int,
+                   vv: Optional[VarintVec] = None) -> Tuple[Optional[Codec], int]:
     """Parse one encoding{id, length, params} (spec section 3;
-    cram_decode.c:144 walks these in the compression header)."""
-    codec_id, p = itf8_decode(buf, p)
-    nbytes, p = itf8_decode(buf, p)
+    cram_decode.c:144 walks these in the compression header).  The varint
+    format of the id/length/params follows the file version's vtable
+    (cram_decoder_init passes fd->vv through every *_decode_init)."""
+    if vv is None:
+        vv = varint_vec(3)
+    codec_id, p = vv.get32(buf, p)
+    nbytes, p = vv.get32(buf, p)
     end = p + nbytes
     if codec_id == E_NULL:
         return NullCodec(), end
     if codec_id == E_EXTERNAL:
-        cid, p = itf8_decode(buf, p)
-        return ExternalCodec(cid), end
+        cid, p = vv.get32(buf, p)
+        return ExternalCodec(cid, v4=vv.v4), end
     if codec_id == E_HUFFMAN:
-        nsym, p = itf8_decode(buf, p)
+        nsym, p = vv.get32(buf, p)
         syms = []
         for _ in range(nsym):
-            v, p = itf8_decode(buf, p)
+            v, p = vv.get32(buf, p)
             syms.append(v)
-        nlen, p = itf8_decode(buf, p)
+        nlen, p = vv.get32(buf, p)
         lens = []
         for _ in range(nlen):
-            v, p = itf8_decode(buf, p)
+            v, p = vv.get32(buf, p)
             lens.append(v)
         return HuffmanCodec(syms, lens), end
     if codec_id == E_BYTE_ARRAY_LEN:
-        len_codec, p = parse_encoding(buf, p)
-        val_codec, p = parse_encoding(buf, p)
+        len_codec, p = parse_encoding(buf, p, vv)
+        val_codec, p = parse_encoding(buf, p, vv)
         return ByteArrayLenCodec(len_codec, val_codec), end
     if codec_id == E_BYTE_ARRAY_STOP:
         stop = buf[p]
         p += 1
-        cid, p = itf8_decode(buf, p)
+        cid, p = vv.get32(buf, p)
         return ByteArrayStopCodec(stop, cid), end
     if codec_id == E_BETA:
-        offset, p = itf8_decode(buf, p)
-        nbits, p = itf8_decode(buf, p)
+        offset, p = vv.get32(buf, p)
+        nbits, p = vv.get32(buf, p)
         return BetaCodec(offset, nbits), end
     if codec_id == E_SUBEXP:
-        offset, p = itf8_decode(buf, p)
-        k, p = itf8_decode(buf, p)
+        offset, p = vv.get32(buf, p)
+        k, p = vv.get32(buf, p)
         return SubexpCodec(offset, k), end
     if codec_id == E_GAMMA:
-        offset, p = itf8_decode(buf, p)
+        offset, p = vv.get32(buf, p)
         return GammaCodec(offset), end
+    if codec_id in (E_VARINT_UNSIGNED, E_VARINT_SIGNED):
+        cid, p = vv.get32(buf, p)
+        offset, p = vv.get64s(buf, p)
+        return VarintCodec(cid, offset, codec_id == E_VARINT_SIGNED), end
     if codec_id == E_CONST_BYTE:
-        v, p = itf8_decode(buf, p)
-        return ConstByteCodec(v), end
+        v, p = vv.get64s(buf, p)
+        return ConstCodec(v, E_CONST_BYTE), end
     if codec_id == E_CONST_INT:
-        v, p = itf8_decode(buf, p)
-        return ConstByteCodec(v), end
+        v, p = vv.get64s(buf, p)
+        return ConstCodec(v, E_CONST_INT), end
+    if codec_id == E_XPACK:
+        nbits, p = vv.get32(buf, p)
+        nval, p = vv.get32(buf, p)
+        if not (0 <= nbits <= 8) or not (0 <= nval <= 256):
+            raise IOError("malformed XPACK parameters")
+        rmap = []
+        for _ in range(nval):
+            v, p = vv.get32(buf, p)
+            rmap.append(v & 0xFF)
+        sub, p = parse_encoding(buf, p, vv)
+        return XPackCodec(nbits, rmap, sub), end
+    if codec_id == E_XRLE:
+        nrle, p = vv.get32(buf, p)
+        rep = set()
+        for _ in range(nrle):
+            v, p = vv.get32(buf, p)
+            rep.add(v & 0xFF)
+        len_codec, p = parse_encoding(buf, p, vv)
+        lit_codec, p = parse_encoding(buf, p, vv)
+        return XRleCodec(rep, len_codec, lit_codec), end
+    if codec_id == E_XDELTA:
+        word_size, p = vv.get32(buf, p)
+        sub, p = parse_encoding(buf, p, vv)
+        return XDeltaCodec(word_size, sub), end
     raise IOError(f"unsupported CRAM encoding id {codec_id}")

@@ -15,7 +15,7 @@ import numpy as np
 
 from htslib_tpu.cram.codecs import (Codec, SliceStreams, parse_encoding)
 from htslib_tpu.cram.io import CramBlock, CramContainer, CramIO
-from htslib_tpu.cram.itf8 import itf8_decode, ltf8_decode
+from htslib_tpu.cram.v4 import varint_vec
 from htslib_tpu.cram.structs import (
     CRAM_FLAG_DETACHED, CRAM_FLAG_EXPLICIT_TLEN, CRAM_FLAG_MATE_DOWNSTREAM,
     CRAM_FLAG_NO_SEQ, CRAM_FLAG_PRESERVE_QUAL_SCORES, CRAM_M_REVERSE,
@@ -43,17 +43,19 @@ class CompressionHeader:
     tag_codecs: Dict[int, Codec] = field(default_factory=dict)
 
 
-def decode_compression_header(block: CramBlock) -> CompressionHeader:
+def decode_compression_header(block: CramBlock,
+                              vmajor: int = 3) -> CompressionHeader:
     """cram_decode_compression_header (cram_decode.c:144)."""
     buf = block.uncompress()
+    vv = varint_vec(vmajor)
     hdr = CompressionHeader()
     # default substitution matrix "CGTN AGTN ACTN ACGN ACGT"
     default = ["CGTN", "AGTN", "ACTN", "ACGN", "ACGT"]
     hdr.sub_matrix = {i: default[i].encode() for i in range(5)}
     p = 0
     # preservation map
-    _, p = itf8_decode(buf, p)
-    n, p = itf8_decode(buf, p)
+    _, p = vv.get32(buf, p)
+    n, p = vv.get32(buf, p)
     for _ in range(n):
         key = buf[p:p + 2].decode()
         p += 2
@@ -81,26 +83,26 @@ def decode_compression_header(block: CramBlock) -> CompressionHeader:
                 mats[i] = bytes(row)
             hdr.sub_matrix = mats
         elif key == "TD":
-            ln, p = itf8_decode(buf, p)
+            ln, p = vv.get32(buf, p)
             blob = buf[p:p + ln]
             p += ln
             hdr.TD = blob.split(b"\x00")[:-1] if blob.endswith(b"\x00") else blob.split(b"\x00")
         else:
             raise IOError(f"unknown preservation map key {key!r}")
     # data series encodings
-    _, p = itf8_decode(buf, p)
-    n, p = itf8_decode(buf, p)
+    _, p = vv.get32(buf, p)
+    n, p = vv.get32(buf, p)
     for _ in range(n):
         key = buf[p:p + 2].decode()
         p += 2
-        codec, p = parse_encoding(buf, p)
+        codec, p = parse_encoding(buf, p, vv)
         hdr.codecs[key] = codec
     # tag encodings
-    _, p = itf8_decode(buf, p)
-    n, p = itf8_decode(buf, p)
+    _, p = vv.get32(buf, p)
+    n, p = vv.get32(buf, p)
     for _ in range(n):
-        kid, p = itf8_decode(buf, p)
-        codec, p = parse_encoding(buf, p)
+        kid, p = vv.get32(buf, p)
+        codec, p = parse_encoding(buf, p, vv)
         hdr.tag_codecs[kid] = codec
     return hdr
 
@@ -119,25 +121,34 @@ class SliceHeader:
 
 
 def decode_slice_header(block: CramBlock, vmajor: int) -> SliceHeader:
+    """cram_decode_slice_header (cram_decode.c:954): signed ref_seq_id,
+    64-bit start/span under CRAM 4 (cram_decode.c:980)."""
     buf = block.uncompress() if block.method else block.data
+    vv = varint_vec(vmajor)
     p = 0
-    ref_seq_id, p = itf8_decode(buf, p)
-    ref_seq_start, p = itf8_decode(buf, p)
-    ref_seq_span, p = itf8_decode(buf, p)
-    num_records, p = itf8_decode(buf, p)
+    ref_seq_id, p = vv.get32s(buf, p)
+    if vmajor >= 4:
+        ref_seq_start, p = vv.get64(buf, p)
+        ref_seq_span, p = vv.get64(buf, p)
+    else:
+        ref_seq_start, p = vv.get32(buf, p)
+        ref_seq_span, p = vv.get32(buf, p)
+    num_records, p = vv.get32(buf, p)
     if vmajor >= 3:
-        record_counter, p = ltf8_decode(buf, p)
+        record_counter, p = vv.get64(buf, p)
     elif vmajor == 2:
-        record_counter, p = itf8_decode(buf, p)
+        record_counter, p = vv.get32(buf, p)
     else:
         record_counter = 0
-    num_blocks, p = itf8_decode(buf, p)
-    nids, p = itf8_decode(buf, p)
+    num_blocks, p = vv.get32(buf, p)
+    nids, p = vv.get32(buf, p)
     content_ids = []
     for _ in range(nids):
-        v, p = itf8_decode(buf, p)
+        v, p = vv.get32(buf, p)
         content_ids.append(v)
-    ref_base_id, p = itf8_decode(buf, p)
+    ref_base_id, p = vv.get32(buf, p)
+    if ref_base_id == 0xFFFFFFFF:
+        ref_base_id = -1  # unsigned put of -1 (cram_encode.c:551)
     md5 = bytes(buf[p:p + 16])
     return SliceHeader(ref_seq_id, ref_seq_start, ref_seq_span, num_records,
                        record_counter, num_blocks, content_ids, ref_base_id,
@@ -269,7 +280,7 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
             if "TS" in cs:
                 cr.explicit_tlen = codec("TS").read_int(st)
         # aux tags
-        has_MD, has_NM = _decode_aux(hdr, st, cr)
+        has_MD, has_NM = _decode_aux(hdr, st, cr, rg_names)
         # per-record reference (multiref slices)
         rref = ref
         rref_start = ref_start
@@ -280,7 +291,11 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
             rref_start = 1
         if not (cr.flags & FUNMAP):
             _decode_seq(hdr, st, cr, rref, rref_start, header, cf, vmajor,
-                        has_MD, has_NM, decode_md)
+                        has_MD, has_NM,
+                        # CRAM <4: decode_md is off/on; CRAM 4: auto —
+                        # only '*' placeholder tags trigger generation
+                        # (cram_decode.c:1114-1117)
+                        decode_md and vmajor < 4)
         else:
             cr.cigar = []
             cr.aend = cr.apos
@@ -301,8 +316,10 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
 
 
 def _decode_aux(hdr: CompressionHeader, st: SliceStreams,
-                cr: CramRecordTmp) -> Tuple[int, int]:
-    """cram_decode_aux (cram_decode.c:976).  Returns (has_MD, has_NM)."""
+                cr: CramRecordTmp, rg_names=()) -> Tuple[int, int]:
+    """cram_decode_aux (cram_decode.c:976).  Returns (has_MD, has_NM);
+    -1 means a CRAM 4 '*' placeholder tag forcing auto-generation
+    (cram_decode.c:2045-2087)."""
     if "TL" not in hdr.codecs:
         return 0, 0
     TL = hdr.codecs["TL"].read_int(st)
@@ -313,6 +330,18 @@ def _decode_aux(hdr: CompressionHeader, st: SliceStreams,
     has_MD = has_NM = 0
     for i in range(0, len(TN), 3):
         tag = TN[i:i + 3]
+        if tag[2:3] == b"*":
+            # CRAM 4 auto-tag placeholders: values are regenerated by the
+            # decoder, nothing is read from the tag streams
+            if tag[:2] == b"MD":
+                has_MD = -1
+            elif tag[:2] == b"NM":
+                has_NM = -1
+            elif tag[:2] == b"RG":
+                if 0 <= cr.rg < len(rg_names) and rg_names[cr.rg]:
+                    aux += b"RGZ" + rg_names[cr.rg].encode() + b"\x00"
+                    cr.rg = -1
+            continue
         if tag[:2] == b"MD":
             has_MD = 1
         elif tag[:2] == b"NM":
@@ -347,10 +376,14 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
     qual = bytearray(b"\xff" * cr.len)
     ref_len = header.tid2len(cr.ref_id)
 
-    gen_md = (decode_md and ref is not None and cr.ref_id >= 0
-              and not has_MD and not (cr.cram_flags & CRAM_FLAG_NO_SEQ))
-    gen_nm = (decode_md and ref is not None and cr.ref_id >= 0
-              and not has_NM and not (cr.cram_flags & CRAM_FLAG_NO_SEQ))
+    # has_MD/has_NM < 0 are CRAM 4 '*' placeholders forcing generation
+    # (cram_decode.c:1114-1120: (do_md && !has_MD) || has_MD < 0)
+    gen_md = (((decode_md and not has_MD) or has_MD < 0)
+              and ref is not None and cr.ref_id >= 0
+              and not (cr.cram_flags & CRAM_FLAG_NO_SEQ))
+    gen_nm = (((decode_md and not has_NM) or has_NM < 0)
+              and ref is not None and cr.ref_id >= 0
+              and not (cr.cram_flags & CRAM_FLAG_NO_SEQ))
     md_parts: List[bytes] = []
     md_dist = 0
     nm = 0
@@ -399,7 +432,7 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
         cig_op = op
 
     for f in range(fn):
-        op = chr(cs["FC"].read_int(st)) if "FC" in cs else "B"
+        op = chr(cs["FC"].read_byte(st)) if "FC" in cs else "B"
         pos = cs["FP"].read_int(st) + prev_pos if "FP" in cs else 0
         if pos <= 0:
             raise IOError("CRAM: feature position before start of read")
@@ -434,7 +467,7 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
         elif op == "X":
             flush(BAM_CMATCH)
             if "BS" in cs:
-                code = cs["BS"].read_int(st)
+                code = cs["BS"].read_byte(st)
                 if cr.ref_id < 0 or ref is None or ref_pos >= (ref_len or 1 << 62):
                     base_row = hdr.sub_matrix[4]
                     if md_dist >= 0 and gen_md:

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from htslib_tpu.cram.itf8 import itf8_encode, ltf8_encode
+from htslib_tpu.cram.itf8 import itf8_encode
 from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED,
                                      CRAM_FLAG_MATE_DOWNSTREAM,
                                      CRAM_FLAG_NO_SEQ,
@@ -26,7 +26,10 @@ from htslib_tpu.cram.structs import (CRAM_FLAG_DETACHED,
                                      CT_COMPRESSION_HEADER, CT_CORE,
                                      CT_EXTERNAL, CT_FILE_HEADER,
                                      CT_MAPPED_SLICE, E_BYTE_ARRAY_LEN,
-                                     E_BYTE_ARRAY_STOP, E_EXTERNAL, GZIP, RAW)
+                                     E_BYTE_ARRAY_STOP, E_EXTERNAL,
+                                     E_VARINT_SIGNED, E_VARINT_UNSIGNED,
+                                     GZIP, RAW)
+from htslib_tpu.cram.v4 import VarintVec, varint_vec
 from htslib_tpu.hfile import HFile, hopen
 from htslib_tpu.sam.cigar import (BAM_CDEL, BAM_CHARD_CLIP, BAM_CINS,
                                   BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
@@ -48,27 +51,52 @@ SERIES = {
 TAG_ID_BASE = 0x100000
 
 
-def _enc_encoding_external(cid: int) -> bytes:
-    params = itf8_encode(cid)
-    return itf8_encode(E_EXTERNAL) + itf8_encode(len(params)) + params
+def _enc_encoding_external(cid: int, vv: VarintVec) -> bytes:
+    params = vv.put32(cid)
+    return vv.put32(E_EXTERNAL) + vv.put32(len(params)) + params
 
 
-def _enc_encoding_byte_array_stop(stop: int, cid: int) -> bytes:
-    params = bytes([stop]) + itf8_encode(cid)
-    return itf8_encode(E_BYTE_ARRAY_STOP) + itf8_encode(len(params)) + params
+def _enc_encoding_varint(cid: int, vv: VarintVec, signed: bool) -> bytes:
+    """CRAM 4 VARINT_{UN,}SIGNED encoding declaration: content id +
+    offset 0 (cram_varint_decode_init, cram_codecs.c:760)."""
+    params = vv.put32(cid) + vv.put64s(0)
+    eid = E_VARINT_SIGNED if signed else E_VARINT_UNSIGNED
+    return vv.put32(eid) + vv.put32(len(params)) + params
 
 
-def _enc_encoding_byte_array_len(cid: int) -> bytes:
-    inner = _enc_encoding_external(cid) + _enc_encoding_external(cid)
-    return itf8_encode(E_BYTE_ARRAY_LEN) + itf8_encode(len(inner)) + inner
+def _enc_encoding_byte_array_stop(stop: int, cid: int, vv: VarintVec) -> bytes:
+    params = bytes([stop]) + vv.put32(cid)
+    return vv.put32(E_BYTE_ARRAY_STOP) + vv.put32(len(params)) + params
+
+
+def _enc_encoding_byte_array_len(cid: int, vv: VarintVec) -> bytes:
+    # CRAM 4 forbids EXTERNAL for integers (cram_external_encode_init,
+    # cram_codecs.c:597): the length sub-encoding becomes VARINT_UNSIGNED
+    if vv.v4:
+        inner = (_enc_encoding_varint(cid, vv, False)
+                 + _enc_encoding_external(cid, vv))
+    else:
+        inner = (_enc_encoding_external(cid, vv)
+                 + _enc_encoding_external(cid, vv))
+    return vv.put32(E_BYTE_ARRAY_LEN) + vv.put32(len(inner)) + inner
 
 
 class _Stream:
-    __slots__ = ("buf",)
+    """One data-series byte stream; integer writes follow the file
+    version's varint vtable (ITF8 for CRAM <4, uint7/sint7 for CRAM 4)."""
+    __slots__ = ("buf", "vv")
 
-    def __init__(self):
+    def __init__(self, vv: VarintVec):
         self.buf = bytearray()
+        self.vv = vv
 
+    def vint(self, v: int):
+        self.buf += self.vv.put32(v)
+
+    def vints(self, v: int):
+        self.buf += self.vv.put32s(v)
+
+    # kept for callers that want explicit ITF8 regardless of version
     def itf8(self, v: int):
         self.buf += itf8_encode(v)
 
@@ -143,7 +171,10 @@ class CodecMetrics:
 
 def _write_block(out: bytearray, method: int, content_type: int,
                  content_id: int, data: bytes,
-                 precompressed: Optional[bytes] = None) -> None:
+                 precompressed: Optional[bytes] = None,
+                 vv: Optional[VarintVec] = None) -> None:
+    if vv is None:
+        vv = varint_vec(3)
     if precompressed is not None:
         comp = precompressed
     elif method == GZIP:
@@ -151,8 +182,8 @@ def _write_block(out: bytearray, method: int, content_type: int,
         comp = co.compress(data) + co.flush()
     else:
         comp = data
-    hdr = bytes([method, content_type]) + itf8_encode(content_id) \
-        + itf8_encode(len(comp)) + itf8_encode(len(data))
+    hdr = bytes([method, content_type]) + vv.put32(content_id) \
+        + vv.put32(len(comp)) + vv.put32(len(data))
     crc = zlib.crc32(hdr + comp) & 0xFFFFFFFF
     out += hdr
     out += comp
@@ -225,6 +256,8 @@ class CramEncoder:
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
         self.metrics = CodecMetrics(v31=version >= (3, 1))
+        self.vv = varint_vec(version[0])
+        self.v4 = version[0] >= 4
         self._write_file_def()
         self._write_header_container()
 
@@ -235,17 +268,28 @@ class CramEncoder:
     def _container(self, blocks_payload: bytes, ref_id: int, start: int,
                    span: int, nrec: int, nbases: int, nblocks: int,
                    landmarks: List[int]) -> bytes:
+        vv = self.vv
         head = bytearray()
-        head += itf8_encode(ref_id)
-        head += itf8_encode(start)
-        head += itf8_encode(span)
-        head += itf8_encode(nrec)
-        head += ltf8_encode(self.record_counter)
-        head += ltf8_encode(nbases)
-        head += itf8_encode(nblocks)
-        head += itf8_encode(len(landmarks))
+        head += vv.put32s(ref_id)
+        if self.v4:
+            head += vv.put64(start)
+            head += vv.put64(span)
+        else:
+            head += vv.put32(start)
+            head += vv.put32(span)
+        head += vv.put32(nrec)
+        head += vv.put64(self.record_counter)
+        head += vv.put64(nbases)
+        head += vv.put32(nblocks)
+        head += vv.put32(len(landmarks))
         for lm in landmarks:
-            head += itf8_encode(lm)
+            head += vv.put32(lm)
+        if self.v4:
+            # CRAM 4 frames the length itself as a varint; the CRC covers
+            # every header byte (cram_io.c:3818-3825 varint_decode32_crc)
+            full = vv.put32(len(blocks_payload)) + bytes(head)
+            crc = zlib.crc32(full) & 0xFFFFFFFF
+            return full + struct.pack("<I", crc) + blocks_payload
         # CRC covers the 4-byte length + header varints (cram_io.c:3816)
         crc = zlib.crc32(struct.pack("<i", len(blocks_payload)) + bytes(head)) & 0xFFFFFFFF
         return (struct.pack("<i", len(blocks_payload)) + bytes(head)
@@ -257,7 +301,7 @@ class CramEncoder:
         # pad generously (cram_io.c writes a blank-padded header block)
         payload += b"\0" * 1024
         blocks = bytearray()
-        _write_block(blocks, RAW, CT_FILE_HEADER, 0, payload)
+        _write_block(blocks, RAW, CT_FILE_HEADER, 0, payload, vv=self.vv)
         cont = self._container(bytes(blocks), 0, 0, 0, 0, 0, 1, [0])
         self.fp.write(cont)
 
@@ -292,7 +336,7 @@ class CramEncoder:
 
     # ------------------------------------------------------------------
     def _write_data_container(self, recs: List[BamRecord]) -> None:
-        streams: Dict[int, _Stream] = defaultdict(_Stream)
+        streams: Dict[int, _Stream] = defaultdict(lambda: _Stream(self.vv))
         tag_dict: List[bytes] = []
         tag_lines: Dict[bytes, int] = {}
         used_tags: Dict[int, bytes] = {}
@@ -369,6 +413,13 @@ class CramEncoder:
                 link[j] = i
                 linked_down[i] = True
 
+        # CRAM 4 always delta-encodes AP (cram_encode.c:2203 pos_sorted ||
+        # MAJOR_VERS >= 4); the decoder's accumulator starts at the slice
+        # ref_seq_start (cram_decode.c last_apos init)
+        ap_delta = self.v4
+        last_pos = (start if (not multiref and slice_ref >= 0) else 0) \
+            if ap_delta else 0
+
         for i, rec in enumerate(recs):
             nbases += rec.l_qseq
             cf = CRAM_FLAG_PRESERVE_QUAL_SCORES
@@ -378,15 +429,19 @@ class CramEncoder:
                 cf |= CRAM_FLAG_DETACHED
             if rec.l_qseq == 0:
                 cf |= CRAM_FLAG_NO_SEQ
-            S("BF").itf8(rec.flag)
-            S("CF").itf8(cf)
+            S("BF").vint(rec.flag)
+            S("CF").vint(cf)
             if multiref:
-                S("RI").itf8(rec.tid)
-            S("RL").itf8(rec.l_qseq)
-            S("AP").itf8(rec.pos + 1)
+                S("RI").vints(rec.tid)
+            S("RL").vint(rec.l_qseq)
+            if ap_delta:
+                S("AP").vints(rec.pos + 1 - last_pos)
+                last_pos = rec.pos + 1
+            else:
+                S("AP").vint(rec.pos + 1)
             # RG kept as an ordinary stored tag (preserves tag order);
             # the RG series carries -1 so the decoder adds no duplicate
-            S("RG").itf8(-1)
+            S("RG").vints(-1)
             # names (RN, stop byte 0); with lossy_names only detached
             # records keep theirs (cram_encode.c lossy read-name mode)
             if not self.lossy_names:
@@ -398,16 +453,16 @@ class CramEncoder:
                     mf |= CRAM_M_REVERSE
                 if rec.flag & FMUNMAP:
                     mf |= CRAM_M_UNMAP
-                S("MF").itf8(mf)
+                S("MF").vint(mf)
                 if self.lossy_names:
                     # names kept only for detached records, in the
                     # decoder's MF->RN->NS read order
                     S("RN").raw(rec.qname + b"\0")
-                S("NS").itf8(rec.mtid)
-                S("NP").itf8(rec.mpos + 1)
-                S("TS").itf8(rec.isize)
+                S("NS").vints(rec.mtid)
+                S("NP").vint(rec.mpos + 1)
+                S("TS").vints(rec.isize)
             elif cf & CRAM_FLAG_MATE_DOWNSTREAM:
-                S("NF").itf8(link[i] - i - 1)
+                S("NF").vint(link[i] - i - 1)
             # aux tags
             line, vals = self._encode_tags(rec)
             tl = tag_lines.get(line)
@@ -415,11 +470,11 @@ class CramEncoder:
                 tl = len(tag_dict)
                 tag_lines[line] = tl
                 tag_dict.append(line)
-            S("TL").itf8(tl)
+            S("TL").vint(tl)
             for kid, val in vals:
                 used_tags[kid] = b""
                 st = streams[TAG_ID_BASE + kid]
-                st.itf8(len(val))
+                st.vint(len(val))
                 st.raw(val)
             if not (rec.flag & FUNMAP):
                 if multiref and use_ref:
@@ -449,24 +504,32 @@ class CramEncoder:
                  and ref_seq is not None)
         EMBED_REF_ID = 100  # clear of series ids, below TAG_ID_BASE
         all_ids = ext_ids + ([EMBED_REF_ID] if embed else [])
+        vv = self.vv
         slice_hdr = bytearray()
-        slice_hdr += itf8_encode(slice_ref)
-        slice_hdr += itf8_encode(start if slice_ref >= 0 else 0)
-        slice_hdr += itf8_encode(span)
-        slice_hdr += itf8_encode(len(recs))
-        slice_hdr += ltf8_encode(self.record_counter)
-        slice_hdr += itf8_encode(1 + len(all_ids))  # core + externals
-        slice_hdr += itf8_encode(len(all_ids))
+        slice_hdr += vv.put32s(slice_ref)
+        if self.v4:
+            slice_hdr += vv.put64(start if slice_ref >= 0 else 0)
+            slice_hdr += vv.put64(span)
+        else:
+            slice_hdr += vv.put32(start if slice_ref >= 0 else 0)
+            slice_hdr += vv.put32(span)
+        slice_hdr += vv.put32(len(recs))
+        slice_hdr += vv.put64(self.record_counter)
+        slice_hdr += vv.put32(1 + len(all_ids))  # core + externals
+        slice_hdr += vv.put32(len(all_ids))
         for cid in all_ids:
-            slice_hdr += itf8_encode(cid)
-        slice_hdr += itf8_encode(EMBED_REF_ID if embed else -1)
+            slice_hdr += vv.put32(cid)
+        # ref_base_id is written with the unsigned put (cram_encode.c:551
+        # varint_put32), so -1 goes on the wire as 0xFFFFFFFF under CRAM 4
+        slice_hdr += vv.put32(EMBED_REF_ID if embed
+                              else (0xFFFFFFFF if self.v4 else -1))
         slice_hdr += ref_md5
 
         blocks = bytearray()
-        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr)
+        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr, vv=vv)
         landmark0 = len(blocks)
-        _write_block(blocks, RAW, CT_MAPPED_SLICE, 0, bytes(slice_hdr))
-        _write_block(blocks, RAW, CT_CORE, 0, b"")
+        _write_block(blocks, RAW, CT_MAPPED_SLICE, 0, bytes(slice_hdr), vv=vv)
+        _write_block(blocks, RAW, CT_CORE, 0, b"", vv=vv)
         for cid in ext_ids:
             data = bytes(streams[cid].buf)
             method, comp = self.metrics.choose(cid, data)
@@ -482,11 +545,11 @@ class CramEncoder:
                 except ValueError:
                     pass
             _write_block(blocks, method, CT_EXTERNAL, cid, data,
-                         precompressed=comp if method != RAW else None)
+                         precompressed=comp if method != RAW else None, vv=vv)
         if embed:
             method, comp = self.metrics.choose(EMBED_REF_ID, ref_seq)
             _write_block(blocks, method, CT_EXTERNAL, EMBED_REF_ID, ref_seq,
-                         precompressed=comp if method != RAW else None)
+                         precompressed=comp if method != RAW else None, vv=vv)
         nblocks = 3 + len(all_ids)
         cont = self._container(bytes(blocks), slice_ref,
                                start if slice_ref >= 0 else 0, span,
@@ -624,23 +687,23 @@ class CramEncoder:
             elif op == BAM_CPAD:
                 payload.append(("P", ln))
                 feats.append((qpos, "P"))
-        S("FN").itf8(len(feats))
+        S("FN").vint(len(feats))
         prev = 0
         for (fpos, code), (code2, data) in zip(feats, payload):
             S("FC").byte(ord(code))
-            S("FP").itf8(fpos - prev)
+            S("FP").vint(fpos - prev)
             prev = fpos
             if code == "b":
                 st = S("BB")
-                st.itf8(len(data))
+                st.vint(len(data))
                 st.raw(data)
             elif code == "I":
                 st = S("IN")
-                st.itf8(len(data))
+                st.vint(len(data))
                 st.raw(data)
             elif code == "S":
                 st = S("SC")
-                st.itf8(len(data))
+                st.vint(len(data))
                 st.raw(data)
             elif code == "X":
                 S("BS").byte(data)
@@ -648,34 +711,42 @@ class CramEncoder:
                 S("BA").byte(data[0])
                 S("QS").byte(data[1])
             elif code == "D":
-                S("DL").itf8(data)
+                S("DL").vint(data)
             elif code == "N":
-                S("RS").itf8(data)
+                S("RS").vint(data)
             elif code == "H":
-                S("HC").itf8(data)
+                S("HC").vint(data)
             elif code == "P":
-                S("PD").itf8(data)
-        S("MQ").itf8(rec.mapq)
+                S("PD").vint(data)
+        S("MQ").vint(rec.mapq)
 
     # ------------------------------------------------------------------
+    # data series carried as raw bytes (EXTERNAL under every version);
+    # the rest are integers (EXTERNAL+ITF8 for CRAM <4, VARINT for CRAM 4)
+    _BYTE_SERIES = {"FC", "BS", "BA", "QS"}
+    # integer series that can go negative and need VARINT_SIGNED in CRAM 4
+    _SIGNED_SERIES = {"RI", "AP", "RG", "NS", "TS"}
+
     def _compression_header(self, tag_dict: List[bytes],
                             used_tag_ids: List[int], multiref: bool,
                             used_cids: set, no_ref: bool = True) -> bytes:
+        vv = self.vv
         # preservation map
         pres = bytearray()
         n = 0
-        for key, val in (("RN", 0 if self.lossy_names else 1), ("AP", 0),
+        for key, val in (("RN", 0 if self.lossy_names else 1),
+                         ("AP", 1 if self.v4 else 0),
                          ("RR", 0 if no_ref else 1)):
             pres += key.encode() + bytes([val])
             n += 1
         pres += b"SM" + bytes([0x1B] * 5)
         n += 1
         td_blob = b"".join(line + b"\0" for line in tag_dict)
-        pres += b"TD" + itf8_encode(len(td_blob)) + td_blob
+        pres += b"TD" + vv.put32(len(td_blob)) + td_blob
         n += 1
-        pres_full = itf8_encode(n) + bytes(pres)
+        pres_full = vv.put32(n) + bytes(pres)
         out = bytearray()
-        out += itf8_encode(len(pres_full)) + pres_full
+        out += vv.put32(len(pres_full)) + pres_full
         # data series encodings
         ds = bytearray()
         nds = 0
@@ -683,24 +754,27 @@ class CramEncoder:
             if cid not in used_cids:
                 continue
             if key == "RN":
-                enc = _enc_encoding_byte_array_stop(0, cid)
+                enc = _enc_encoding_byte_array_stop(0, cid, vv)
             elif key in ("BB", "IN", "SC"):
-                enc = _enc_encoding_byte_array_len(cid)
+                enc = _enc_encoding_byte_array_len(cid, vv)
+            elif self.v4 and key not in self._BYTE_SERIES:
+                enc = _enc_encoding_varint(cid, vv,
+                                           key in self._SIGNED_SERIES)
             else:
-                enc = _enc_encoding_external(cid)
+                enc = _enc_encoding_external(cid, vv)
             ds += key.encode() + enc
             nds += 1
-        ds_full = itf8_encode(nds) + bytes(ds)
-        out += itf8_encode(len(ds_full)) + ds_full
+        ds_full = vv.put32(nds) + bytes(ds)
+        out += vv.put32(len(ds_full)) + ds_full
         # tag encodings
         te = bytearray()
         nte = 0
         for kid in used_tag_ids:
-            te += itf8_encode(kid)
-            te += _enc_encoding_byte_array_len(TAG_ID_BASE + kid)
+            te += vv.put32(kid)
+            te += _enc_encoding_byte_array_len(TAG_ID_BASE + kid, vv)
             nte += 1
-        te_full = itf8_encode(nte) + bytes(te)
-        out += itf8_encode(len(te_full)) + te_full
+        te_full = vv.put32(nte) + bytes(te)
+        out += vv.put32(len(te_full)) + te_full
         return bytes(out)
 
     # ------------------------------------------------------------------
@@ -712,11 +786,13 @@ class CramEncoder:
 
     def _write_eof(self):
         blocks = bytearray()
-        # minimal empty compression header block
-        empty = (itf8_encode(1) + itf8_encode(0)
-                 + itf8_encode(1) + itf8_encode(0)
-                 + itf8_encode(1) + itf8_encode(0))
-        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, empty)
+        # minimal empty compression header block ("01 00" x3 under every
+        # version: uint7 and ITF8 agree on 0 and 1)
+        vv = self.vv
+        empty = (vv.put32(1) + vv.put32(0)
+                 + vv.put32(1) + vv.put32(0)
+                 + vv.put32(1) + vv.put32(0))
+        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, empty, vv=vv)
         saved = self.record_counter
         self.record_counter = 0
         cont = self._container(bytes(blocks), -1, 0x454F46, 0, 0, 0, 1, [0])

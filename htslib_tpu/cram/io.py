@@ -18,6 +18,7 @@ from htslib_tpu.cram.structs import (ARITH, BZIP2, CT_COMPRESSION_HEADER,
                                      CT_CORE, CT_EXTERNAL, CT_FILE_HEADER,
                                      CT_MAPPED_SLICE, FQZ, GZIP, LZMA, RANS,
                                      RANSPR, RAW, TOK3)
+from htslib_tpu.cram.v4 import varint_vec
 from htslib_tpu.util.log import log_warning
 
 
@@ -92,55 +93,76 @@ class CramIO:
     def __init__(self, fp, version: Tuple[int, int]):
         self.fp = fp
         self.version = version
+        self.vv = varint_vec(version[0])
 
     @property
     def vmajor(self) -> int:
         return self.version[0]
 
     def read_container_header(self) -> Optional[CramContainer]:
-        """cram_read_container (cram_io.c:3786)."""
+        """cram_read_container (cram_io.c:3786).  CRAM <4 frames the
+        length as a 4-byte LE int and the rest as ITF8/LTF8; CRAM 4 is
+        all uint7/sint7 varints (cram_io.c:3803-3825), with the CRC32
+        covering every header byte in both cases."""
+        vv = self.vv
         offset = self.fp.tell()
-        head = self.fp.read(4)
-        if len(head) < 4:
-            return None
-        (length,) = struct.unpack("<i", head)
-        # read enough for the varint fields
-        buf = self.fp.read(128)
-        if len(buf) == 0:
-            return None
-        p = 0
-        ref_seq_id, p = itf8_decode(buf, p)
-        ref_seq_start, p = itf8_decode(buf, p)
-        ref_seq_span, p = itf8_decode(buf, p)
-        num_records, p = itf8_decode(buf, p)
+        if self.vmajor >= 4:
+            buf = self.fp.read(256)
+            if len(buf) == 0:
+                return None
+            p = 0
+            length, p = vv.get32(buf, p)
+            hdr_from = 0
+        else:
+            head = self.fp.read(4)
+            if len(head) < 4:
+                return None
+            (length,) = struct.unpack("<i", head)
+            buf = self.fp.read(192)
+            if len(buf) == 0:
+                return None
+            p = 0
+            hdr_from = None  # crc seeded with the 4-byte length below
+        ref_seq_id, p = vv.get32s(buf, p)
+        if self.vmajor >= 4:
+            ref_seq_start, p = vv.get64(buf, p)
+            ref_seq_span, p = vv.get64(buf, p)
+        else:
+            ref_seq_start, p = vv.get32(buf, p)
+            ref_seq_span, p = vv.get32(buf, p)
+        num_records, p = vv.get32(buf, p)
         if self.vmajor >= 3:
-            record_counter, p = ltf8_decode(buf, p)
+            record_counter, p = vv.get64(buf, p)
         elif self.vmajor == 2:
-            record_counter, p = itf8_decode(buf, p)
+            record_counter, p = vv.get32(buf, p)
         else:
             record_counter = 0
         if self.vmajor > 1:
-            num_bases, p = ltf8_decode(buf, p)
+            num_bases, p = vv.get64(buf, p)
         else:
             num_bases = 0
-        num_blocks, p = itf8_decode(buf, p)
-        nland, p = itf8_decode(buf, p)
+        num_blocks, p = vv.get32(buf, p)
+        nland, p = vv.get32(buf, p)
         landmarks = []
         # ensure buffer is large enough for landmarks + crc
-        need = p + nland * 5 + 4
+        need = p + nland * 10 + 4
         while len(buf) < need:
             more = self.fp.read(need - len(buf))
             if not more:
                 break
             buf += more
         for _ in range(nland):
-            v, p = itf8_decode(buf, p)
+            v, p = vv.get32(buf, p)
             landmarks.append(v)
         crc = 0
         if self.vmajor >= 3:
             crc = struct.unpack_from("<I", buf, p)[0]
+            got = zlib.crc32(buf[:p] if hdr_from == 0
+                             else head + buf[:p]) & 0xFFFFFFFF
+            if got != crc:
+                raise IOError("CRAM container header CRC32 mismatch")
             p += 4
-        data_offset = offset + 4 + p
+        data_offset = offset + (0 if hdr_from == 0 else 4) + p
         self.fp.seek(data_offset)
         return CramContainer(length, ref_seq_id, ref_seq_start, ref_seq_span,
                              num_records, record_counter, num_bases,
@@ -148,15 +170,16 @@ class CramIO:
 
     def read_block(self) -> CramBlock:
         """cram_read_block (cram_io.c framing)."""
+        vv = self.vv
         hdr = self.fp.read(2)
         if len(hdr) < 2:
             raise IOError("truncated CRAM block")
         method, content_type = hdr[0], hdr[1]
-        buf = self.fp.read(15)
+        buf = self.fp.read(30 if self.vmajor >= 4 else 15)
         p = 0
-        content_id, p = itf8_decode(buf, p)
-        comp_size, p = itf8_decode(buf, p)
-        raw_size, p = itf8_decode(buf, p)
+        content_id, p = vv.get32(buf, p)
+        comp_size, p = vv.get32(buf, p)
+        raw_size, p = vv.get32(buf, p)
         data = buf[p:]
         if len(data) >= comp_size:
             extra = data[comp_size:]
