@@ -63,17 +63,17 @@ def build_test_bam(path, n_records=400000, read_len=100, seed=42):
 
 def bench_host(bam_path, trials=6):
     from htslib_tpu.sam import BamReader
-    from htslib_tpu.sam.batch import bam_stream_to_sam
+    from htslib_tpu.sam.batch import bam_file_to_sam
+    # uncompressed payload size for the GB/s numerator (same input-bytes
+    # convention as htslib test_view benchmarking)
+    with BamReader(bam_path) as r:
+        usize = len(r.fp.read_all())
     best = None
     out_len = 0
-    usize = 0
     for _ in range(trials):
         t0 = time.time()
-        with BamReader(bam_path) as r:
-            data = r.fp.read_all()
-            out = bam_stream_to_sam(data, r.header)
+        hdr, out = bam_file_to_sam(bam_path)
         dt = time.time() - t0
-        usize = len(data)
         out_len = len(out)
         best = dt if best is None else min(best, dt)
     return usize, out_len, best

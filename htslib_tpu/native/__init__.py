@@ -70,6 +70,11 @@ class _Native:
             u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, u32p,
             ctypes.c_int32, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int]
+        lib.htstpu_bgzf_to_sam.restype = ctypes.c_int64
+        lib.htstpu_bgzf_to_sam.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u64p, u32p,
+            ctypes.c_int32, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_sam_to_bam.restype = ctypes.c_int64
         lib.htstpu_sam_to_bam.argtypes = [
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
@@ -232,6 +237,38 @@ class _Native:
             raise IOError("truncated BAM record stream")
         if r < 0:
             raise IOError(f"native SAM format failed on record {-(r + 3000)}")
+        cbuf = ctypes.cast(out_ptr,
+                           ctypes.POINTER(ctypes.c_uint8 * r)).contents
+        weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
+        return np.frombuffer(cbuf, np.uint8)
+
+    def bgzf_to_sam(self, raw: np.ndarray, u_skip: int,
+                    ref_names: List[str], verify_crc: bool = True,
+                    nthreads: int = 0) -> np.ndarray:
+        """Fully fused BGZF->SAM: block inflate + record scan + SAM
+        formatting overlap in one native thread team (the batch analogue
+        of bgzf.c:1598 + sam.c:3325 MT pipelines).  `u_skip` skips the
+        BAM header's uncompressed bytes.  Zero-copy uint8 result."""
+        import weakref
+        raw = np.ascontiguousarray(raw)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_bgzf_to_sam(
+            self._u8(raw), len(raw), u_skip,
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            1 if verify_crc else 0, ctypes.byref(out_ptr), nthreads)
+        if r in (-2, -3):
+            raise IOError("truncated or malformed BGZF/BAM stream")
+        if r < 0:
+            if r <= -3000:
+                raise IOError(f"native SAM format failed on record {-(r + 3000)}")
+            raise IOError(f"BGZF inflate failed on block {-(r + 1000)}")
         cbuf = ctypes.cast(out_ptr,
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)

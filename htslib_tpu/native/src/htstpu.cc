@@ -656,10 +656,11 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
       if (fmt_err.load(std::memory_order_relaxed) ||
           scan_err.load(std::memory_order_relaxed))
         return;
-      // record sizes are self-describing (u32 length prefix), so the
-      // worker never needs offs[] entries past its own batch
-      uint64_t est = (hi - lo) * ((len - start) / (total ? total : 1));
-      bufs[bi].reserve(est * 5 / 2 + 4096);
+      // exact batch byte span: records are contiguous in the stream
+      uint32_t last_bsz;
+      std::memcpy(&last_bsz, data + offs[hi - 1], 4);
+      uint64_t in_bytes = offs[hi - 1] + 4 + last_bsz - offs[lo];
+      bufs[bi].reserve(in_bytes * 5 / 2 + 4096);
       for (int64_t i = lo; i < hi; i++) {
         uint32_t bsz;
         std::memcpy(&bsz, data + offs[i], 4);
@@ -714,6 +715,228 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
 }
 
 void htstpu_buf_free(uint8_t* p) { free(p); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fully fused BGZF -> SAM pipeline: block inflate + record scan + format in
+// one thread team (the batch analogue of htslib's reader-thread + pool +
+// ordered-drain MT pipeline, bgzf.c:1598 / sam.c:3325)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DecompHolder {
+  libdeflate_decompressor* d = nullptr;
+  ~DecompHolder() {
+    if (d) libdeflate_free_decompressor(d);
+  }
+  libdeflate_decompressor* get() {
+    if (!d) d = libdeflate_alloc_decompressor();
+    return d;
+  }
+};
+thread_local DecompHolder t_decomp;
+
+}  // namespace
+
+extern "C" {
+
+// One call does everything the BAM->SAM hot path needs, overlapping all
+// three stages: workers inflate BGZF members into a shared uncompressed
+// buffer, the calling thread walks the record framing chasing the inflate
+// frontier (stealing inflate work while blocked), and workers that run out
+// of inflate jobs switch to formatting scanned record batches.  `u_skip` is
+// the uncompressed byte length of the BAM header to skip.  Returns total
+// SAM text length via *out_ptr (htstpu_buf_free to release), or
+// -2 truncated / -3 bad record / -(1000+i) inflate failure in block i /
+// -(3000+i) malformed record i.
+int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
+                           const uint8_t* name_buf, const uint64_t* name_offs,
+                           const uint32_t* name_lens, int32_t n_ref,
+                           int verify_crc, uint8_t** out_ptr, int nthreads) {
+  if (nthreads <= 0) nthreads = hardware_threads();
+  NameTable nt{name_buf, name_offs, name_lens, n_ref};
+
+  // 1. serial member scan (BSIZE hop; trivially cheap vs inflate)
+  std::vector<uint64_t> coffs, uoffs;
+  std::vector<uint32_t> csizes, usizes;
+  {
+    uint64_t pos = 0, uo = 0;
+    while (pos + kBlockHeader <= rlen) {
+      int64_t total = parse_bsize(raw + pos, rlen - pos);
+      if (total < 0) return -3;
+      if (pos + (uint64_t)total > rlen) return -2;
+      uint32_t isize;
+      std::memcpy(&isize, raw + pos + total - 4, 4);
+      coffs.push_back(pos);
+      csizes.push_back((uint32_t)total);
+      usizes.push_back(isize);
+      uoffs.push_back(uo);
+      uo += isize;
+      pos += total;
+    }
+    if (pos != rlen) return -2;
+  }
+  int64_t nblk = (int64_t)coffs.size();
+  uint64_t U = nblk ? uoffs[nblk - 1] + usizes[nblk - 1] : 0;
+  if (u_skip > U) return -2;
+  uint8_t* ubuf = (uint8_t*)malloc(U ? U : 1);
+  if (!ubuf) return -1;
+
+  // 2. shared pipeline state
+  std::atomic<int64_t> next_blk(0);
+  std::vector<std::atomic<uint8_t>> done(nblk);
+  for (auto& d : done) d.store(0, std::memory_order_relaxed);
+  std::atomic<int64_t> err(0);
+
+  auto inflate_one = [&]() -> bool {
+    int64_t i = next_blk.fetch_add(1, std::memory_order_relaxed);
+    if (i >= nblk) return false;
+    const uint8_t* p = raw + coffs[i];
+    uint32_t csize = csizes[i], usize = usizes[i];
+    unsigned xlen = p[10] | (p[11] << 8);
+    if (12u + xlen + kBlockFooter > csize) {
+      err.store(-(1000 + i), std::memory_order_relaxed);
+      done[i].store(1, std::memory_order_release);
+      return true;
+    }
+    const uint8_t* payload = p + 12 + xlen;
+    size_t paylen = csize - (12 + xlen) - kBlockFooter;
+    size_t actual = 0;
+    enum libdeflate_result r = libdeflate_deflate_decompress(
+        t_decomp.get(), payload, paylen, ubuf + uoffs[i], usize, &actual);
+    if (r != LIBDEFLATE_SUCCESS || actual != usize) {
+      err.store(-(1000 + i), std::memory_order_relaxed);
+    } else if (verify_crc) {
+      uint32_t want;
+      std::memcpy(&want, p + csize - 8, 4);
+      if (libdeflate_crc32(0, ubuf + uoffs[i], usize) != want)
+        err.store(-(1000 + i), std::memory_order_relaxed);
+    }
+    done[i].store(1, std::memory_order_release);
+    return true;
+  };
+
+  // record scan + format chase state (as htstpu_bam_scan_format)
+  const int64_t kBatch = 4096;
+  uint64_t cap = (U - u_skip) / 36 + 1;
+  std::vector<uint64_t> offs(cap);
+  std::atomic<int64_t> n_scanned(0);
+  std::atomic<bool> scan_done(false);
+  std::atomic<int64_t> next_batch(0);
+  int64_t max_batches = (int64_t)(cap + kBatch - 1) / kBatch;
+  std::vector<Buf> bufs(max_batches);
+
+  auto format_batches = [&]() {
+    for (;;) {
+      int64_t bi = next_batch.fetch_add(1, std::memory_order_relaxed);
+      int64_t lo = bi * kBatch;
+      for (;;) {
+        int64_t ns = n_scanned.load(std::memory_order_acquire);
+        if (ns >= lo + kBatch || scan_done.load(std::memory_order_acquire))
+          break;
+        if (err.load(std::memory_order_relaxed)) return;
+        std::this_thread::yield();
+      }
+      int64_t total = n_scanned.load(std::memory_order_acquire);
+      if (lo >= total) return;
+      int64_t hi = std::min<int64_t>(total, lo + kBatch);
+      if (err.load(std::memory_order_relaxed)) return;
+      // exact batch byte span: records are contiguous in the stream
+      uint32_t last_bsz;
+      std::memcpy(&last_bsz, ubuf + offs[hi - 1], 4);
+      uint64_t in_bytes = offs[hi - 1] + 4 + last_bsz - offs[lo];
+      bufs[bi].reserve(in_bytes * 5 / 2 + 4096);
+      for (int64_t i = lo; i < hi; i++) {
+        uint32_t bsz;
+        std::memcpy(&bsz, ubuf + offs[i], 4);
+        if (format_record(ubuf + offs[i] + 4, bsz, nt, &bufs[bi]) < 0) {
+          err.store(-(3000 + i), std::memory_order_relaxed);
+          return;
+        }
+      }
+    }
+  };
+
+  auto worker = [&]() {
+    while (inflate_one()) {
+      if (err.load(std::memory_order_relaxed)) break;
+    }
+    format_batches();
+  };
+
+  std::vector<std::thread> team;
+  for (int i = 1; i < nthreads; i++) team.emplace_back(worker);
+
+  // 3. scanner on the calling thread: chase the inflate frontier, stealing
+  // inflate jobs while blocked on not-yet-decompressed bytes
+  {
+    int64_t fblk = 0;
+    uint64_t frontier = 0;
+    auto wait_frontier = [&](uint64_t need) -> bool {
+      for (;;) {
+        while (fblk < nblk && done[fblk].load(std::memory_order_acquire)) {
+          frontier = uoffs[fblk] + usizes[fblk];
+          fblk++;
+        }
+        if (frontier >= need || fblk >= nblk) return frontier >= need;
+        if (err.load(std::memory_order_relaxed)) return false;
+        if (!inflate_one()) std::this_thread::yield();
+      }
+    };
+    uint64_t pos = u_skip;
+    int64_t n = 0;
+    for (;;) {
+      if (pos == U) break;
+      if (pos + 4 > U) { err.store(-2); break; }
+      if (!wait_frontier(pos + 4)) break;
+      uint32_t bsz;
+      std::memcpy(&bsz, ubuf + pos, 4);
+      if (bsz < 32 || pos + 4 + (uint64_t)bsz > U) {
+        err.store(bsz < 32 ? -3 : -2);
+        break;
+      }
+      if (!wait_frontier(pos + 4 + bsz)) break;
+      offs[n++] = pos;
+      pos += 4 + (uint64_t)bsz;
+      if ((n & 1023) == 0) n_scanned.store(n, std::memory_order_release);
+    }
+    n_scanned.store(n, std::memory_order_release);
+    scan_done.store(true, std::memory_order_release);
+  }
+  format_batches();
+  for (auto& th : team) th.join();
+
+  int64_t e = err.load();
+  if (e) {
+    free(ubuf);
+    return e;
+  }
+
+  // 4. assemble
+  int64_t n = n_scanned.load();
+  int64_t nb = (n + kBatch - 1) / kBatch;
+  int64_t total = 0;
+  for (int64_t i = 0; i < nb; i++) total += bufs[i].len();
+  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
+  if (!out) {
+    free(ubuf);
+    return -1;
+  }
+  std::vector<int64_t> starts(nb);
+  int64_t acc = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    starts[i] = acc;
+    acc += bufs[i].len();
+  }
+  parallel_for(nb, nthreads, [&](int64_t i) {
+    memcpy(out + starts[i], bufs[i].data(), bufs[i].len());
+  });
+  free(ubuf);
+  *out_ptr = out;
+  return total;
+}
 
 }  // extern "C"
 

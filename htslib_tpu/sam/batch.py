@@ -712,6 +712,28 @@ def bam_stream_to_sam(data: np.ndarray, header: SamHeader,
     return np.frombuffer(out, np.uint8)
 
 
+def bam_file_to_sam(path: str):
+    """One call BAM file -> SAM text: the fully fused native pipeline
+    (BGZF inflate workers + record scanner chasing the inflate frontier +
+    format workers, htstpu_bgzf_to_sam) — the batch analogue of running
+    htslib's bgzf.c:1598 and sam.c:3652 MT pipelines back to back with no
+    intermediate handoff.  Returns (header, sam_text uint8 array); falls
+    back to the staged inflate-then-format path without the native lib."""
+    from htslib_tpu.native import native
+    from htslib_tpu.sam.bam import BamReader
+    with BamReader(path) as r:
+        hdr = r.header
+        if native is not None and isinstance(path, str):
+            u_skip = r.fp.utell()
+            try:
+                raw = np.fromfile(path, np.uint8)
+                return hdr, native.bgzf_to_sam(raw, u_skip, hdr.ref_names)
+            except (IOError, OSError):
+                pass  # non-BGZF input or malformed record: staged path
+        data = r.fp.read_all()
+        return hdr, bam_stream_to_sam(data, hdr)
+
+
 def sam_text_to_bam(text: bytes, header: SamHeader) -> np.ndarray:
     """Batch SAM text -> BAM record stream (u32 length-prefixed records),
     the sam_parse_worker direction (sam.c:3215).  Native multithreaded

@@ -118,3 +118,29 @@ def test_sam_text_to_bam_rejects_garbage():
     with pytest.raises((IOError, ValueError)):
         # SEQ/QUAL length mismatch (sam_parse1 errors)
         sam_text_to_bam(b"r1\t0\tc1\t1\t0\t4M\t*\t0\t0\tACGT\t##\n", hdr)
+
+
+BAM_CORPUS = sorted(
+    os.path.basename(p) for p in glob.glob(os.path.join(REF_TEST, "*.bam"))
+    if not p.endswith((".bai", ".csi"))
+) if os.path.isdir(REF_TEST) else []
+
+
+@pytest.mark.parametrize("fname", BAM_CORPUS or ["skip"])
+def test_fused_bgzf_to_sam_matches_staged(fname):
+    """The single-call fused native pipeline (inflate + scan + format
+    overlapped, htstpu_bgzf_to_sam) must be byte-identical to the staged
+    path on every corpus BAM."""
+    if fname == "skip":
+        pytest.skip("no corpus")
+    from htslib_tpu.sam.batch import bam_file_to_sam
+    path = ref_path(fname)
+    try:
+        with BamReader(path) as r:
+            hdr = r.header
+            staged = bam_stream_to_sam(r.fp.read_all(), hdr)
+    except IOError:
+        pytest.skip(f"{fname} is not a plain readable BAM")
+    hdr2, fused = bam_file_to_sam(path)
+    assert hdr2.text == hdr.text
+    assert bytes(fused) == bytes(staged)
