@@ -162,10 +162,11 @@ class CramWriter:
     see htslib_tpu.cram.encode."""
 
     def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0,
-                 version=(3, 0)):
+                 version=(3, 0), write_index=False):
         from htslib_tpu.cram.encode import CramEncoder
         self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref,
-                                lossy_names=lossy_names, version=version)
+                                lossy_names=lossy_names, version=version,
+                                write_index=write_index)
         self.header = header
 
     def write(self, rec: BamRecord) -> None:

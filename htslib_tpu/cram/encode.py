@@ -235,8 +235,12 @@ class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 1000,
                  version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
-                 lossy_names: int = 0):
+                 lossy_names: int = 0, write_index: bool = False):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
+        # on-the-fly .crai (cram_index_slice, cram_index.c:695)
+        self.index_entries = [] if write_index else None
+        self.index_path = (dst + ".crai") if (write_index
+                                              and isinstance(dst, str)) else None
         self.header = header
         self.refs = None
         if ref is not None:
@@ -551,10 +555,36 @@ class CramEncoder:
             _write_block(blocks, method, CT_EXTERNAL, EMBED_REF_ID, ref_seq,
                          precompressed=comp if method != RAW else None, vv=vv)
         nblocks = 3 + len(all_ids)
+        cpos = self.fp.tell() if self.index_entries is not None else 0
         cont = self._container(bytes(blocks), slice_ref,
                                start if slice_ref >= 0 else 0, span,
                                len(recs), nbases, nblocks, [landmark0])
         self.fp.write(cont)
+        if self.index_entries is not None:
+            from htslib_tpu.cram.index import CraiEntry
+            ssize = len(blocks) - landmark0
+            if multiref:
+                # per-refid extents (cram_index_build_multiref)
+                by_ref: Dict[int, Tuple[int, int]] = {}
+                for rec in recs:
+                    lo, hi = by_ref.get(rec.tid, (1 << 62, -1))
+                    by_ref[rec.tid] = (min(lo, rec.pos + 1),
+                                       max(hi, rec.endpos()))
+                for tid, (lo, hi) in by_ref.items():
+                    if tid < 0:
+                        self.index_entries.append(
+                            CraiEntry(-1, 0, 0, cpos, landmark0, ssize))
+                    else:
+                        self.index_entries.append(
+                            CraiEntry(tid, lo, hi - lo + 1, cpos,
+                                      landmark0, ssize))
+            elif slice_ref < 0:
+                self.index_entries.append(
+                    CraiEntry(-1, 0, 0, cpos, landmark0, ssize))
+            else:
+                self.index_entries.append(
+                    CraiEntry(slice_ref, start, span, cpos, landmark0,
+                              ssize))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -783,6 +813,9 @@ class CramEncoder:
         self._write_eof()
         self.fp.flush()
         self.fp.close()
+        if self.index_entries is not None and self.index_path:
+            from htslib_tpu.cram.index import CramIndex
+            CramIndex(self.index_entries).save(self.index_path)
 
     def _write_eof(self):
         blocks = bytearray()

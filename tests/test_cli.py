@@ -118,3 +118,59 @@ def test_regidx_from_bed_file():
     idx = regidx_from_file(ref_path("tabix", "bed_file.bed"), parse_bed)
     assert idx.nregs() > 0
     assert idx.has_overlap("Y", 100100, 100200)
+
+
+@pytest.mark.skipif(not has_ref("tabix/vcf_file.vcf"), reason="no corpus")
+def test_tabix_header_reheader_separate(tmp_path):
+    """tabix -h/-H/-r/--separate-regions/-R (tabix.c:598-607 options)."""
+    src = ref_path("tabix", "vcf_file.vcf")
+    data = open(src, "rb").read()
+    gz = str(tmp_path / "v.vcf.gz")
+    bgzf.bgzf_compress_file(src, gz) if hasattr(bgzf, "bgzf_compress_file") \
+        else None
+    if not os.path.exists(gz):
+        w = bgzf.BGZFWriter(gz)
+        w.write(data)
+        w.close()
+    assert run_cli("tabix", "-p", "vcf", gz).returncode == 0
+
+    hdr_lines = [l for l in data.decode().splitlines() if l.startswith("#")]
+    r = run_cli("tabix", "-H", gz)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.decode().splitlines() == hdr_lines
+
+    # -h prints the header before the region output
+    r = run_cli("tabix", "-h", gz, "1:3000151-3000151")
+    out_lines = r.stdout.decode().splitlines()
+    assert out_lines[:len(hdr_lines)] == hdr_lines
+    assert any("3000151" in l for l in out_lines[len(hdr_lines):])
+
+    # --separate-regions prefixes each region block with "#region"
+    r = run_cli("tabix", "--separate-regions", gz,
+                "1:3000151-3000151", "1:3000151-3000151")
+    body = r.stdout.decode().splitlines()
+    assert body.count("#1:3000151-3000151") == 2
+
+    # -R region file
+    rf = str(tmp_path / "regions.txt")
+    open(rf, "w").write("1:3000151-3000151\n")
+    r = run_cli("tabix", "-R", rf, gz)
+    assert any("3000151" in l for l in r.stdout.decode().splitlines())
+
+    # -r replaces the header
+    new_hdr = str(tmp_path / "new.hdr")
+    open(new_hdr, "w").write("##fileformat=VCFv4.1\n##newheader=1\n#CHROM\n")
+    r = run_cli("tabix", "-r", new_hdr, gz)
+    assert r.returncode == 0, r.stderr
+    out_gz = str(tmp_path / "rehdr.vcf.gz")
+    open(out_gz, "wb").write(r.stdout)
+    with bgzf.BGZFReader(out_gz) as fp:
+        text = bytes(fp.read_all()).decode()
+    lines = text.splitlines()
+    assert lines[0] == "##fileformat=VCFv4.1"
+    assert lines[1] == "##newheader=1"
+    assert lines[2] == "#CHROM"
+    # body preserved verbatim
+    body_want = [l for l in data.decode().splitlines()
+                 if not l.startswith("#")]
+    assert lines[3:] == body_want
