@@ -213,9 +213,11 @@ def probaln_glocal(ref: bytes, query: bytes, iqual: bytes,
 # sam_prob_realn (realn.c:106)
 # ---------------------------------------------------------------------------
 
-def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
+def _realn_setup(b: BamRecord, ref: str, flag: int):
+    """Front half of sam_prob_realn (realn.c:106): tag fixes, early
+    exits, band/window computation, sequence translation.  Returns
+    ('done', code) or ('run', (qual, conf, xb, tref, tseq))."""
     apply_baq = flag & BAQ_APPLY
-    extend_baq = flag & BAQ_EXTEND
     redo_baq = flag & BAQ_REDO
     conf = ProbalnParams(0.001, 0.1, 10)
     if b.l_qseq > 1000:
@@ -223,7 +225,7 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
     ref_len = len(ref)
     qual = bytearray(b.qual)
     if (b.flag & FUNMAP) or b.l_qseq == 0 or (qual and qual[0] == 0xFF):
-        return -1
+        return "done", -1
     fix_bq = False
     bq = b.get_aux("BQ")
     zq = b.get_aux("ZQ")
@@ -231,7 +233,7 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
         if len(bq) != b.l_qseq:
             fix_bq = True
     if zq is not None and len(zq) != b.l_qseq:
-        return -4
+        return "done", -4
     if bq is not None and redo_baq:
         b.del_aux("BQ")
         bq = None
@@ -243,7 +245,7 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
         bq = None
     if bq is not None or zq is not None:
         if (apply_baq and zq is not None) or (not apply_baq and bq is not None):
-            return -3
+            return "done", -3
         if bq is not None and apply_baq:
             bqb = bq.encode("latin-1")
             for i in range(b.l_qseq):
@@ -260,7 +262,7 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
             val = zq
             b.del_aux("ZQ")
             b.set_aux("BQ", "Z", val)
-        return 0
+        return "done", 0
 
     # alignment extent
     x, y = b.pos, 0
@@ -281,9 +283,9 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
         elif op == BAM_CDEL:
             x += l
         elif op == BAM_CREF_SKIP:
-            return -1
+            return "done", -1
     if xb == -1:
-        return -1
+        return "done", -1
     bw = 7
     if abs((xe - xb) - (ye - yb)) > bw:
         bw = abs((xe - xb) - (ye - yb)) + 3
@@ -305,10 +307,64 @@ def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
     if xe > ref_len:
         xe = ref_len
     tref = bytes(_NT16_INT[int(_NT16_TABLE[ord(c)])] for c in ref[xb:xe])
+    return "run", (qual, conf, xb, tref, tseq)
+
+
+def sam_prob_realn(b: BamRecord, ref: str, flag: int = 0) -> int:
+    kind, payload = _realn_setup(b, ref, flag)
+    if kind == "done":
+        return payload
+    qual, conf, xb, tref, tseq = payload
     res = probaln_glocal(tref, tseq, bytes(qual), conf, want_map=True)
     if res[0] == -(1 << 31):
         return -4
     _, state, q = res
+    return _realn_apply(b, qual, xb, state, q, flag)
+
+
+def sam_prob_realn_batch(recs, ref: str, flag: int = 0) -> List[int]:
+    """Batched sam_prob_realn: the banded-HMM MAP runs for the whole
+    batch at once through the device kernel (ops.probaln.probaln_batch,
+    the TPU formulation of probaln.c:77); tag bookkeeping and BAQ
+    application stay per-record.  Returns one sam_prob_realn code per
+    input record.  Falls back to the scalar path when JAX is
+    unavailable."""
+    codes: List[Optional[int]] = [None] * len(recs)
+    runs = []   # (index, qual, conf, xb, tref, tseq)
+    for i, b in enumerate(recs):
+        kind, payload = _realn_setup(b, ref, flag)
+        if kind == "done":
+            codes[i] = payload
+        else:
+            runs.append((i,) + payload)
+    # group by HMM params: reads >1000bp use d=1e-7 (sam_prob_realn)
+    groups = {}
+    for run in runs:
+        groups.setdefault((run[2].d, run[2].e), []).append(run)
+    for (d, e), grp in groups.items():
+        try:
+            from htslib_tpu.ops.probaln import probaln_batch_host
+            results = probaln_batch_host(
+                [r[4] for r in grp], [r[5] for r in grp],
+                [bytes(r[1]) for r in grp],
+                bws=[r[2].bw for r in grp], d=d, e=e)
+        except ImportError:  # no jax: scalar fallback
+            results = [probaln_glocal(r[4], r[5], bytes(r[1]), r[2],
+                                      want_map=True) for r in grp]
+        for (i, qual, conf, xb, tref, tseq), (Pr, state, q) in zip(
+                grp, results):
+            if Pr == -(1 << 31):
+                codes[i] = -4
+            else:
+                codes[i] = _realn_apply(recs[i], qual, xb, state, q, flag)
+    return codes
+
+
+def _realn_apply(b: BamRecord, qual, xb: int, state, q, flag: int) -> int:
+    """Back half of sam_prob_realn (realn.c): convert MAP states into
+    BQ/ZQ offsets, optionally extend across match runs, apply."""
+    apply_baq = flag & BAQ_APPLY
+    extend_baq = flag & BAQ_EXTEND
     bq_arr = bytearray(qual)
     if not extend_baq:
         x, y = b.pos, 0
