@@ -27,7 +27,8 @@ CRAM_EOF_START = 0x454F46  # container ref_seq_start magic in EOF block
 
 class CramReader:
     def __init__(self, src: Union[str, HFile], ref: Optional[str] = None,
-                 ignore_md5: bool = False, decode_md: bool = True):
+                 ignore_md5: bool = False, decode_md: bool = True,
+                 required_fields: int = 0):
         if isinstance(src, str):
             self.fp = hopen(src, "rb")
             self.name = src
@@ -40,6 +41,9 @@ class CramReader:
         self.refs = RefRegistry(self.header, fasta=ref,
                                 ignore_md5=ignore_md5)
         self.decode_md = decode_md
+        # CRAM_OPT_REQUIRED_FIELDS (SAM_* bits; 0 = everything): series
+        # whose blocks are not needed are never even uncompressed
+        self.required_fields = required_fields
         self._rec_queue: List[BamRecord] = []
         self._qi = 0
         self._eof = False
@@ -77,7 +81,8 @@ class CramReader:
             blocks = [self.io.read_block() for _ in range(sh.num_blocks)]
             out.extend(decode_slice(chdr, sh, blocks, self.header,
                                     self.refs.get, self.version[0],
-                                    decode_md=self.decode_md))
+                                    decode_md=self.decode_md,
+                                    required_fields=self.required_fields))
         return out
 
     def _next_container(self) -> bool:

@@ -112,8 +112,17 @@ class SliceStreams:
 # codecs
 # ---------------------------------------------------------------------------
 
+CORE_ID = -1  # sentinel for the CORE bit stream in block_ids()
+
+
 class Codec:
     codec_id = E_NULL
+
+    def block_ids(self) -> set:
+        """Content ids this codec consumes (CORE_ID for the core bit
+        stream) — the input to required-fields pruning
+        (cram_dependent_data_series, cram_decode.c:553)."""
+        return set()
 
     def read_int(self, st: SliceStreams) -> int:
         raise IOError(f"codec {type(self).__name__} cannot decode ints")
@@ -159,6 +168,9 @@ class ExternalCodec(Codec):
         (cram_external_get_block semantics)."""
         return st.external(self.content_id)
 
+    def block_ids(self) -> set:
+        return {self.content_id}
+
 
 class VarintCodec(Codec):
     """E_VARINT_UNSIGNED / E_VARINT_SIGNED (CRAM 4; cram_codecs.c:760
@@ -178,6 +190,9 @@ class VarintCodec(Codec):
 
     def get_block(self, st: SliceStreams) -> ExternalStream:
         return st.external(self.content_id)
+
+    def block_ids(self) -> set:
+        return {self.content_id}
 
 
 class ConstCodec(Codec):
@@ -204,6 +219,9 @@ class XPackCodec(Codec):
         self.nbits = nbits
         self.rmap = rmap
         self.sub = sub
+
+    def block_ids(self) -> set:
+        return self.sub.block_ids() | ({CORE_ID} if self.nbits else set())
 
     def _expand(self, st: SliceStreams) -> ExternalStream:
         key = id(self)
@@ -253,6 +271,9 @@ class XRleCodec(Codec):
         self.len_codec = len_codec
         self.lit_codec = lit_codec
 
+    def block_ids(self) -> set:
+        return self.len_codec.block_ids() | self.lit_codec.block_ids()
+
     def _expand(self, st: SliceStreams) -> ExternalStream:
         key = id(self)
         s = st.expanded.get(key)
@@ -296,6 +317,9 @@ class XDeltaCodec(Codec):
         self.word_size = word_size
         self.sub = sub
 
+    def block_ids(self) -> set:
+        return self.sub.block_ids()
+
     def read_bytes(self, st: SliceStreams, n: int) -> bytes:
         src = self.sub.get_block(st)
         w = self.word_size
@@ -337,6 +361,9 @@ class HuffmanCodec(Codec):
             if ln not in self._by_len:
                 self._by_len[ln] = (code, i)
 
+    def block_ids(self) -> set:
+        return set() if self.constant is not None else {CORE_ID}
+
     def read_int(self, st: SliceStreams) -> int:
         if self.constant is not None:
             return self.constant
@@ -363,6 +390,9 @@ class BetaCodec(Codec):
         self.offset = offset
         self.nbits = nbits
 
+    def block_ids(self) -> set:
+        return {CORE_ID}
+
     def read_int(self, st: SliceStreams) -> int:
         return st.core.get_bits(self.nbits) - self.offset
 
@@ -372,6 +402,9 @@ class GammaCodec(Codec):
 
     def __init__(self, offset: int):
         self.offset = offset
+
+    def block_ids(self) -> set:
+        return {CORE_ID}
 
     def read_int(self, st: SliceStreams) -> int:
         nz = 0
@@ -389,6 +422,9 @@ class SubexpCodec(Codec):
     def __init__(self, offset: int, k: int):
         self.offset = offset
         self.k = k
+
+    def block_ids(self) -> set:
+        return {CORE_ID}
 
     def read_int(self, st: SliceStreams) -> int:
         i = 0
@@ -409,6 +445,9 @@ class ByteArrayLenCodec(Codec):
         self.len_codec = len_codec
         self.val_codec = val_codec
 
+    def block_ids(self) -> set:
+        return self.len_codec.block_ids() | self.val_codec.block_ids()
+
     def read_array(self, st: SliceStreams) -> bytes:
         n = self.len_codec.read_int(st)
         return self.val_codec.read_bytes(st, n)
@@ -424,6 +463,9 @@ class ByteArrayStopCodec(Codec):
     def __init__(self, stop: int, content_id: int):
         self.stop = stop
         self.content_id = content_id
+
+    def block_ids(self) -> set:
+        return {self.content_id}
 
     def read_array(self, st: SliceStreams) -> bytes:
         return st.external(self.content_id).read_to(self.stop)

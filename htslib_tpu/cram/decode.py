@@ -30,6 +30,88 @@ from htslib_tpu.util.log import log_warning
 
 INT64_MIN = -(1 << 63)
 
+# SAM_* required-field bits (htslib/sam.h:35-50, used with
+# CRAM_OPT_REQUIRED_FIELDS / hts_set_opt)
+SAM_QNAME = 0x1
+SAM_FLAG = 0x2
+SAM_RNAME = 0x4
+SAM_POS = 0x8
+SAM_MAPQ = 0x10
+SAM_CIGAR = 0x20
+SAM_RNEXT = 0x40
+SAM_PNEXT = 0x80
+SAM_TLEN = 0x100
+SAM_SEQ = 0x200
+SAM_QUAL = 0x400
+SAM_AUX = 0x800
+SAM_RGAUX = 0x1000
+
+# the feature-playback series: decoded as a unit because the CIGAR and
+# sequence structure interleave (cram_decode_seq, cram_decode.c:1096)
+_FEAT_SERIES = ("FN", "FC", "FP", "BS", "IN", "SC", "DL", "HC", "PD",
+                "RS", "BB", "BA")
+
+
+def _active_series(hdr: "CompressionHeader", required: int):
+    """Required-fields pruning (cram_dependent_data_series,
+    cram_decode.c:553): decide which gated series groups decode, expanded
+    to a fixpoint over shared blocks (a skipped series must not desync a
+    stream an active series reads).  Returns None when everything
+    decodes, else (active_keys, aux_values, needed_block_ids)."""
+    if not required:
+        return None
+    from htslib_tpu.cram.codecs import CORE_ID
+
+    def ids_of(keys):
+        out = set()
+        for k in keys:
+            c = hdr.codecs.get(k)
+            if c is not None:
+                out |= c.block_ids()
+        return out
+
+    groups = {
+        "RN": ({"RN"}, ids_of(["RN"]),
+               bool(required & SAM_QNAME)),
+        "QS": ({"QS"}, ids_of(["QS"]),
+               bool(required & SAM_QUAL)),
+        "AUX": (set(), set().union(*(c.block_ids()
+                                     for c in hdr.tag_codecs.values()))
+                if hdr.tag_codecs else set(),
+                bool(required & (SAM_AUX | SAM_RGAUX))),
+        "FEAT": (set(_FEAT_SERIES), ids_of(_FEAT_SERIES),
+                 bool(required & (SAM_CIGAR | SAM_SEQ | SAM_QUAL
+                                  | SAM_TLEN))),
+    }
+    always = [k for k in hdr.codecs
+              if k not in {"RN", "QS"} and k not in _FEAT_SERIES]
+    active_ids = ids_of(always)
+    active = {g for g, (_, _, on) in groups.items() if on}
+    # fixpoint: activate any skipped group sharing a block with the
+    # active set (including CORE)
+    for g in active:
+        active_ids |= groups[g][1]
+    changed = True
+    while changed:
+        changed = False
+        for g, (_, gids, _) in groups.items():
+            if g not in active and gids & active_ids:
+                active.add(g)
+                active_ids |= gids
+                changed = True
+        # QS bytes are consumed via the feature loop, so an active QS
+        # stream forces the feature group on
+        if "QS" in active and "FEAT" not in active:
+            active.add("FEAT")
+            active_ids |= groups["FEAT"][1]
+            changed = True
+    keys = set(always)
+    for g in active:
+        keys |= groups[g][0]
+    if "QS" in active:
+        keys.add("QS")
+    return keys, ("AUX" in active), active_ids - {CORE_ID}
+
 
 @dataclass
 class CompressionHeader:
@@ -190,16 +272,30 @@ class CramRecordTmp:
 def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
                  blocks: List[CramBlock], header: SamHeader,
                  get_ref, vmajor: int, container_ref_start: int = 0,
-                 decode_md: bool = True,
+                 decode_md: bool = True, required_fields: int = 0,
                  ) -> List[BamRecord]:
-    """cram_decode_slice (cram_decode.c:2346)."""
+    """cram_decode_slice (cram_decode.c:2346).  required_fields (SAM_*
+    bits, 0 = everything) prunes gated series: their blocks are not even
+    uncompressed (cram_dependent_data_series, cram_decode.c:553); fields
+    not requested carry unspecified values."""
+    act = _active_series(hdr, required_fields)
+    if act is None:
+        act_keys, aux_values, needed_ids = None, True, None
+    else:
+        act_keys, aux_values, needed_ids = act
+
+    def on(key: str) -> bool:
+        return act_keys is None or key in act_keys
+
     core = b""
     ext: Dict[int, bytes] = {}
     for b in blocks:
         if b.content_type == CT_CORE:
             core = b.uncompress()
         elif b.content_type == CT_EXTERNAL:
-            ext[b.content_id] = b.uncompress()
+            if (needed_ids is None or b.content_id in needed_ids
+                    or b.content_id == sh.ref_base_id):
+                ext[b.content_id] = b.uncompress()
     st = SliceStreams(core, ext)
     cs = hdr.codecs
 
@@ -256,11 +352,11 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
             cr.rg = codec("RG").read_int(st)
             if cr.rg == -1 or cr.rg >= len(rg_names):
                 cr.rg = -1
-        if hdr.read_names_included and "RN" in cs:
+        if hdr.read_names_included and "RN" in cs and on("RN"):
             cr.name = codec("RN").read_array(st)
         if cf & CRAM_FLAG_DETACHED:
             cr.mate_flags = codec("MF").read_int(st) if "MF" in cs else 0
-            if not hdr.read_names_included and "RN" in cs:
+            if not hdr.read_names_included and "RN" in cs and on("RN"):
                 cr.name = codec("RN").read_array(st)
             if "NS" in cs:
                 cr.mate_ref_id = codec("NS").read_int(st)
@@ -280,7 +376,8 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
             if "TS" in cs:
                 cr.explicit_tlen = codec("TS").read_int(st)
         # aux tags
-        has_MD, has_NM = _decode_aux(hdr, st, cr, rg_names)
+        has_MD, has_NM = _decode_aux(hdr, st, cr, rg_names,
+                                     values=aux_values)
         # per-record reference (multiref slices)
         rref = ref
         rref_start = ref_start
@@ -290,23 +387,37 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
             rref = multi_ref_cache[cr.ref_id]
             rref_start = 1
         if not (cr.flags & FUNMAP):
-            _decode_seq(hdr, st, cr, rref, rref_start, header, cf, vmajor,
-                        has_MD, has_NM,
-                        # CRAM <4: decode_md is off/on; CRAM 4: auto —
-                        # only '*' placeholder tags trigger generation
-                        # (cram_decode.c:1114-1117)
-                        decode_md and vmajor < 4)
+            if on("FN"):
+                _decode_seq(hdr, st, cr, rref, rref_start, header, cf,
+                            vmajor, has_MD, has_NM,
+                            # CRAM <4: decode_md is off/on; CRAM 4: auto
+                            # — only '*' placeholder tags trigger
+                            # generation (cram_decode.c:1114-1117)
+                            decode_md and vmajor < 4,
+                            qs_on=on("QS"))
+            else:
+                # features pruned: structure fields are unspecified, but
+                # MQ (always-on) still consumes its stream
+                cr.cigar = []
+                cr.aend = cr.apos
+                cr.mqual = cs["MQ"].read_int(st) if "MQ" in cs else 40
+                cr.seq = b""
+                cr.qual = b""
+                cr.len = 0
         else:
             cr.cigar = []
             cr.aend = cr.apos
             cr.mqual = 0
-            if "BA" in cs and cr.len:
+            if "BA" in cs and cr.len and on("BA"):
                 cr.seq = codec("BA").read_bytes(st, cr.len)
             if cf & CRAM_FLAG_PRESERVE_QUAL_SCORES:
-                if "QS" in cs and cr.len >= 0:
+                if "QS" in cs and cr.len >= 0 and on("QS"):
                     cr.qual = codec("QS").read_bytes(st, cr.len)
             else:
                 cr.qual = b"\xff" * cr.len
+            if not cr.seq:
+                cr.qual = b""
+                cr.len = 0
         if (not hdr.qs_seq_orient and (cr.flags & FREVERSE) and cr.qual):
             cr.qual = cr.qual[::-1]
         recs.append(cr)
@@ -316,16 +427,24 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
 
 
 def _decode_aux(hdr: CompressionHeader, st: SliceStreams,
-                cr: CramRecordTmp, rg_names=()) -> Tuple[int, int]:
+                cr: CramRecordTmp, rg_names=(),
+                values: bool = True) -> Tuple[int, int]:
     """cram_decode_aux (cram_decode.c:976).  Returns (has_MD, has_NM);
     -1 means a CRAM 4 '*' placeholder tag forcing auto-generation
-    (cram_decode.c:2045-2087)."""
+    (cram_decode.c:2045-2087).  With values=False (required-fields
+    pruning) the TL series is still consumed but no tag streams are
+    touched."""
     if "TL" not in hdr.codecs:
         return 0, 0
     TL = hdr.codecs["TL"].read_int(st)
     if TL < 0 or TL >= len(hdr.TD):
         raise IOError("CRAM: invalid TL")
     TN = hdr.TD[TL]
+    if not values:
+        has_MD = 1 if b"MD" in [TN[i:i+2] for i in range(0, len(TN), 3)] else 0
+        has_NM = 1 if b"NM" in [TN[i:i+2] for i in range(0, len(TN), 3)] else 0
+        cr.aux = b""
+        return has_MD, has_NM
     aux = bytearray()
     has_MD = has_NM = 0
     for i in range(0, len(TN), 3):
@@ -367,7 +486,7 @@ def _decode_aux(hdr: CompressionHeader, st: SliceStreams,
 def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
                 ref: Optional[bytes], ref_start: int, header: SamHeader,
                 cf: int, vmajor: int, has_MD: int = 0, has_NM: int = 0,
-                decode_md: bool = True) -> None:
+                decode_md: bool = True, qs_on: bool = True) -> None:
     """cram_decode_seq (cram_decode.c:1096) — feature playback, including
     MD/NM auto-generation (hts_hopen enables CRAM_OPT_DECODE_MD auto,
     hts.c:1584)."""
@@ -571,7 +690,7 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
                             md_parts.append(ref_at(ref_pos, 1))
                         nm += 1
                         md_dist = 0
-            if "QS" in cs:
+            if "QS" in cs and qs_on:
                 q = cs["QS"].read_byte(st)
                 if not (cf & CRAM_FLAG_PRESERVE_QUAL_SCORES) and cr.len > 0 \
                         and qual[0] == 0xFF:
@@ -582,7 +701,7 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
             seq_pos += 1
             ref_pos += 1
         elif op == "Q":
-            if "QS" in cs:
+            if "QS" in cs and qs_on:
                 q = cs["QS"].read_byte(st)
                 if not (cf & CRAM_FLAG_PRESERVE_QUAL_SCORES) and cr.len > 0 \
                         and qual[0] == 0xFF:
@@ -633,7 +752,7 @@ def _decode_seq(hdr: CompressionHeader, st: SliceStreams, cr: CramRecordTmp,
     cr.cigar = cigar
     cr.aend = max(ref_pos, cr.apos)
     cr.mqual = cs["MQ"].read_int(st) if "MQ" in cs else 40
-    if cf & CRAM_FLAG_PRESERVE_QUAL_SCORES and "QS" in cs:
+    if cf & CRAM_FLAG_PRESERVE_QUAL_SCORES and "QS" in cs and qs_on:
         qual = bytearray(cs["QS"].read_bytes(st, cr.len))
     if cr.cram_flags & CRAM_FLAG_NO_SEQ:
         cr.len = 0

@@ -111,6 +111,8 @@ def hts_opt_apply(obj, opts: Optional[HtsOptList]) -> None:
     for key, val in opts:
         if key == "decode_md" and hasattr(obj, "decode_md"):
             obj.decode_md = bool(val)
+        elif key == "required_fields" and hasattr(obj, "required_fields"):
+            obj.required_fields = int(val)
         elif key == "ignore_md5" and hasattr(obj, "refs"):
             obj.refs.ignore_md5 = bool(val)
         elif key == "seqs_per_slice" and hasattr(obj, "_enc"):

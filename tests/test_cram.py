@@ -4,7 +4,7 @@ import os
 
 import pytest
 
-from htslib_tpu.cram import CramReader
+from htslib_tpu.cram import CramReader, CramWriter
 from htslib_tpu.cram.index import CramIndex
 from htslib_tpu.codecs import rans4x8
 from htslib_tpu.sam import BamReader, SamReader
@@ -163,3 +163,73 @@ def test_cram_external_accessors(tmp_path):
         assert any("ID:rg_new" in l for l in r.header.text.split("\n")
                    if l.startswith("@RG"))
         assert {rec.get_aux("RG") for rec in r} == {"rg_new"}
+
+
+@pytest.mark.skipif(not has_ref("range.cram"), reason="no corpus")
+def test_required_fields_pruning():
+    """CRAM_OPT_REQUIRED_FIELDS (cram_dependent_data_series,
+    cram_decode.c:553): requested fields must match a full decode; gated
+    blocks (names/quals/aux/features) are skipped entirely."""
+    from htslib_tpu.cram.decode import (SAM_AUX, SAM_CIGAR, SAM_FLAG,
+                                        SAM_POS, SAM_QNAME, SAM_QUAL,
+                                        SAM_RNAME, SAM_RGAUX, SAM_SEQ,
+                                        SAM_TLEN)
+    fa = ref_path("ce.fa")
+    with CramReader(ref_path("range.cram"), ref=fa) as r:
+        full = list(r)
+
+    def check(fields, attrs):
+        with CramReader(ref_path("range.cram"), ref=fa,
+                        required_fields=fields) as r2:
+            got = list(r2)
+        assert len(got) == len(full)
+        for a, b in zip(full, got):
+            for attr in attrs:
+                assert getattr(a, attr) == getattr(b, attr), attr
+
+    check(SAM_FLAG | SAM_RNAME | SAM_POS, ["flag", "tid", "pos"])
+    check(SAM_POS | SAM_TLEN | SAM_CIGAR,
+          ["pos", "isize", "tid"])
+    check(SAM_QNAME | SAM_POS, ["qname", "pos"])
+    check(SAM_SEQ | SAM_POS, ["pos"])
+    check(SAM_QUAL | SAM_SEQ, ["qual", "seq"])
+    # cigar needs list comparison
+    with CramReader(ref_path("range.cram"), ref=fa,
+                    required_fields=SAM_CIGAR) as r2:
+        got = list(r2)
+    for a, b in zip(full, got):
+        assert list(a.cigar) == list(b.cigar)
+    # seq
+    with CramReader(ref_path("range.cram"), ref=fa,
+                    required_fields=SAM_SEQ) as r2:
+        got = list(r2)
+    for a, b in zip(full, got):
+        assert a.seq == b.seq
+    # aux (decode_md interplay: request AUX only)
+    with CramReader(ref_path("range.cram"), ref=fa, decode_md=False,
+                    required_fields=SAM_AUX | SAM_RGAUX) as r2:
+        got = list(r2)
+    with CramReader(ref_path("range.cram"), ref=fa, decode_md=False) as r3:
+        full_nomd = list(r3)
+    for a, b in zip(full_nomd, got):
+        assert a.aux == b.aux
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_required_fields_on_own_encodings(tmp_path):
+    """Pruned decode over our own 3.0 and 4.0 encodings."""
+    from htslib_tpu.cram.decode import SAM_FLAG, SAM_POS, SAM_QNAME
+    from htslib_tpu.sam import BamReader
+    with BamReader(ref_path("range.bam")) as r:
+        hdr = r.header
+        recs = list(r)
+    for version in ((3, 0), (4, 0)):
+        p = str(tmp_path / f"t{version[0]}.cram")
+        with CramWriter(p, hdr, version=version) as w:
+            for rec in recs:
+                w.write(rec)
+        with CramReader(p, required_fields=SAM_FLAG | SAM_POS
+                        | SAM_QNAME) as r2:
+            got = list(r2)
+        assert [(g.qname, g.flag, g.pos) for g in got] \
+            == [(x.qname, x.flag, x.pos) for x in recs]
