@@ -22,7 +22,7 @@ import base64
 import urllib.parse
 from typing import Callable, Dict, Optional
 
-from htslib_tpu.util.log import log_error
+from htslib_tpu.util.log import log_error, log_warning
 
 __all__ = [
     "hopen", "HFile", "add_scheme_handler", "hfile_scheme",
@@ -207,6 +207,36 @@ def _load_remote_handlers() -> None:
         from htslib_tpu import remote  # noqa: F401  (registers its schemes)
     except Exception:
         pass
+    _load_hfile_plugins()
+
+
+def _load_hfile_plugins() -> None:
+    """HTS_PATH plugin loading (reference load_hfile_plugins hfile.c:1111
+    + plugin.c): each colon-separated directory is scanned for
+    hfile_*.py, which is loaded and its hfile_plugin_init(add) entry
+    called with the scheme-registry hook.  An empty path element means
+    the built-ins only (reference: '' = default path)."""
+    path = os.environ.get("HTS_PATH")
+    if not path:
+        return
+    import glob as _glob
+    import importlib.util
+    for d in path.split(":"):
+        if not d:
+            continue
+        for py in sorted(_glob.glob(os.path.join(d, "hfile_*.py"))):
+            name = "htslib_tpu._plugin_" + os.path.basename(py)[:-3]
+            try:
+                spec = importlib.util.spec_from_file_location(name, py)
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                init = getattr(mod, "hfile_plugin_init", None)
+                if init is None:
+                    log_warning("plugin %s has no hfile_plugin_init", py)
+                    continue
+                init(add_scheme_handler)
+            except Exception as e:
+                log_warning("failed to load plugin %s (%s)", py, e)
 
 
 _remote_loaded = False

@@ -36,6 +36,20 @@ def _hts_open(name: str, mode: str, header, ref: Optional[str]):
     if "r" in mode:
         fp = hopen(name, "rb")
         fmt = detect_format(fp.peek(1 << 16))
+        if fmt.format == Format.hts_crypt4gh_format:
+            # hts_crypt4gh_redirect (hts.c:1430): re-dispatch through a
+            # plugin-provided decrypting byte stream (HTS_PATH plugin
+            # registering the "crypt4gh" scheme)
+            from htslib_tpu.hfile import _scheme_handlers, _load_remote_handlers
+            _load_remote_handlers()
+            handler = _scheme_handlers.get("crypt4gh")
+            if handler is None:
+                raise IOError(
+                    "crypt4gh input but no crypt4gh scheme plugin is "
+                    "registered (set HTS_PATH)")
+            fp.close()
+            fp = handler("crypt4gh:" + name, "rb")
+            fmt = detect_format(fp.peek(1 << 16))
         if fmt.category == Category.VARIANT_DATA:
             from htslib_tpu.vcf.io import BcfReader, VcfReader
             return BcfReader(fp) if fmt.format == Format.bcf else VcfReader(fp)

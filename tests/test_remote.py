@@ -176,3 +176,50 @@ def test_htsget_scheme_registered():
     with pytest.raises(Exception) as e:
         hopen("htsget+http://127.0.0.1:1/reads/x", "rb")
     assert "unsupported URL scheme" not in str(e.value)
+
+
+def test_hts_path_plugin_loading(tmp_path, monkeypatch):
+    """HTS_PATH plugin loading (plugin.c / load_hfile_plugins,
+    hfile.c:1111): hfile_*.py in HTS_PATH dirs register new schemes via
+    hfile_plugin_init(add)."""
+    plug = tmp_path / "hfile_shout.py"
+    plug.write_text(
+        "from htslib_tpu.hfile import MemFile\n"
+        "def _open(url, mode):\n"
+        "    return MemFile(url[len('shout:'):].upper().encode(),\n"
+        "                   'r', name=url)\n"
+        "def hfile_plugin_init(add):\n"
+        "    add('shout', _open)\n")
+    monkeypatch.setenv("HTS_PATH", str(tmp_path))
+    import htslib_tpu.hfile as hf
+    # force a re-scan (the registry loads plugins lazily once)
+    hf._remote_loaded = False
+    hf._scheme_handlers.pop("shout", None)
+    with hf.hopen("shout:hello world", "r") as f:
+        assert f.read(-1) == b"HELLO WORLD"
+
+
+def test_crypt4gh_redirect(tmp_path, monkeypatch):
+    """hts_crypt4gh_redirect (hts.c:1430): a crypt4gh-magic input is
+    re-dispatched through the plugin-registered 'crypt4gh' scheme."""
+    # "encrypt": crypt4gh magic + xor-0x5A payload of a SAM file
+    sam = b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100\nr1\t0\tc1\t5\t60\t4M\t*\t0\t0\tACGT\tFFFF\n"
+    enc = tmp_path / "t.sam.c4gh"
+    enc.write_bytes(b"crypt4gh" + bytes(b ^ 0x5A for b in sam))
+    plug = tmp_path / "hfile_c4gh.py"
+    plug.write_text(
+        "from htslib_tpu.hfile import MemFile\n"
+        "def _open(url, mode):\n"
+        "    path = url[len('crypt4gh:'):]\n"
+        "    raw = open(path, 'rb').read()[8:]\n"
+        "    return MemFile(bytes(b ^ 0x5A for b in raw), 'r', name=url)\n"
+        "def hfile_plugin_init(add):\n"
+        "    add('crypt4gh', _open)\n")
+    monkeypatch.setenv("HTS_PATH", str(tmp_path))
+    import htslib_tpu.hfile as hf
+    hf._remote_loaded = False
+    hf._scheme_handlers.pop("crypt4gh", None)
+    from htslib_tpu.hts import hts_open
+    with hts_open(str(enc)) as r:
+        recs = list(r)
+    assert len(recs) == 1 and recs[0].qname == b"r1" and recs[0].pos == 4
