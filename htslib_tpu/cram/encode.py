@@ -235,7 +235,8 @@ class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 1000,
                  version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
-                 lossy_names: int = 0, write_index: bool = False):
+                 lossy_names: int = 0, write_index: bool = False,
+                 slices_per_container: int = 1):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
         # on-the-fly .crai (cram_index_slice, cram_index.c:695)
         self.index_entries = [] if write_index else None
@@ -248,6 +249,8 @@ class CramEncoder:
             self.refs = RefRegistry(header, fasta=ref)
         self.version = version
         self.seqs_per_slice = seqs_per_slice
+        # CRAM_OPT_SLICES_PER_CONTAINER (cram_io.c:5852 option handling)
+        self.slices_per_container = max(1, slices_per_container)
         # CRAM_OPT_EMBED_REF: carry the reference window as an extra
         # external block so slices decode without the fasta
         self.embed_ref = embed_ref
@@ -312,7 +315,7 @@ class CramEncoder:
     # ------------------------------------------------------------------
     def write(self, rec: BamRecord) -> None:
         self.queue.append(rec)
-        if len(self.queue) >= self.seqs_per_slice:
+        if len(self.queue) >= self.seqs_per_slice * self.slices_per_container:
             self.flush()
 
     def flush(self) -> None:
@@ -340,27 +343,112 @@ class CramEncoder:
 
     # ------------------------------------------------------------------
     def _write_data_container(self, recs: List[BamRecord]) -> None:
-        streams: Dict[int, _Stream] = defaultdict(lambda: _Stream(self.vv))
+        """One container = one or more slices (CRAM_OPT_SLICES_PER_
+        CONTAINER; cram_encode_container, cram_encode.c:1843): a shared
+        compression header, then per-slice header+core+external blocks
+        at the landmark offsets."""
+        n = max(1, self.seqs_per_slice)
+        if self.slices_per_container > 1 and len(recs) > n:
+            groups = [recs[i:i + n] for i in range(0, len(recs), n)]
+        else:
+            groups = [recs]
+        plans = [self._slice_ref_plan(g) for g in groups]
+        # the RR preservation bit is container-wide: if any mapped slice
+        # cannot fetch its reference, the whole container goes no-ref
+        if any(p["fetch_failed"] for p in plans):
+            for p in plans:
+                p["use_ref"] = False
+                p["ref_seq"] = None
+                p["mref_cache"] = {}
+                p["ref_md5"] = b"\0" * 16
+        use_ref_any = any(p["use_ref"] for p in plans)
+
         tag_dict: List[bytes] = []
         tag_lines: Dict[bytes, int] = {}
         used_tags: Dict[int, bytes] = {}
+        slices = []
+        all_cids: set = set()
+        any_multiref = any(p["multiref"] for p in plans)
+        counter = self.record_counter
+        total_bases = 0
+        for g, p in zip(groups, plans):
+            s = self._encode_slice(g, p, tag_dict, tag_lines, used_tags,
+                                   counter)
+            counter += len(g)
+            total_bases += s["nbases"]
+            all_cids |= s["cids"]
+            slices.append(s)
 
+        comp_hdr = self._compression_header(tag_dict, sorted(used_tags),
+                                            any_multiref, all_cids,
+                                            no_ref=not use_ref_any)
+        blocks = bytearray()
+        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr,
+                     vv=self.vv)
+        landmarks = []
+        for s in slices:
+            landmarks.append(len(blocks))
+            blocks += s["blocks"]
+
+        # container summary ref fields
+        srefs = {p["slice_ref"] for p in plans}
+        if len(srefs) == 1 and not any_multiref:
+            c_ref = srefs.pop()
+            if c_ref >= 0:
+                c_start = min(p["start"] for p in plans)
+                c_span = max(p["start"] + p["span"] for p in plans) - c_start
+            else:
+                c_start = c_span = 0
+        else:
+            c_ref, c_start, c_span = -2, 0, 0
+
+        nblocks = 1 + sum(s["nblocks"] for s in slices)
+        cpos = self.fp.tell() if self.index_entries is not None else 0
+        cont = self._container(bytes(blocks), c_ref, c_start, c_span,
+                               len(recs), total_bases, nblocks, landmarks)
+        self.fp.write(cont)
+        if self.index_entries is not None:
+            from htslib_tpu.cram.index import CraiEntry
+            for lm, s, g, p in zip(landmarks, slices, groups, plans):
+                ssize = len(s["blocks"])
+                if p["multiref"]:
+                    # per-refid extents (cram_index_build_multiref)
+                    by_ref: Dict[int, Tuple[int, int]] = {}
+                    for rec in g:
+                        lo, hi = by_ref.get(rec.tid, (1 << 62, -1))
+                        by_ref[rec.tid] = (min(lo, rec.pos + 1),
+                                           max(hi, rec.endpos()))
+                    for tid, (lo, hi) in by_ref.items():
+                        if tid < 0:
+                            self.index_entries.append(
+                                CraiEntry(-1, 0, 0, cpos, lm, ssize))
+                        else:
+                            self.index_entries.append(
+                                CraiEntry(tid, lo, hi - lo + 1, cpos, lm,
+                                          ssize))
+                elif p["slice_ref"] < 0:
+                    self.index_entries.append(
+                        CraiEntry(-1, 0, 0, cpos, lm, ssize))
+                else:
+                    self.index_entries.append(
+                        CraiEntry(p["slice_ref"], p["start"], s["span"],
+                                  cpos, lm, ssize))
+
+    # ------------------------------------------------------------------
+    def _slice_ref_plan(self, recs: List[BamRecord]) -> dict:
+        """Per-slice reference window decision (the front of
+        cram_encode_container): single- vs multi-ref, fetched window or
+        generated consensus, MD5."""
         ref_ids = {r.tid for r in recs}
         multiref = len(ref_ids) > 1
         slice_ref = -2 if multiref else next(iter(ref_ids))
         mapped_pos = [r.pos + 1 for r in recs if r.tid >= 0]
         start = min(mapped_pos) if (not multiref and slice_ref >= 0) else 0
-        end = 0
-        nbases = 0
-        ref_seq = None
-        ref_md5 = b"\0" * 16
-        # reference mode: single-ref slices compare against a fetched
-        # window; multi-ref slices (ref_seq_id == -2) fetch whole
-        # sequences per record tid, mirroring the decoder's
-        # multi_ref_cache (cram_decode.c CRAM_MULTI_SEQ handling)
-        use_ref = (self.refs is not None
-                   and (multiref or slice_ref >= 0))
-        mref_cache: Dict[int, Optional[bytes]] = {}
+        plan = {"multiref": multiref, "slice_ref": slice_ref,
+                "start": start, "span": 0, "ref_seq": None,
+                "ref_md5": b"\0" * 16, "ref_span": 0,
+                "mref_cache": {}, "use_ref": False, "fetch_failed": False}
+        use_ref = (self.refs is not None and (multiref or slice_ref >= 0))
         if use_ref and not multiref:
             start = max(start, 1)
             wend = max((r.endpos() for r in recs if r.tid >= 0),
@@ -369,24 +457,26 @@ class CramEncoder:
             try:
                 ref_seq = self.refs.get(slice_ref, start, wend)
             except Exception:
-                ref_seq = None
-                use_ref = False
+                plan["fetch_failed"] = True
             else:
                 import hashlib
-                ref_md5 = hashlib.md5(ref_seq).digest()
-                ref_span = wend - start + 1
+                plan.update(start=start, ref_seq=ref_seq, use_ref=True,
+                            ref_md5=hashlib.md5(ref_seq).digest(),
+                            ref_span=wend - start + 1)
         elif use_ref:
+            cache = {}
             for tid in sorted(t for t in ref_ids if t >= 0):
                 try:
-                    mref_cache[tid] = self.refs.get(tid, 1, -1)
+                    cache[tid] = self.refs.get(tid, 1, -1)
                 except Exception:
-                    use_ref = False
-                    mref_cache.clear()
+                    plan["fetch_failed"] = True
+                    cache = {}
                     break
+            else:
+                plan.update(mref_cache=cache, use_ref=True)
         elif (self.embed_ref == 2 and not multiref and slice_ref >= 0
               and mapped_pos):
-            # no external reference: build a majority-vote consensus from
-            # the reads themselves and embed it
+            # no external reference: majority-vote consensus embedded
             # (cram_generate_reference, cram_encode.c:1730)
             start = max(start, 1)
             wend = max((r.endpos() for r in recs if r.tid >= 0),
@@ -394,9 +484,26 @@ class CramEncoder:
             wend = max(wend, start)
             ref_seq = _consensus_reference(recs, start, wend)
             import hashlib
-            ref_md5 = hashlib.md5(ref_seq).digest()
-            ref_span = wend - start + 1
-            use_ref = True
+            plan.update(start=start, ref_seq=ref_seq, use_ref=True,
+                        ref_md5=hashlib.md5(ref_seq).digest(),
+                        ref_span=wend - start + 1)
+        return plan
+
+    def _encode_slice(self, recs: List[BamRecord], plan: dict,
+                      tag_dict: List[bytes], tag_lines: Dict[bytes, int],
+                      used_tags: Dict[int, bytes],
+                      record_counter: int) -> dict:
+        """Build one slice's data series streams and emit its header +
+        core + external blocks (cram_encode_slice, cram_encode.c:1096)."""
+        streams: Dict[int, _Stream] = defaultdict(lambda: _Stream(self.vv))
+        multiref = plan["multiref"]
+        slice_ref = plan["slice_ref"]
+        start = plan["start"]
+        use_ref = plan["use_ref"]
+        ref_seq = plan["ref_seq"]
+        mref_cache = plan["mref_cache"]
+        end = 0
+        nbases = 0
 
         def S(key: str) -> _Stream:
             return streams[SERIES[key]]
@@ -495,14 +602,11 @@ class CramEncoder:
             if rec.l_qseq:
                 S("QS").raw(rec.qual)
 
-        span = max(end - start + 1, 0) if (not multiref and slice_ref >= 0) else 0
+        span = max(end - start + 1, 0) \
+            if (not multiref and slice_ref >= 0) else 0
         if use_ref and not multiref:
-            span = max(span, ref_span)
+            span = max(span, plan["ref_span"])
 
-        comp_hdr = self._compression_header(tag_dict, sorted(used_tags),
-                                            multiref, set(streams.keys()),
-                                            no_ref=not use_ref)
-        # slice
         ext_ids = sorted(streams.keys())
         embed = (self.embed_ref and use_ref and not multiref
                  and ref_seq is not None)
@@ -518,7 +622,7 @@ class CramEncoder:
             slice_hdr += vv.put32(start if slice_ref >= 0 else 0)
             slice_hdr += vv.put32(span)
         slice_hdr += vv.put32(len(recs))
-        slice_hdr += vv.put64(self.record_counter)
+        slice_hdr += vv.put64(record_counter)
         slice_hdr += vv.put32(1 + len(all_ids))  # core + externals
         slice_hdr += vv.put32(len(all_ids))
         for cid in all_ids:
@@ -527,12 +631,11 @@ class CramEncoder:
         # varint_put32), so -1 goes on the wire as 0xFFFFFFFF under CRAM 4
         slice_hdr += vv.put32(EMBED_REF_ID if embed
                               else (0xFFFFFFFF if self.v4 else -1))
-        slice_hdr += ref_md5
+        slice_hdr += plan["ref_md5"]
 
         blocks = bytearray()
-        _write_block(blocks, RAW, CT_COMPRESSION_HEADER, 0, comp_hdr, vv=vv)
-        landmark0 = len(blocks)
-        _write_block(blocks, RAW, CT_MAPPED_SLICE, 0, bytes(slice_hdr), vv=vv)
+        _write_block(blocks, RAW, CT_MAPPED_SLICE, 0, bytes(slice_hdr),
+                     vv=vv)
         _write_block(blocks, RAW, CT_CORE, 0, b"", vv=vv)
         for cid in ext_ids:
             data = bytes(streams[cid].buf)
@@ -549,42 +652,16 @@ class CramEncoder:
                 except ValueError:
                     pass
             _write_block(blocks, method, CT_EXTERNAL, cid, data,
-                         precompressed=comp if method != RAW else None, vv=vv)
+                         precompressed=comp if method != RAW else None,
+                         vv=vv)
         if embed:
             method, comp = self.metrics.choose(EMBED_REF_ID, ref_seq)
             _write_block(blocks, method, CT_EXTERNAL, EMBED_REF_ID, ref_seq,
-                         precompressed=comp if method != RAW else None, vv=vv)
-        nblocks = 3 + len(all_ids)
-        cpos = self.fp.tell() if self.index_entries is not None else 0
-        cont = self._container(bytes(blocks), slice_ref,
-                               start if slice_ref >= 0 else 0, span,
-                               len(recs), nbases, nblocks, [landmark0])
-        self.fp.write(cont)
-        if self.index_entries is not None:
-            from htslib_tpu.cram.index import CraiEntry
-            ssize = len(blocks) - landmark0
-            if multiref:
-                # per-refid extents (cram_index_build_multiref)
-                by_ref: Dict[int, Tuple[int, int]] = {}
-                for rec in recs:
-                    lo, hi = by_ref.get(rec.tid, (1 << 62, -1))
-                    by_ref[rec.tid] = (min(lo, rec.pos + 1),
-                                       max(hi, rec.endpos()))
-                for tid, (lo, hi) in by_ref.items():
-                    if tid < 0:
-                        self.index_entries.append(
-                            CraiEntry(-1, 0, 0, cpos, landmark0, ssize))
-                    else:
-                        self.index_entries.append(
-                            CraiEntry(tid, lo, hi - lo + 1, cpos,
-                                      landmark0, ssize))
-            elif slice_ref < 0:
-                self.index_entries.append(
-                    CraiEntry(-1, 0, 0, cpos, landmark0, ssize))
-            else:
-                self.index_entries.append(
-                    CraiEntry(slice_ref, start, span, cpos, landmark0,
-                              ssize))
+                         precompressed=comp if method != RAW else None,
+                         vv=vv)
+        return {"blocks": bytes(blocks), "nbases": nbases,
+                "cids": set(streams.keys()), "nblocks": 2 + len(all_ids),
+                "span": span}
 
     # ------------------------------------------------------------------
     @staticmethod

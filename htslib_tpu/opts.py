@@ -117,6 +117,8 @@ def hts_opt_apply(obj, opts: Optional[HtsOptList]) -> None:
             obj.refs.ignore_md5 = bool(val)
         elif key == "seqs_per_slice" and hasattr(obj, "_enc"):
             obj._enc.seqs_per_slice = int(val)
+        elif key == "slices_per_container" and hasattr(obj, "_enc"):
+            obj._enc.slices_per_container = max(1, int(val))
         elif key == "embed_ref" and hasattr(obj, "_enc"):
             obj._enc.embed_ref = int(val)
         elif key == "lossy_names" and hasattr(obj, "_enc"):

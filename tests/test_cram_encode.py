@@ -241,3 +241,48 @@ def test_consensus_majority_vote():
             for i, s in enumerate(["ACGT", "ACGT", "ATGT"])]
     cons = _consensus_reference(recs, 1, 6)
     assert cons == b"ACGTNN"  # majority C at pos 2; no coverage -> N
+
+
+@pytest.mark.skipif(not has_ref("range.bam"), reason="no corpus")
+def test_multi_slice_containers(tmp_path):
+    """CRAM_OPT_SLICES_PER_CONTAINER: several slices share one container
+    and compression header (cram_encode_container, cram_encode.c:1843);
+    landmarks address each slice and the crai indexes them."""
+    from htslib_tpu.cram import CramReader
+    from htslib_tpu.cram.index import CramIndex
+    from htslib_tpu.cram.io import CramIO, read_file_definition
+    from htslib_tpu.sam import BamReader
+    with BamReader(ref_path("range.bam")) as r:
+        hdr = r.header
+        recs = list(r)
+    for version in ((3, 0), (4, 0)):
+        p = str(tmp_path / f"ms{version[0]}.cram")
+        with CramWriter(p, hdr, ref=ref_path("ce.fa"), version=version,
+                        write_index=True) as w:
+            w._enc.seqs_per_slice = 20
+            w._enc.slices_per_container = 3
+            for rec in recs:
+                w.write(rec)
+        # container structure: first data container has 3 landmarks
+        from htslib_tpu.hfile import hopen
+        fp = hopen(p, "rb")
+        read_file_definition(fp)
+        io = CramIO(fp, version)
+        hdr_cont = io.read_container_header()
+        io.skip_container_data(hdr_cont)
+        c = io.read_container_header()
+        assert len(c.landmarks) == 3, c.landmarks
+        fp.close()
+        # decode equality
+        with CramReader(p, ref=ref_path("ce.fa"), decode_md=False) as r2:
+            got = [norm(rec.to_sam(hdr)) for rec in r2]
+        assert got == [norm(rec.to_sam(hdr)) for rec in recs]
+        # indexed fetch through the multi-slice crai
+        idx = CramIndex.load(p + ".crai")
+        assert len(idx.entries) >= len(recs) // 20
+        with CramReader(p, ref=ref_path("ce.fa"), decode_md=False) as r3:
+            r3.load_index(p + ".crai")
+            sub = [rec.to_sam(hdr) for rec in r3.fetch(0, 900, 1500)]
+        want = [rec.to_sam(hdr) for rec in recs
+                if rec.tid == 0 and rec.pos < 1500 and rec.endpos() > 900]
+        assert sub == want
