@@ -66,3 +66,53 @@ def expand_cigar_events(cigar: np.ndarray, pos: int):
     if not ref_pos:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(ref_pos), np.concatenate(qpos)
+
+
+def device_pileup_counts(recs, tile_start: int, tile_len: int,
+                         min_qual: int = 0):
+    """End-to-end device pileup for one genome tile: the batch
+    reformulation of bam_plp (sam.c:6011 bam_plp64_next + resolve_cigar2,
+    sam.c:5409).  Host does CIGAR expansion into (ref_pos, base) event
+    tensors; the device does the per-position accumulation.
+
+    recs: BamRecords (same tid, any order).  Returns (depth [tile_len],
+    basecounts [tile_len, 16]); depth counts every read whose alignment
+    covers the position (matching a bam_plp column's n, including
+    deletion/refskip entries), basecounts count aligned query bases by
+    nt16 code (the non-is_del, non-is_refskip column entries).
+    """
+    import jax.numpy as jnp
+
+    starts, ends, rp_all, code_all = [], [], [], []
+    for b in recs:
+        if b.flag & 4 or b.tid < 0:
+            continue
+        starts.append(b.pos)
+        e = b.endpos()
+        ends.append(e if e > b.pos else b.pos + 1)
+        rp, qp = expand_cigar_events(np.asarray(b.cigar, np.uint32), b.pos)
+        if len(rp) == 0:
+            continue
+        seq4 = np.frombuffer(b.seq4, np.uint8)
+        nib = np.empty(b.l_qseq, np.uint8)
+        nib[0::2] = seq4[:(b.l_qseq + 1) // 2] >> 4
+        nib[1::2] = seq4[:b.l_qseq // 2] & 0xF
+        if min_qual and b.qual:
+            q = np.frombuffer(b.qual, np.uint8)
+            keep = q[qp] >= min_qual
+            rp, qp = rp[keep], qp[keep]
+        rp_all.append(rp)
+        code_all.append(nib[qp])
+    if not starts:
+        z = np.zeros(tile_len, np.int32)
+        return z, np.zeros((tile_len, 16), np.int32)
+    starts = jnp.asarray(np.asarray(starts, np.int32))
+    ends = jnp.asarray(np.asarray(ends, np.int32))
+    valid = jnp.ones(len(starts), bool)
+    depth = coverage_tile(starts, ends, valid, jnp.int32(tile_start),
+                          tile_len)
+    rp = jnp.asarray(np.concatenate(rp_all).astype(np.int32))
+    codes = jnp.asarray(np.concatenate(code_all).astype(np.int32))
+    counts = basecount_tile(rp, codes, jnp.ones(len(rp), bool),
+                            jnp.int32(tile_start), tile_len)
+    return np.asarray(depth), np.asarray(counts)

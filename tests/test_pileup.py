@@ -109,3 +109,63 @@ def test_mpileup_goldens_with_overlaps(case):
     got = run_pileup(os.path.join(MP_DIR, case + ".sam"), use_mplp=True)
     want = open(os.path.join(MP_DIR, case + ".out")).read()
     assert got == want, f"mpileup mismatch for {case}"
+
+
+def test_device_pileup_matches_host_engine():
+    """The device pileup tile (ops.pileup_kernel.device_pileup_counts)
+    must agree position-by-position with the streaming host engine
+    (bam_plp columns) on the reference mpileup corpus."""
+    import glob as _glob
+    from tests.conftest import clean_jax_run
+    sams = sorted(_glob.glob(os.path.join(REF_TEST, "mpileup", "mp_*.sam")))
+    if not sams:
+        pytest.skip("no corpus")
+    out = clean_jax_run(r'''
+import glob, os
+import numpy as np
+from htslib_tpu.sam import SamReader
+from htslib_tpu.pileup import Pileup
+from htslib_tpu.ops.pileup_kernel import device_pileup_counts
+from tests.conftest import REF_TEST
+
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+checked = 0
+for sam in sorted(glob.glob(os.path.join(REF_TEST, "mpileup", "mp_*.sam"))):
+    with SamReader(sam) as r:
+        hdr = r.header
+        recs = [b for b in r if not (b.flag & 4) and b.tid == 0]
+    if not recs:
+        continue
+    # host engine columns
+    it = iter(recs + [None])
+    plp = Pileup(lambda: next(it))
+    host_depth = {}
+    host_counts = {}
+    while True:
+        col = plp.auto()
+        if col is None:
+            break
+        tid, pos, reads = col
+        host_depth[pos] = len(reads)
+        c = np.zeros(16, np.int32)
+        for p in reads:
+            if p.is_del or p.is_refskip:
+                continue
+            seq4 = np.frombuffer(p.b.seq4, np.uint8)
+            nib = (seq4[p.qpos // 2] >> 4) if p.qpos % 2 == 0 \
+                else (seq4[p.qpos // 2] & 0xF)
+            c[nib] += 1
+        host_counts[pos] = c
+    lo = min(host_depth)
+    hi = max(host_depth) + 1
+    depth, counts = device_pileup_counts(recs, lo, hi - lo)
+    for pos in range(lo, hi):
+        want_d = host_depth.get(pos, 0)
+        assert depth[pos - lo] == want_d, (sam, pos, int(depth[pos - lo]), want_d)
+        want_c = host_counts.get(pos, np.zeros(16, np.int32))
+        assert np.array_equal(counts[pos - lo], want_c), (sam, pos)
+    checked += 1
+assert checked >= 5
+print("DEVICE_PILEUP_OK", checked)
+''')
+    assert "DEVICE_PILEUP_OK" in out
