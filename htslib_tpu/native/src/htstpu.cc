@@ -236,6 +236,33 @@ namespace {
 const char kNt16[] = "=ACMGRSVTWYHKDBN";
 const char kCigChar[] = "MIDNSHP=XB??????";
 
+#if defined(__SSSE3__)
+#include <immintrin.h>
+// Vectorised 4-bit-packed -> ASCII base expansion (the reference's SSSE3
+// nibble2base, simd.c:121-180, rebuilt): each 16 packed input bytes become
+// 32 output bases via two pshufb table lookups + interleave.  `dst` must
+// have >= 2*ceil(n/16)*16 bytes of headroom (caller over-reserves).
+inline void nibble2base_simd(const uint8_t* src, uint8_t* dst, int64_t n_packed) {
+  const __m128i tbl = _mm_loadu_si128((const __m128i*)kNt16);
+  const __m128i lo_mask = _mm_set1_epi8(0x0F);
+  int64_t i = 0;
+  for (; i + 16 <= n_packed; i += 16) {
+    __m128i v = _mm_loadu_si128((const __m128i*)(src + i));
+    __m128i lo = _mm_and_si128(v, lo_mask);
+    __m128i hi = _mm_and_si128(_mm_srli_epi16(v, 4), lo_mask);
+    __m128i lo_c = _mm_shuffle_epi8(tbl, lo);
+    __m128i hi_c = _mm_shuffle_epi8(tbl, hi);
+    // base order within a packed byte is (hi, lo)
+    _mm_storeu_si128((__m128i*)(dst + 2 * i), _mm_unpacklo_epi8(hi_c, lo_c));
+    _mm_storeu_si128((__m128i*)(dst + 2 * i + 16), _mm_unpackhi_epi8(hi_c, lo_c));
+  }
+  for (; i < n_packed; i++) {
+    dst[2 * i] = kNt16[src[i] >> 4];
+    dst[2 * i + 1] = kNt16[src[i] & 0xF];
+  }
+}
+#endif
+
 // 256-entry packed-byte -> two-ASCII-base table (portable analogue of the
 // reference's SSSE3/NEON nibble2base, simd.c:121-229)
 struct Nt16x2 {
@@ -319,6 +346,57 @@ class Buf {
  private:
   uint8_t* data_;
   size_t len_, cap_;
+};
+
+// In-order batch committer: format workers produce SAM text for batch i in
+// a reusable per-thread scratch Buf, then append it to the single output
+// buffer strictly in batch order (the batch analogue of the reference's
+// serial-number-ordered result queue, thread_pool_internal.h:74) — one
+// write of the output instead of shard-buffers + a second merge pass.
+// Only the turn-holder touches out/cap, so realloc growth is safe; glibc
+// serves these large blocks from mmap and grows them with mremap (no copy).
+struct OrderedSink {
+  uint8_t* out = nullptr;
+  uint64_t cap = 0;
+  uint64_t bytes = 0;                  // committed length (turn-guarded)
+  std::atomic<int64_t> turn{0};        // next batch index allowed in
+  bool init(uint64_t initial_cap) {
+    cap = initial_cap ? initial_cap : 1;
+    out = (uint8_t*)malloc(cap);
+    return out != nullptr;
+  }
+  // Returns false if err was raised elsewhere or allocation failed.
+  bool commit(int64_t bi, const uint8_t* data, uint64_t len,
+              std::atomic<int64_t>& err) {
+    while (turn.load(std::memory_order_acquire) != bi) {
+      if (err.load(std::memory_order_relaxed)) return false;
+      std::this_thread::yield();
+    }
+    if (bytes + len > cap) {
+      uint64_t ncap = cap + cap / 2;
+      if (ncap < bytes + len) ncap = bytes + len + (1 << 20);
+      uint8_t* nout = (uint8_t*)realloc(out, ncap);
+      if (!nout) {
+        err.store(-1, std::memory_order_relaxed);
+        turn.store(bi + 1, std::memory_order_release);
+        return false;
+      }
+      out = nout;
+      cap = ncap;
+    }
+    memcpy(out + bytes, data, len);
+    bytes += len;
+    turn.store(bi + 1, std::memory_order_release);
+    return true;
+  }
+  // A claimed batch with no records must still pass its turn along.
+  void skip(int64_t bi, std::atomic<int64_t>& err) {
+    while (turn.load(std::memory_order_acquire) != bi) {
+      if (err.load(std::memory_order_relaxed)) return;
+      std::this_thread::yield();
+    }
+    turn.store(bi + 1, std::memory_order_release);
+  }
 };
 
 inline uint32_t rd_u32(const uint8_t* p) {
@@ -539,12 +617,16 @@ int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
   out->putc('\t');
   if (l_qseq == 0) out->putc('*');
   else {
-    out->reserve(l_qseq);
+    out->reserve(l_qseq + 32);  // SIMD path writes in 32B stores
     uint8_t* dst = out->data() + out->len();
+#if defined(__SSSE3__)
+    nibble2base_simd(seq, dst, l_qseq / 2);
+#else
     for (int32_t i = 0; i < l_qseq / 2; i++) {
       uint16_t two = kNt16x2.t[seq[i]];
       memcpy(dst + 2 * i, &two, 2);
     }
+#endif
     if (l_qseq & 1) dst[l_qseq - 1] = kNt16[seq[l_qseq / 2] >> 4];
     out->bump(l_qseq);
   }
@@ -636,10 +718,11 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
   std::atomic<bool> scan_done(false);
   std::atomic<int64_t> next_batch(0);
   std::atomic<int64_t> fmt_err(0);
-  int64_t max_batches = (int64_t)(cap + kBatch - 1) / kBatch;
-  std::vector<Buf> bufs(max_batches);
+  OrderedSink sink;
+  if (!sink.init((len - start) * 3)) return -1;
 
   auto format_batches = [&]() {
+    Buf scratch;  // reused across batches: stays cache-resident
     for (;;) {
       int64_t bi = next_batch.fetch_add(1, std::memory_order_relaxed);
       int64_t lo = bi * kBatch;
@@ -651,24 +734,26 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
         std::this_thread::yield();
       }
       int64_t total = n_scanned.load(std::memory_order_acquire);
-      if (lo >= total) return;
+      if (lo >= total) { sink.skip(bi, fmt_err); return; }
       int64_t hi = std::min<int64_t>(total, lo + kBatch);
       if (fmt_err.load(std::memory_order_relaxed) ||
           scan_err.load(std::memory_order_relaxed))
         return;
+      scratch.clear();
       // exact batch byte span: records are contiguous in the stream
       uint32_t last_bsz;
       std::memcpy(&last_bsz, data + offs[hi - 1], 4);
       uint64_t in_bytes = offs[hi - 1] + 4 + last_bsz - offs[lo];
-      bufs[bi].reserve(in_bytes * 5 / 2 + 4096);
+      scratch.reserve(in_bytes * 5 / 2 + 4096);
       for (int64_t i = lo; i < hi; i++) {
         uint32_t bsz;
         std::memcpy(&bsz, data + offs[i], 4);
-        if (format_record(data + offs[i] + 4, bsz, nt, &bufs[bi]) < 0) {
+        if (format_record(data + offs[i] + 4, bsz, nt, &scratch) < 0) {
           fmt_err.store(-(3000 + i), std::memory_order_relaxed);
           return;
         }
       }
+      if (!sink.commit(bi, scratch.data(), scratch.len(), fmt_err)) return;
     }
   };
 
@@ -695,23 +780,12 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
   }
   format_batches();
   for (auto& th : team) th.join();
-  if (scan_err.load()) return scan_err.load();
-  if (fmt_err.load()) return fmt_err.load();
+  if (scan_err.load()) { free(sink.out); return scan_err.load(); }
+  if (fmt_err.load()) { free(sink.out); return fmt_err.load(); }
 
-  int64_t n = n_scanned.load();
-  int64_t nb = (n + kBatch - 1) / kBatch;
-  int64_t total = 0;
-  for (int64_t i = 0; i < nb; i++) total += bufs[i].len();
-  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
-  if (!out) return -1;
-  std::vector<int64_t> starts(nb);
-  int64_t pos = 0;
-  for (int64_t i = 0; i < nb; i++) { starts[i] = pos; pos += bufs[i].len(); }
-  parallel_for(nb, nthreads, [&](int64_t i) {
-    memcpy(out + starts[i], bufs[i].data(), bufs[i].len());
-  });
-  *out_ptr = out;
-  return total;
+  uint8_t* out = (uint8_t*)realloc(sink.out, sink.bytes ? sink.bytes : 1);
+  *out_ptr = out ? out : sink.out;
+  return (int64_t)sink.bytes;
 }
 
 void htstpu_buf_free(uint8_t* p) { free(p); }
@@ -825,10 +899,14 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
   std::atomic<int64_t> n_scanned(0);
   std::atomic<bool> scan_done(false);
   std::atomic<int64_t> next_batch(0);
-  int64_t max_batches = (int64_t)(cap + kBatch - 1) / kBatch;
-  std::vector<Buf> bufs(max_batches);
+  OrderedSink sink;
+  if (!sink.init((U - u_skip) * 3)) {
+    free(ubuf);
+    return -1;
+  }
 
   auto format_batches = [&]() {
+    Buf scratch;  // reused across batches: stays cache-resident
     for (;;) {
       int64_t bi = next_batch.fetch_add(1, std::memory_order_relaxed);
       int64_t lo = bi * kBatch;
@@ -840,22 +918,24 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
         std::this_thread::yield();
       }
       int64_t total = n_scanned.load(std::memory_order_acquire);
-      if (lo >= total) return;
+      if (lo >= total) { sink.skip(bi, err); return; }
       int64_t hi = std::min<int64_t>(total, lo + kBatch);
       if (err.load(std::memory_order_relaxed)) return;
+      scratch.clear();
       // exact batch byte span: records are contiguous in the stream
       uint32_t last_bsz;
       std::memcpy(&last_bsz, ubuf + offs[hi - 1], 4);
       uint64_t in_bytes = offs[hi - 1] + 4 + last_bsz - offs[lo];
-      bufs[bi].reserve(in_bytes * 5 / 2 + 4096);
+      scratch.reserve(in_bytes * 5 / 2 + 4096);
       for (int64_t i = lo; i < hi; i++) {
         uint32_t bsz;
         std::memcpy(&bsz, ubuf + offs[i], 4);
-        if (format_record(ubuf + offs[i] + 4, bsz, nt, &bufs[bi]) < 0) {
+        if (format_record(ubuf + offs[i] + 4, bsz, nt, &scratch) < 0) {
           err.store(-(3000 + i), std::memory_order_relaxed);
           return;
         }
       }
+      if (!sink.commit(bi, scratch.data(), scratch.len(), err)) return;
     }
   };
 
@@ -911,31 +991,14 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
   int64_t e = err.load();
   if (e) {
     free(ubuf);
+    free(sink.out);
     return e;
   }
 
-  // 4. assemble
-  int64_t n = n_scanned.load();
-  int64_t nb = (n + kBatch - 1) / kBatch;
-  int64_t total = 0;
-  for (int64_t i = 0; i < nb; i++) total += bufs[i].len();
-  uint8_t* out = (uint8_t*)malloc(total ? total : 1);
-  if (!out) {
-    free(ubuf);
-    return -1;
-  }
-  std::vector<int64_t> starts(nb);
-  int64_t acc = 0;
-  for (int64_t i = 0; i < nb; i++) {
-    starts[i] = acc;
-    acc += bufs[i].len();
-  }
-  parallel_for(nb, nthreads, [&](int64_t i) {
-    memcpy(out + starts[i], bufs[i].data(), bufs[i].len());
-  });
   free(ubuf);
-  *out_ptr = out;
-  return total;
+  uint8_t* out = (uint8_t*)realloc(sink.out, sink.bytes ? sink.bytes : 1);
+  *out_ptr = out ? out : sink.out;
+  return (int64_t)sink.bytes;
 }
 
 }  // extern "C"
