@@ -11,10 +11,12 @@
 // negative error code.
 
 #include <libdeflate.h>
+#include <sys/mman.h>
 
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 #include <cstdlib>
@@ -283,7 +285,21 @@ struct NameTable {
   const uint64_t* offs;
   const uint32_t* lens;
   int32_t n_ref;
+  uint32_t max_len() const {
+    uint32_t m = 1;
+    for (int32_t i = 0; i < n_ref; i++) m = std::max(m, lens[i]);
+    return m;
+  }
 };
+
+// Worst-case SAM text bytes for `span` BAM record bytes: the densest
+// expansion is a B:c aux array (1 byte -> ",-128" = 5 chars); seq nibbles
+// are 2x; CIGAR u32s up to 2.5x; everything else <=5x.  Reference names
+// come from the name table (not the record), so add 2*max_name per record
+// (RNAME + RNEXT) at the minimum record pitch of 36 bytes.
+inline uint64_t sam_out_bound(uint64_t span, uint32_t max_name) {
+  return span * 6 + (span / 36 + 1) * (2ull * max_name + 16) + (1 << 20);
+}
 
 class Buf {
  public:
@@ -348,45 +364,50 @@ class Buf {
   size_t len_, cap_;
 };
 
+// Big scratch allocations stay on malloc: the Python side tunes the glibc
+// arena (M_MMAP_THRESHOLD/M_TRIM_THRESHOLD) so repeated pipeline calls
+// reuse already-faulted pages instead of paying ~50k page faults per call
+// the way a fresh mmap would.  Over-asking is fine — untouched tail pages
+// are never committed.
+uint8_t* big_alloc(size_t cap) { return (uint8_t*)malloc(cap); }
+void big_free(uint8_t* p, size_t) { free(p); }
+
 // In-order batch committer: format workers produce SAM text for batch i in
 // a reusable per-thread scratch Buf, then append it to the single output
 // buffer strictly in batch order (the batch analogue of the reference's
-// serial-number-ordered result queue, thread_pool_internal.h:74) — one
-// write of the output instead of shard-buffers + a second merge pass.
-// Only the turn-holder touches out/cap, so realloc growth is safe; glibc
-// serves these large blocks from mmap and grows them with mremap (no copy).
+// serial-number-ordered result queue, thread_pool_internal.h:74).  The
+// turn-holder only *reserves* its byte range — a couple of atomic stores —
+// and the memcpy itself runs outside the turn, so commit copies from many
+// workers proceed in parallel and the serial section stays O(1) per batch
+// no matter how wide the thread team is.  The backing store is a single
+// NORESERVE mmap sized to a worst-case expansion bound, so no realloc can
+// ever move it under a concurrent copier.
 struct OrderedSink {
   uint8_t* out = nullptr;
   uint64_t cap = 0;
-  uint64_t bytes = 0;                  // committed length (turn-guarded)
+  std::atomic<uint64_t> bytes{0};      // reserved length
   std::atomic<int64_t> turn{0};        // next batch index allowed in
-  bool init(uint64_t initial_cap) {
-    cap = initial_cap ? initial_cap : 1;
-    out = (uint8_t*)malloc(cap);
+  bool init(uint64_t virtual_cap) {
+    cap = virtual_cap ? virtual_cap : 4096;
+    out = big_alloc(cap);
     return out != nullptr;
   }
-  // Returns false if err was raised elsewhere or allocation failed.
+  // Returns false if err was raised elsewhere or the bound was exceeded.
   bool commit(int64_t bi, const uint8_t* data, uint64_t len,
               std::atomic<int64_t>& err) {
     while (turn.load(std::memory_order_acquire) != bi) {
       if (err.load(std::memory_order_relaxed)) return false;
       std::this_thread::yield();
     }
-    if (bytes + len > cap) {
-      uint64_t ncap = cap + cap / 2;
-      if (ncap < bytes + len) ncap = bytes + len + (1 << 20);
-      uint8_t* nout = (uint8_t*)realloc(out, ncap);
-      if (!nout) {
-        err.store(-1, std::memory_order_relaxed);
-        turn.store(bi + 1, std::memory_order_release);
-        return false;
-      }
-      out = nout;
-      cap = ncap;
+    uint64_t off = bytes.load(std::memory_order_relaxed);
+    if (off + len > cap) {
+      err.store(-5, std::memory_order_relaxed);
+      turn.store(bi + 1, std::memory_order_release);
+      return false;
     }
-    memcpy(out + bytes, data, len);
-    bytes += len;
+    bytes.store(off + len, std::memory_order_relaxed);
     turn.store(bi + 1, std::memory_order_release);
+    memcpy(out + off, data, len);  // parallel with other committers
     return true;
   }
   // A claimed batch with no records must still pass its turn along.
@@ -396,6 +417,13 @@ struct OrderedSink {
       std::this_thread::yield();
     }
     turn.store(bi + 1, std::memory_order_release);
+  }
+  void abandon() { big_free(out, cap); out = nullptr; }
+  // Hand ownership to the caller (htstpu_buf_free releases it).
+  uint8_t* release() {
+    uint8_t* p = out;
+    out = nullptr;
+    return p;
   }
 };
 
@@ -408,6 +436,129 @@ inline uint16_t rd_u16(const uint8_t* p) {
   uint16_t v;
   memcpy(&v, p, 2);
   return v;
+}
+
+// --- speculative parallel BAM record-boundary scan --------------------------
+//
+// Record framing (u32 block_size + payload) has no sync markers, so a scan
+// is inherently sequential — unless we guess.  Each worker re-synchronises
+// at its segment boundary by testing candidate offsets against the record
+// invariants (bam_read1's validation set, sam.c:824-828) chained across
+// several successive records; a serial stitch pass then *verifies* every
+// segment's guess against the previous segment's carry, re-scanning any
+// segment whose guess was wrong.  Correctness never depends on the
+// heuristic — a bad sync only costs a serial rescan of that one segment.
+
+// Is `p` a plausible record start?  (bounds-checked against [0, U))
+inline bool plausible_record(const uint8_t* u, uint64_t U, uint64_t p,
+                             int32_t n_ref) {
+  if (p + 4 > U) return false;
+  uint32_t bsz = rd_u32(u + p);
+  if (bsz < 32 || p + 4 + (uint64_t)bsz > U) return false;
+  const uint8_t* r = u + p + 4;
+  int32_t tid = (int32_t)rd_u32(r + 0);
+  int32_t pos = (int32_t)rd_u32(r + 4);
+  uint8_t l_qname = r[8];
+  uint16_t n_cigar = rd_u16(r + 12);
+  int32_t l_qseq = (int32_t)rd_u32(r + 16);
+  int32_t mtid = (int32_t)rd_u32(r + 20);
+  int32_t mpos = (int32_t)rd_u32(r + 24);
+  if (tid < -1 || tid >= n_ref) return false;
+  if (mtid < -1 || mtid >= n_ref) return false;
+  if (pos < -1 || mpos < -1) return false;
+  if (l_qname == 0 || l_qseq < 0) return false;
+  uint64_t need = 32ull + l_qname + 4ull * n_cigar + (l_qseq + 1) / 2 + l_qseq;
+  if (need > bsz) return false;
+  return true;
+}
+
+// Chain-validate: `p` must look like a record AND its next `depth`
+// successors must too (or the stream must end exactly).
+inline bool validate_chain(const uint8_t* u, uint64_t U, uint64_t p,
+                           int32_t n_ref, int depth) {
+  for (int d = 0; d <= depth; d++) {
+    if (p == U) return true;
+    if (!plausible_record(u, U, p, n_ref)) return false;
+    p += 4 + (uint64_t)rd_u32(u + p);
+  }
+  return true;
+}
+
+// Parallel speculative scan of [start, U) into `offs` (cap entries).
+// Returns record count, or -2 truncated / -3 bad record.
+int64_t spec_scan_records(const uint8_t* u, uint64_t U, uint64_t start,
+                          int32_t n_ref, uint64_t* offs, uint64_t cap,
+                          int nthreads) {
+  const uint64_t span = U - start;
+  const uint64_t kSeg = 4u << 20;
+  int64_t nseg = (int64_t)((span + kSeg - 1) / kSeg);
+  if (nseg < 1) nseg = 1;
+  struct Seg {
+    uint64_t spec_start = UINT64_MAX;  // first record offset >= seg begin
+    uint64_t carry = 0;                // first record offset >= seg end
+    std::vector<uint64_t> offs;        // record offsets within [begin, end)
+    bool bad = false;                  // scan hit an invariant violation
+  };
+  std::vector<Seg> segs(nseg);
+  // hop-scan from a known-good record start `p` until >= lim; appends to v.
+  // Returns 0 ok, -2 truncated, -3 bad record.
+  auto hop = [&](uint64_t p, uint64_t lim, std::vector<uint64_t>& v,
+                 uint64_t* carry) -> int {
+    while (p < lim) {
+      if (p + 4 > U) return -2;
+      uint32_t bsz = rd_u32(u + p);
+      if (bsz < 32) return -3;
+      if (p + 4 + (uint64_t)bsz > U) return -2;
+      v.push_back(p);
+      __builtin_prefetch(u + p + 1024);
+      p += 4 + (uint64_t)bsz;
+    }
+    *carry = p;
+    return 0;
+  };
+  parallel_for(nseg, nthreads, [&](int64_t k) {
+    Seg& s = segs[k];
+    uint64_t beg = start + (uint64_t)k * kSeg;
+    uint64_t end = std::min<uint64_t>(U, beg + kSeg);
+    uint64_t p = k == 0 ? start : UINT64_MAX;
+    if (k > 0) {
+      // sync: first chain-valid offset at/after beg
+      for (uint64_t c = beg; c < end; c++) {
+        if (validate_chain(u, U, c, n_ref, 4)) { p = c; break; }
+      }
+      if (p == UINT64_MAX) return;  // no sync: stitch rescans serially
+    }
+    s.spec_start = p;
+    s.offs.reserve((end - p) / 64 + 4);
+    if (hop(p, end, s.offs, &s.carry) != 0) s.bad = true;
+  });
+  // serial stitch: verify each segment's guess against the running carry
+  int64_t n = 0;
+  uint64_t expected = start;
+  for (int64_t k = 0; k < nseg; k++) {
+    Seg& s = segs[k];
+    uint64_t end = std::min<uint64_t>(U, start + (uint64_t)(k + 1) * kSeg);
+    if (s.spec_start == expected && !s.bad) {
+      if ((uint64_t)n + s.offs.size() > cap) return -4;
+      memcpy(offs + n, s.offs.data(), s.offs.size() * sizeof(uint64_t));
+      n += (int64_t)s.offs.size();
+      expected = s.carry;
+    } else {
+      // wrong guess (or unsynced/bad segment): rescan it serially
+      std::vector<uint64_t> v;
+      uint64_t carry = expected;
+      if (expected < end) {
+        int rc = hop(expected, end, v, &carry);
+        if (rc != 0) return rc;
+      }
+      if ((uint64_t)n + v.size() > cap) return -4;
+      memcpy(offs + n, v.data(), v.size() * sizeof(uint64_t));
+      n += (int64_t)v.size();
+      expected = carry;
+    }
+  }
+  if (expected != U) return -2;
+  return n;
 }
 
 // Format one record's aux blob; returns 0 ok, -1 corrupt.
@@ -719,7 +870,7 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
   std::atomic<int64_t> next_batch(0);
   std::atomic<int64_t> fmt_err(0);
   OrderedSink sink;
-  if (!sink.init((len - start) * 3)) return -1;
+  if (!sink.init(sam_out_bound(len - start, nt.max_len()))) return -1;
 
   auto format_batches = [&]() {
     Buf scratch;  // reused across batches: stays cache-resident
@@ -757,6 +908,20 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
     }
   };
 
+  if (nthreads > 6 && len - start > (16u << 20)) {
+    // Wide team: parallel speculative scan, then format with every thread.
+    int64_t n = spec_scan_records(data, len, start, n_ref, offs.data(), cap,
+                                  nthreads);
+    if (n < 0) scan_err.store(n);
+    else n_scanned.store(n, std::memory_order_release);
+    scan_done.store(true, std::memory_order_release);
+    if (!scan_err.load()) {
+      std::vector<std::thread> team;
+      for (int i = 1; i < nthreads; i++) team.emplace_back(format_batches);
+      format_batches();
+      for (auto& th : team) th.join();
+    }
+  } else {
   std::vector<std::thread> team;
   for (int i = 1; i < nthreads; i++) team.emplace_back(format_batches);
 
@@ -770,6 +935,7 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
       if (pos + 4 + bsz > len) { scan_err.store(-2); break; }
       if (bsz < 32) { scan_err.store(-3); break; }
       offs[n++] = pos;
+      __builtin_prefetch(data + pos + 1024);
       pos += 4 + (uint64_t)bsz;
       if ((n & 1023) == 0)
         n_scanned.store(n, std::memory_order_release);
@@ -780,12 +946,12 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
   }
   format_batches();
   for (auto& th : team) th.join();
-  if (scan_err.load()) { free(sink.out); return scan_err.load(); }
-  if (fmt_err.load()) { free(sink.out); return fmt_err.load(); }
+  }
+  if (scan_err.load()) { sink.abandon(); return scan_err.load(); }
+  if (fmt_err.load()) { sink.abandon(); return fmt_err.load(); }
 
-  uint8_t* out = (uint8_t*)realloc(sink.out, sink.bytes ? sink.bytes : 1);
-  *out_ptr = out ? out : sink.out;
-  return (int64_t)sink.bytes;
+  *out_ptr = sink.release();
+  return (int64_t)sink.bytes.load();
 }
 
 void htstpu_buf_free(uint8_t* p) { free(p); }
@@ -855,7 +1021,8 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
   int64_t nblk = (int64_t)coffs.size();
   uint64_t U = nblk ? uoffs[nblk - 1] + usizes[nblk - 1] : 0;
   if (u_skip > U) return -2;
-  uint8_t* ubuf = (uint8_t*)malloc(U ? U : 1);
+  uint64_t ubuf_cap = U ? U : 4096;
+  uint8_t* ubuf = big_alloc(ubuf_cap);
   if (!ubuf) return -1;
 
   // 2. shared pipeline state
@@ -900,8 +1067,8 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
   std::atomic<bool> scan_done(false);
   std::atomic<int64_t> next_batch(0);
   OrderedSink sink;
-  if (!sink.init((U - u_skip) * 3)) {
-    free(ubuf);
+  if (!sink.init(sam_out_bound(U - u_skip, nt.max_len()))) {
+    big_free(ubuf, ubuf_cap);
     return -1;
   }
 
@@ -946,6 +1113,36 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
     format_batches();
   };
 
+  if (nthreads > 6 && nblk >= nthreads) {
+    // Wide team: the serial frontier-chasing scanner would be the Amdahl
+    // wall, so run in phases — (1) inflate with every thread, (2) parallel
+    // speculative record scan, (3) format with every thread.  The phase
+    // barriers cost O(span/nthreads), which is negligible at this width.
+    {
+      std::vector<std::thread> t2;
+      auto inflate_all = [&]() {
+        while (inflate_one()) {
+          if (err.load(std::memory_order_relaxed)) break;
+        }
+      };
+      for (int i = 1; i < nthreads; i++) t2.emplace_back(inflate_all);
+      inflate_all();
+      for (auto& th : t2) th.join();
+    }
+    if (!err.load()) {
+      int64_t n = spec_scan_records(ubuf, U, u_skip, n_ref, offs.data(), cap,
+                                    nthreads);
+      if (n < 0) err.store(n);
+      else n_scanned.store(n, std::memory_order_release);
+    }
+    scan_done.store(true, std::memory_order_release);
+    if (!err.load()) {
+      std::vector<std::thread> t3;
+      for (int i = 1; i < nthreads; i++) t3.emplace_back(format_batches);
+      format_batches();
+      for (auto& th : t3) th.join();
+    }
+  } else {
   std::vector<std::thread> team;
   for (int i = 1; i < nthreads; i++) team.emplace_back(worker);
 
@@ -979,6 +1176,7 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
       }
       if (!wait_frontier(pos + 4 + bsz)) break;
       offs[n++] = pos;
+      __builtin_prefetch(ubuf + pos + 1024);
       pos += 4 + (uint64_t)bsz;
       if ((n & 1023) == 0) n_scanned.store(n, std::memory_order_release);
     }
@@ -987,18 +1185,17 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
   }
   format_batches();
   for (auto& th : team) th.join();
+  }
 
   int64_t e = err.load();
+  big_free(ubuf, ubuf_cap);
   if (e) {
-    free(ubuf);
-    free(sink.out);
+    sink.abandon();
     return e;
   }
 
-  free(ubuf);
-  uint8_t* out = (uint8_t*)realloc(sink.out, sink.bytes ? sink.bytes : 1);
-  *out_ptr = out ? out : sink.out;
-  return (int64_t)sink.bytes;
+  *out_ptr = sink.release();
+  return (int64_t)sink.bytes.load();
 }
 
 }  // extern "C"

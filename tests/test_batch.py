@@ -144,3 +144,74 @@ def test_fused_bgzf_to_sam_matches_staged(fname):
     hdr2, fused = bam_file_to_sam(path)
     assert hdr2.text == hdr.text
     assert bytes(fused) == bytes(staged)
+
+
+def test_wide_team_spec_scan_byte_identical(tmp_path):
+    """With a wide thread team the native pipelines switch to a
+    speculative parallel record-boundary scan (segment sync + chain
+    validation + verified stitch).  Output must be byte-identical to the
+    narrow-team serial-scanner path on the same input."""
+    from htslib_tpu.native import native
+    if native is None:
+        pytest.skip("native library unavailable")
+    import struct as _struct
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.record import BamRecord
+
+    hdr = SamHeader("@HD\tVN:1.6\tSO:coordinate\n"
+                    "@SQ\tSN:chr1\tLN:249250621\n"
+                    "@SQ\tSN:a_rather_long_reference_name_to_stress_bounds\tLN:500\n")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    path = str(tmp_path / "wide.bam")
+    w = BamWriter(path, hdr, level=1)
+    payload = []
+    pos = 100
+    for i in range(2000):
+        # vary record sizes (incl. tiny unmapped + long reads) so segment
+        # boundaries land everywhere
+        rl = int(rng.integers(1, 400))
+        seq = bases[rng.integers(0, 4, rl)].tobytes().decode()
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, rl))
+        pos += int(rng.integers(0, 30))
+        if i % 97 == 0:
+            line = f"u{i}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*"
+        else:
+            line = (f"r{i}\t0\tchr1\t{pos}\t60\t{rl}M\t*\t0\t0\t{seq}\t{qual}"
+                    f"\tNM:i:0\tXB:B:c,-128,127,0")
+        rec = BamRecord.from_sam(line, hdr)
+        buf = rec.to_bam_buffer()
+        payload.append(_struct.pack("<I", len(buf)) + buf)
+    blob = b"".join(payload)
+    for _ in range(40):  # ~enough blocks for nthreads=8 phase mode
+        w.fp.write(blob)
+    w.close()
+
+    raw = np.fromfile(path, np.uint8)
+    with BamReader(path) as r:
+        u_skip = r.fp.tell_uncompressed() if hasattr(r.fp, "tell_uncompressed") else None
+    if u_skip is None:
+        # compute header size from the uncompressed stream directly
+        from htslib_tpu.bgzf import BGZFReader
+        with BGZFReader(path) as bf:
+            head = bf.read(1 << 16)
+        ltext = int.from_bytes(head[4:8], "little")
+        p = 8 + ltext
+        nref = int.from_bytes(head[p:p + 4], "little")
+        p += 4
+        for _ in range(nref):
+            ln = int.from_bytes(head[p:p + 4], "little")
+            p += 4 + ln + 4
+        u_skip = p
+    narrow = native.bgzf_to_sam(raw, u_skip, hdr.ref_names, nthreads=2)
+    wide = native.bgzf_to_sam(raw, u_skip, hdr.ref_names, nthreads=8)
+    assert bytes(narrow) == bytes(wide)
+
+    # and the pre-inflated entry point's wide path (>16MB trigger)
+    from htslib_tpu.bgzf import BGZFReader
+    with BGZFReader(path) as bf:
+        udata = np.frombuffer(bf.read(), np.uint8)
+    if len(udata) - u_skip > (16 << 20):
+        nw = native.bam_scan_format(udata, u_skip, hdr.ref_names, nthreads=2)
+        wd = native.bam_scan_format(udata, u_skip, hdr.ref_names, nthreads=8)
+        assert bytes(nw) == bytes(wd)
