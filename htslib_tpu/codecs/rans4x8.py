@@ -105,6 +105,9 @@ def _normalize(freqs: np.ndarray, total: int = TOTFREQ) -> np.ndarray:
 def uncompress(data: bytes) -> bytes:
     order = data[0]
     comp_sz, out_sz = struct.unpack_from("<II", data, 1)
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.rans4x8_uncompress(data, out_sz)
     if order == 0:
         return _uncompress_o0(data, 9, out_sz)
     return _uncompress_o1(data, 9, out_sz)
@@ -227,6 +230,9 @@ def _uncompress_o1(buf: bytes, p: int, out_sz: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 def compress(data: bytes, order: int = 0) -> bytes:
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.rans4x8_compress(data, order)
     if order == 0 or len(data) < 4:
         body = _compress_o0(data)
         order = 0

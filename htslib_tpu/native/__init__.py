@@ -81,6 +81,13 @@ class _Native:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.htstpu_rans4x8_uncompress.restype = ctypes.c_int64
+        lib.htstpu_rans4x8_uncompress.argtypes = [u8p, ctypes.c_uint64, u8p,
+                                                  ctypes.c_uint64]
+        lib.htstpu_rans4x8_compress.restype = ctypes.c_int64
+        lib.htstpu_rans4x8_compress.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
 
     @staticmethod
     def _u8(arr: np.ndarray):
@@ -301,6 +308,28 @@ class _Native:
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
         return np.frombuffer(cbuf, np.uint8)
+
+    def rans4x8_uncompress(self, data: bytes, out_sz: int) -> bytes:
+        """Decode one CRAM 3.0 rANS stream (incl. 9-byte header)."""
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty(max(out_sz, 1), np.uint8)
+        r = self._lib.htstpu_rans4x8_uncompress(self._u8(buf), len(buf),
+                                                self._u8(out), out_sz)
+        if r < 0:
+            raise ValueError("malformed rANS 4x8 stream")
+        return out[:r].tobytes()
+
+    def rans4x8_compress(self, data: bytes, order: int) -> bytes:
+        buf = np.frombuffer(data, np.uint8)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_rans4x8_compress(self._u8(buf), len(buf), order,
+                                              ctypes.byref(out_ptr))
+        if r < 0:
+            raise ValueError("rANS 4x8 encode failed")
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
 
 
 native: Optional[_Native] = None

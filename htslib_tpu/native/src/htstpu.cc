@@ -1641,3 +1641,384 @@ int64_t htstpu_sam_to_bam(const uint8_t* text, uint64_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 — the CRAM 3.0 static rANS entropy codec (htscodecs
+// rANS_static.c, reached via cram/cram_io.c:1668/1838).  Same wire format
+// as htslib_tpu/codecs/rans4x8.py; this is the production host route, the
+// Python/numpy and TPU (ops/rans.py) paths are the fallbacks/device mirrors.
+// All decode paths treat input as hostile: every read is bounds-checked.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kTfShift = 12;
+constexpr uint32_t kTotFreq = 1u << kTfShift;
+constexpr uint32_t kRansL = 1u << 23;
+
+// ITF8 (cram/cram_io.c:138): leading-ones prefix gives the byte count.
+inline bool itf8_get(const uint8_t* b, uint64_t len, uint64_t* p, uint32_t* v) {
+  if (*p >= len) return false;
+  uint8_t b0 = b[*p];
+  int extra = b0 < 0x80 ? 0 : b0 < 0xC0 ? 1 : b0 < 0xE0 ? 2 : b0 < 0xF0 ? 3 : 4;
+  if (*p + 1 + extra > len) return false;
+  const uint8_t* q = b + *p + 1;
+  switch (extra) {
+    case 0: *v = b0; break;
+    case 1: *v = ((b0 & 0x3Fu) << 8) | q[0]; break;
+    case 2: *v = ((b0 & 0x1Fu) << 16) | (q[0] << 8) | q[1]; break;
+    case 3: *v = ((b0 & 0x0Fu) << 24) | (q[0] << 16) | (q[1] << 8) | q[2]; break;
+    default:
+      *v = ((b0 & 0x0Fu) << 28) | (q[0] << 20) | (q[1] << 12) | (q[2] << 4) |
+           (q[3] & 0x0F);
+      break;
+  }
+  *p += 1 + extra;
+  return true;
+}
+
+inline void itf8_put(Buf* out, uint32_t v) {
+  if (v < 0x80) { out->putc((char)v); }
+  else if (v < 0x4000) {
+    out->putc((char)(0x80 | (v >> 8))); out->putc((char)(v & 0xFF));
+  } else if (v < 0x200000) {
+    out->putc((char)(0xC0 | (v >> 16))); out->putc((char)((v >> 8) & 0xFF));
+    out->putc((char)(v & 0xFF));
+  } else if (v < 0x10000000) {
+    out->putc((char)(0xE0 | (v >> 24))); out->putc((char)((v >> 16) & 0xFF));
+    out->putc((char)((v >> 8) & 0xFF)); out->putc((char)(v & 0xFF));
+  } else {
+    out->putc((char)(0xF0 | ((v >> 28) & 0x0F))); out->putc((char)((v >> 20) & 0xFF));
+    out->putc((char)((v >> 12) & 0xFF)); out->putc((char)((v >> 4) & 0xFF));
+    out->putc((char)(v & 0x0F));
+  }
+}
+
+// One symbol->freq table: ascending symbol list with (sym, sym+1, runlen)
+// RLE escape, ITF8 freqs, terminated by symbol 0.
+bool rans_read_freqs(const uint8_t* b, uint64_t len, uint64_t* pp,
+                     uint32_t freqs[256]) {
+  memset(freqs, 0, 256 * sizeof(uint32_t));
+  uint64_t p = *pp;
+  if (p >= len) return false;
+  int sym = b[p++];
+  int rle = 0;
+  for (;;) {
+    uint32_t f;
+    if (!itf8_get(b, len, &p, &f)) return false;
+    freqs[sym] = f;
+    if (rle == 0 && p < len && b[p] == sym + 1) {
+      sym = b[p++];
+      if (p >= len) return false;
+      rle = b[p++];
+    } else if (rle > 0) {
+      rle--;
+      sym++;
+      if (sym > 255) return false;
+    } else {
+      if (p >= len) return false;
+      sym = b[p++];
+    }
+    if (sym == 0) break;
+  }
+  *pp = p;
+  return true;
+}
+
+void rans_write_freqs(Buf* out, const uint32_t freqs[256]) {
+  uint8_t syms[256];
+  int n = 0;
+  for (int s = 0; s < 256; s++)
+    if (freqs[s]) syms[n++] = (uint8_t)s;
+  int i = 0;
+  while (i < n) {
+    int run = 0;
+    while (i + run + 1 < n && syms[i + run + 1] == syms[i + run] + 1) run++;
+    out->putc((char)syms[i]);
+    itf8_put(out, freqs[syms[i]]);
+    if (run >= 1) {
+      out->putc((char)(syms[i] + 1));
+      out->putc((char)(run - 1));
+      for (int j = 1; j <= run; j++) itf8_put(out, freqs[syms[i + j]]);
+      i += run + 1;
+    } else {
+      i++;
+    }
+  }
+  out->putc('\0');
+}
+
+// Scale freqs to sum kTotFreq keeping nonzero symbols nonzero
+// (codecs/rans4x8.py _normalize semantics).
+bool rans_normalize(const uint64_t* hist, uint32_t freqs[256]) {
+  uint64_t s = 0;
+  for (int i = 0; i < 256; i++) s += hist[i];
+  if (s == 0) { memset(freqs, 0, 256 * sizeof(uint32_t)); return true; }
+  int64_t total = 0;
+  int argmax = 0;
+  for (int i = 0; i < 256; i++) {
+    uint64_t f = hist[i] * kTotFreq / s;
+    if (hist[i] && f == 0) f = 1;
+    freqs[i] = (uint32_t)f;
+    total += (int64_t)f;
+    if (freqs[i] > freqs[argmax]) argmax = i;
+  }
+  int64_t diff = (int64_t)kTotFreq - total;
+  if ((int64_t)freqs[argmax] + diff <= 0) return false;
+  freqs[argmax] = (uint32_t)((int64_t)freqs[argmax] + diff);
+  return true;
+}
+
+struct RansTbl {
+  uint8_t sym[kTotFreq];    // slot -> symbol
+  uint16_t freq[kTotFreq];  // slot -> freq of that symbol
+  uint16_t cum[kTotFreq];   // slot -> cumulative start of that symbol
+  bool build(const uint32_t freqs[256]) {
+    uint32_t c = 0;
+    for (int s = 0; s < 256; s++) {
+      uint32_t f = freqs[s];
+      if (c + f > kTotFreq) return false;
+      for (uint32_t k = 0; k < f; k++) {
+        sym[c + k] = (uint8_t)s;
+        freq[c + k] = (uint16_t)f;
+        cum[c + k] = (uint16_t)c;
+      }
+      c += f;
+    }
+    // tail slots unused when sum < 4096 (rounding-tolerant tables)
+    for (; c < kTotFreq; c++) { sym[c] = 0; freq[c] = 0; cum[c] = 0; }
+    return true;
+  }
+};
+
+inline void rans_renorm_dec(uint32_t* x, const uint8_t* b, uint64_t len,
+                            uint64_t* ptr) {
+  while (*x < kRansL && *ptr < len) *x = (*x << 8) | b[(*ptr)++];
+}
+
+inline void rans_renorm_enc(uint32_t* x, uint32_t f, Buf* rev) {
+  uint32_t x_max = ((kRansL >> kTfShift) << 8) * f;
+  while (*x >= x_max) {
+    rev->putc((char)(*x & 0xFF));
+    *x >>= 8;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one rANS 4x8 stream (with its 9-byte order/csize/usize header)
+// into out (out_cap >= the header's uncompressed size).  Returns bytes
+// written or -1 malformed.
+int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
+                                  uint8_t* out, uint64_t out_cap) {
+  if (in_len < 9) return -1;
+  int order = in[0];
+  uint32_t out_sz;
+  memcpy(&out_sz, in + 5, 4);
+  if (out_sz > out_cap) return -1;
+  if (out_sz == 0) return 0;
+  uint64_t p = 9;
+  if (order == 0) {
+    uint32_t freqs[256];
+    if (!rans_read_freqs(in, in_len, &p, freqs)) return -1;
+    static thread_local RansTbl tbl;
+    if (!tbl.build(freqs)) return -1;
+    if (p + 16 > in_len) return -1;
+    uint32_t x[4];
+    memcpy(x, in + p, 16);
+    p += 16;
+    uint64_t ptr = p;
+    uint64_t nmain = out_sz / 4;
+    for (uint64_t i = 0; i < nmain; i++) {
+      for (int j = 0; j < 4; j++) {
+        uint32_t m = x[j] & (kTotFreq - 1);
+        out[i * 4 + j] = tbl.sym[m];
+        x[j] = tbl.freq[m] * (x[j] >> kTfShift) + m - tbl.cum[m];
+        rans_renorm_dec(&x[j], in, in_len, &ptr);
+      }
+    }
+    for (uint64_t k = nmain * 4; k < out_sz; k++) {
+      int j = (int)(k - nmain * 4);
+      uint32_t m = x[j] & (kTotFreq - 1);
+      out[k] = tbl.sym[m];
+      x[j] = tbl.freq[m] * (x[j] >> kTfShift) + m - tbl.cum[m];
+      rans_renorm_dec(&x[j], in, in_len, &ptr);
+    }
+    return out_sz;
+  }
+  if (order != 1) return -1;
+  // order-1: 256-context table; build slot tables only for used contexts
+  std::vector<uint32_t> freqs(256 * 256, 0);
+  std::vector<uint16_t> cum(256 * 257, 0);
+  std::vector<RansTbl> tbls;   // compact storage for used contexts
+  int tidx[256];
+  for (int i = 0; i < 256; i++) tidx[i] = -1;
+  {
+    if (p >= in_len) return -1;
+    int sym = in[p++];
+    int rle = 0;
+    for (;;) {
+      uint32_t inner[256];
+      if (!rans_read_freqs(in, in_len, &p, inner)) return -1;
+      memcpy(&freqs[sym * 256], inner, sizeof(inner));
+      tidx[sym] = (int)tbls.size();
+      tbls.emplace_back();
+      if (!tbls.back().build(inner)) return -1;
+      uint32_t c = 0;
+      for (int s2 = 0; s2 < 256; s2++) {
+        cum[sym * 257 + s2] = (uint16_t)c;
+        c += inner[s2];
+      }
+      cum[sym * 257 + 256] = (uint16_t)std::min<uint32_t>(c, kTotFreq);
+      if (rle == 0 && p < in_len && in[p] == sym + 1) {
+        sym = in[p++];
+        if (p >= in_len) return -1;
+        rle = in[p++];
+      } else if (rle > 0) {
+        rle--;
+        sym++;
+        if (sym > 255) return -1;
+      } else {
+        if (p >= in_len) return -1;
+        sym = in[p++];
+      }
+      if (sym == 0) break;
+    }
+  }
+  if (p + 16 > in_len) return -1;
+  uint32_t x[4];
+  memcpy(x, in + p, 16);
+  uint64_t ptr = p + 16;
+  uint64_t isz4 = out_sz >> 2;
+  uint32_t l[4] = {0, 0, 0, 0};
+  uint64_t pos[4] = {0, isz4, 2 * isz4, 3 * isz4};
+  for (uint64_t i = 0; i < isz4; i++) {
+    for (int j = 0; j < 4; j++) {
+      int ti = tidx[l[j]];
+      if (ti < 0) return -1;  // context never declared: corrupt
+      const RansTbl& t = tbls[ti];
+      uint32_t m = x[j] & (kTotFreq - 1);
+      uint8_t s = t.sym[m];
+      out[pos[j]] = s;
+      x[j] = t.freq[m] * (x[j] >> kTfShift) + m - t.cum[m];
+      rans_renorm_dec(&x[j], in, in_len, &ptr);
+      l[j] = s;
+      pos[j]++;
+    }
+  }
+  for (uint64_t k = 4 * isz4; k < out_sz; k++) {
+    int ti = tidx[l[3]];
+    if (ti < 0) return -1;
+    const RansTbl& t = tbls[ti];
+    uint32_t m = x[3] & (kTotFreq - 1);
+    uint8_t s = t.sym[m];
+    out[k] = s;
+    x[3] = t.freq[m] * (x[3] >> kTfShift) + m - t.cum[m];
+    rans_renorm_dec(&x[3], in, in_len, &ptr);
+    l[3] = s;
+  }
+  return out_sz;
+}
+
+// Encode with the given order (0/1).  Writes the full stream including the
+// 9-byte header into *out_ptr (htstpu_buf_free to release); returns length
+// or -1.
+int64_t htstpu_rans4x8_compress(const uint8_t* in, uint64_t n, int order,
+                                uint8_t** out_ptr) {
+  Buf body;
+  if (order == 0 || n < 4) {
+    order = 0;
+    uint64_t hist[256] = {0};
+    for (uint64_t i = 0; i < n; i++) hist[in[i]]++;
+    uint32_t freqs[256];
+    if (!rans_normalize(hist, freqs)) return -1;
+    uint32_t cum[257] = {0};
+    for (int s = 0; s < 256; s++) cum[s + 1] = cum[s] + freqs[s];
+    rans_write_freqs(&body, freqs);
+    uint32_t x[4] = {kRansL, kRansL, kRansL, kRansL};
+    Buf rev;
+    for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
+      int j = (int)(i & 3);
+      uint8_t s = in[i];
+      rans_renorm_enc(&x[j], freqs[s], &rev);
+      x[j] = ((x[j] / freqs[s]) << kTfShift) + (x[j] % freqs[s]) + cum[s];
+    }
+    body.put(x, 16);
+    for (int64_t i = (int64_t)rev.len() - 1; i >= 0; i--)
+      body.putc((char)rev.data()[i]);
+  } else {
+    uint64_t isz4 = n >> 2;
+    // context histograms (ctx = previous byte; 0 at each quarter start)
+    std::vector<uint64_t> hist(256 * 256, 0);
+    for (uint64_t i = 0; i < n; i++) {
+      uint8_t c = (i == 0 || i == isz4 || i == 2 * isz4 || i == 3 * isz4)
+                      ? 0 : in[i - 1];
+      hist[(uint64_t)c * 256 + in[i]]++;
+    }
+    std::vector<uint32_t> freqs(256 * 256, 0);
+    std::vector<uint32_t> cum(256 * 257, 0);
+    uint8_t used[256];
+    int nused = 0;
+    for (int c = 0; c < 256; c++) {
+      uint64_t s = 0;
+      for (int k = 0; k < 256; k++) s += hist[c * 256 + k];
+      if (!s) continue;
+      used[nused++] = (uint8_t)c;
+      if (!rans_normalize(&hist[c * 256], &freqs[c * 256])) return -1;
+      for (int k = 0; k < 256; k++)
+        cum[c * 257 + k + 1] = cum[c * 257 + k] + freqs[c * 256 + k];
+    }
+    // outer RLE of contexts, inner tables
+    int i = 0;
+    while (i < nused) {
+      int run = 0;
+      while (i + run + 1 < nused && used[i + run + 1] == used[i + run] + 1)
+        run++;
+      body.putc((char)used[i]);
+      rans_write_freqs(&body, &freqs[used[i] * 256]);
+      if (run >= 1) {
+        body.putc((char)(used[i] + 1));
+        body.putc((char)(run - 1));
+        for (int j = 1; j <= run; j++)
+          rans_write_freqs(&body, &freqs[used[i + j] * 256]);
+        i += run + 1;
+      } else {
+        i++;
+      }
+    }
+    body.putc('\0');
+    // encode in exact reverse of the decoder's (round, state) consumption
+    uint32_t x[4] = {kRansL, kRansL, kRansL, kRansL};
+    uint64_t starts[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    Buf rev;
+    auto enc1 = [&](int j, uint64_t pos) {
+      uint8_t s = in[pos];
+      uint8_t c = pos == starts[j] ? 0 : in[pos - 1];
+      uint32_t f = freqs[(uint64_t)c * 256 + s];
+      uint32_t cm = cum[(uint64_t)c * 257 + s];
+      rans_renorm_enc(&x[j], f, &rev);
+      x[j] = ((x[j] / f) << kTfShift) + (x[j] % f) + cm;
+    };
+    for (int64_t k = (int64_t)n - 1; k >= (int64_t)(4 * isz4); k--)
+      enc1(3, (uint64_t)k);
+    for (int64_t i2 = (int64_t)isz4 - 1; i2 >= 0; i2--)
+      for (int j = 3; j >= 0; j--) enc1(j, starts[j] + (uint64_t)i2);
+    body.put(x, 16);
+    for (int64_t i2 = (int64_t)rev.len() - 1; i2 >= 0; i2--)
+      body.putc((char)rev.data()[i2]);
+  }
+  uint64_t blen = body.len();
+  uint8_t* out = (uint8_t*)malloc(9 + blen);
+  if (!out) return -1;
+  out[0] = (uint8_t)order;
+  uint32_t csz = (uint32_t)blen, usz = (uint32_t)n;
+  memcpy(out + 1, &csz, 4);
+  memcpy(out + 5, &usz, 4);
+  memcpy(out + 9, body.data(), blen);
+  *out_ptr = out;
+  return 9 + (int64_t)blen;
+}
+
+}  // extern "C"
