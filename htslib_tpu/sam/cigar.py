@@ -74,10 +74,23 @@ def format_cigar(cigar: np.ndarray) -> str:
     return "".join(f"{int(c) >> 4}{BAM_CIGAR_STR[int(c) & 0xF]}" for c in cigar)
 
 
+# per-op consume masks unpacked from BAM_CIGAR_TYPE (scalar fast path:
+# typical CIGARs have 1-3 ops, where numpy ufunc overhead dominates)
+_CONSUME_Q = tuple((BAM_CIGAR_TYPE >> (op * 2)) & 1 for op in range(16))
+_CONSUME_R = tuple((BAM_CIGAR_TYPE >> (op * 2 + 1)) & 1 for op in range(16))
+
+
 def cigar2qlen(cigar: np.ndarray) -> int:
     """Query length consumed (bam_cigar2qlen, sam.c:254)."""
-    if len(cigar) == 0:
+    n = len(cigar)
+    if n == 0:
         return 0
+    if n <= 16:
+        t = 0
+        for c in cigar.tolist() if isinstance(cigar, np.ndarray) else cigar:
+            if _CONSUME_Q[c & BAM_CIGAR_MASK]:
+                t += c >> BAM_CIGAR_SHIFT
+        return t
     ops = cigar & BAM_CIGAR_MASK
     lens = cigar >> BAM_CIGAR_SHIFT
     consumes = (np.uint32(BAM_CIGAR_TYPE) >> (ops * 2)) & 1
@@ -86,8 +99,15 @@ def cigar2qlen(cigar: np.ndarray) -> int:
 
 def cigar2rlen(cigar: np.ndarray) -> int:
     """Reference length consumed (bam_cigar2rlen, sam.c:266)."""
-    if len(cigar) == 0:
+    n = len(cigar)
+    if n == 0:
         return 0
+    if n <= 16:
+        t = 0
+        for c in cigar.tolist() if isinstance(cigar, np.ndarray) else cigar:
+            if _CONSUME_R[c & BAM_CIGAR_MASK]:
+                t += c >> BAM_CIGAR_SHIFT
+        return t
     ops = cigar & BAM_CIGAR_MASK
     lens = cigar >> BAM_CIGAR_SHIFT
     consumes = (np.uint32(BAM_CIGAR_TYPE) >> (ops * 2 + 1)) & 1
