@@ -123,6 +123,7 @@ class CompressionHeader:
     TD: List[bytes] = field(default_factory=list)
     codecs: Dict[str, Codec] = field(default_factory=dict)
     tag_codecs: Dict[int, Codec] = field(default_factory=dict)
+    raw: Optional[bytes] = None   # uncompressed header bytes (native path)
 
 
 def decode_compression_header(block: CramBlock,
@@ -131,6 +132,7 @@ def decode_compression_header(block: CramBlock,
     buf = block.uncompress()
     vv = varint_vec(vmajor)
     hdr = CompressionHeader()
+    hdr.raw = bytes(buf)
     # default substitution matrix "CGTN AGTN ACTN ACGN ACGT"
     default = ["CGTN", "AGTN", "ACTN", "ACGN", "ACGT"]
     hdr.sub_matrix = {i: default[i].encode() for i in range(5)}
@@ -322,6 +324,14 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
                     f"{sh.ref_seq_start + sh.ref_seq_span - 1}; "
                     "please check the reference given is correct")
 
+    # native fast path (htstpu_cram_decode_slice): CRAM v3, no pruning,
+    # single-ref/unmapped/no-ref slices; bails back here on anything exotic
+    if act is None and vmajor == 3 and sh.ref_seq_id != -2:
+        res = _native_decode_slice(hdr, sh, blocks, header, ref, ref_start,
+                                   decode_md)
+        if res is not None:
+            return res
+
     recs: List[CramRecordTmp] = []
     last_apos = sh.ref_seq_start
     rg_names = [ln.get("ID") for ln in header.lines if ln.type == "RG"]
@@ -424,6 +434,46 @@ def decode_slice(hdr: CompressionHeader, sh: SliceHeader,
 
     _slice_xref(recs)
     return _to_bam(recs, sh, header, rg_names)
+
+
+def _native_decode_slice(hdr: CompressionHeader, sh: SliceHeader,
+                         blocks: List[CramBlock], header: SamHeader,
+                         ref: Optional[bytes], ref_start: int,
+                         decode_md: bool) -> Optional[List[BamRecord]]:
+    """Try the C++ slice decoder (native/src/htstpu.cc
+    htstpu_cram_decode_slice).  Returns None when unavailable or when the
+    native side bails (unsupported codec/configuration) — the caller then
+    runs the Python decoder on the same (immutable) inputs."""
+    from htslib_tpu.native import native
+    if native is None or hdr.raw is None:
+        return None
+    payloads = []
+    ctypes_list = []
+    cids = []
+    for b in blocks:
+        if b.content_type in (CT_CORE, CT_EXTERNAL):
+            payloads.append(b.uncompress())
+            ctypes_list.append(b.content_type)
+            cids.append(b.content_id)
+    rg_names = [ln.get("ID") for ln in header.lines if ln.type == "RG"]
+    blob = native.cram_decode_slice(
+        hdr.raw, sh.ref_seq_id, sh.ref_seq_start, sh.ref_seq_span,
+        sh.num_records, sh.record_counter, ctypes_list, cids, payloads,
+        None if hdr.no_ref else ref, ref_start,
+        header.tid2len(sh.ref_seq_id), rg_names, decode_md)
+    if blob is None:
+        return None
+    out: List[BamRecord] = []
+    mv = memoryview(blob)
+    p = 0
+    n = len(mv)
+    while p + 4 <= n:
+        bsz = int.from_bytes(mv[p:p + 4], "little")
+        out.append(BamRecord.from_bam_buffer(mv, p + 4, bsz))
+        p += 4 + bsz
+    if p != n or len(out) != sh.num_records:
+        return None
+    return out
 
 
 def _decode_aux(hdr: CompressionHeader, st: SliceStreams,

@@ -88,6 +88,17 @@ class _Native:
         lib.htstpu_rans4x8_compress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.htstpu_cram_decode_slice.restype = ctypes.c_int64
+        lib.htstpu_cram_decode_slice.argtypes = [
+            u8p, ctypes.c_uint64,                       # comp_hdr
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64,             # slice header
+            ctypes.c_int32, i32p, i32p, u64p, u64p, u8p,  # blocks
+            u8p, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,  # ref
+            ctypes.c_int32, u8p, u64p, u32p, u8p,       # read groups
+            ctypes.c_int32,                             # decode_md
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
 
     @staticmethod
     def _u8(arr: np.ndarray):
@@ -308,6 +319,57 @@ class _Native:
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
         return np.frombuffer(cbuf, np.uint8)
+
+    def cram_decode_slice(self, comp_hdr: bytes, ref_seq_id: int,
+                          ref_seq_start: int, ref_seq_span: int,
+                          num_records: int, record_counter: int,
+                          content_types, content_ids, payloads,
+                          ref: Optional[bytes], ref_start: int,
+                          ref_chrom_len: int, rg_names, decode_md: bool,
+                          ) -> Optional[bytes]:
+        """Decode one CRAM v3 slice natively.  Returns the u32-framed BAM
+        record blob, or None when the native decoder bails (unsupported
+        configuration) — never raises on unsupported input."""
+        ch = np.frombuffer(comp_hdr, np.uint8)
+        nblk = len(payloads)
+        blk_buf = np.frombuffer(b"".join(payloads) + b"\0", np.uint8)
+        blk_lens = np.array([len(x) for x in payloads] or [0], np.uint64)
+        blk_offs = np.zeros(max(nblk, 1), np.uint64)
+        if nblk > 1:
+            np.cumsum(blk_lens[:-1], dtype=np.uint64, out=blk_offs[1:])
+        ct = np.array(content_types or [0], np.int32)
+        ci = np.array(content_ids or [0], np.int32)
+        rnames = [(n.encode() if n is not None else b"") for n in rg_names]
+        rg_buf = np.frombuffer(b"".join(rnames) + b"\0", np.uint8)
+        rg_lens = np.array([len(x) for x in rnames] or [0], np.uint32)
+        rg_offs = np.zeros(max(len(rnames), 1), np.uint64)
+        if len(rnames) > 1:
+            np.cumsum(rg_lens[:-1], dtype=np.uint64, out=rg_offs[1:])
+        rg_valid = np.array([1 if n is not None else 0 for n in rg_names]
+                            or [0], np.uint8)
+        refarr = (np.frombuffer(ref, np.uint8) if ref
+                  else np.zeros(1, np.uint8))
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_cram_decode_slice(
+            self._u8(ch), len(ch),
+            ref_seq_id, ref_seq_start, ref_seq_span,
+            num_records, record_counter,
+            nblk, self._ptr(ct, ctypes.c_int32),
+            self._ptr(ci, ctypes.c_int32),
+            self._ptr(blk_offs, ctypes.c_uint64),
+            self._ptr(blk_lens, ctypes.c_uint64), self._u8(blk_buf),
+            self._u8(refarr), len(ref) if ref else 0, ref_start,
+            ref_chrom_len,
+            len(rg_names), self._u8(rg_buf),
+            self._ptr(rg_offs, ctypes.c_uint64),
+            self._ptr(rg_lens, ctypes.c_uint32), self._u8(rg_valid),
+            1 if decode_md else 0, ctypes.byref(out_ptr))
+        if r < 0:
+            return None
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
 
     def rans4x8_uncompress(self, data: bytes, out_sz: int) -> bytes:
         """Decode one CRAM 3.0 rANS stream (incl. 9-byte header)."""

@@ -2022,3 +2022,1260 @@ int64_t htstpu_rans4x8_compress(const uint8_t* in, uint64_t n, int order,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native CRAM v3 slice decoder (cram/cram_decode.c:2346 cram_decode_slice).
+//
+// Mirrors htslib_tpu/cram/decode.py exactly for the common configurations:
+// CRAM v3, single-ref/unmapped/no-ref slices, codecs EXTERNAL / HUFFMAN /
+// BETA / GAMMA / SUBEXP / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP.  On ANY
+// uncertainty (unknown codec, v4 feature, suspicious offsets) it returns
+// kBail and the Python implementation decodes the slice instead —
+// correctness never depends on this fast path.  Output is a u32-framed BAM
+// record stream rehydrated by BamRecord.from_bam_buffer.
+// ---------------------------------------------------------------------------
+
+namespace cramdec {
+
+constexpr int64_t kBail = -100;
+constexpr int64_t kI64Min = INT64_MIN;
+
+// encoding ids (cram_structs.h / structs.py)
+enum {
+  E_NULL = 0, E_EXTERNAL = 1, E_HUFFMAN = 3, E_BYTE_ARRAY_LEN = 4,
+  E_BYTE_ARRAY_STOP = 5, E_BETA = 6, E_SUBEXP = 7, E_GAMMA = 9,
+};
+// cram record flags (structs.py:44-52)
+enum {
+  CF_PRESERVE_QUAL = 0x1, CF_DETACHED = 0x2, CF_MATE_DOWNSTREAM = 0x4,
+  CF_NO_SEQ = 0x8, CF_EXPLICIT_TLEN = 0x10,
+  M_REVERSE = 1, M_UNMAP = 2,
+};
+// BAM flags
+enum {
+  FPAIRED = 0x1, FUNMAP = 0x4, FMUNMAP = 0x8, FREVERSE = 0x10,
+  FMREVERSE = 0x20, FREAD1 = 0x40,
+};
+// cigar ops
+enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4,
+       CHARD = 5, CPAD = 6 };
+
+struct BitR {
+  const uint8_t* d = nullptr;
+  uint64_t len = 0, byte = 0;
+  int bit = 7;
+  bool fail = false;
+  inline int get_bit() {
+    if (byte >= len) { fail = true; return 0; }
+    int b = (d[byte] >> bit) & 1;
+    if (bit == 0) { bit = 7; byte++; } else bit--;
+    return b;
+  }
+  inline uint32_t get_bits(int n) {
+    uint32_t v = 0;
+    while (n-- > 0) v = (v << 1) | (uint32_t)get_bit();
+    return v;
+  }
+};
+
+struct Ext {
+  const uint8_t* d = nullptr;
+  uint64_t len = 0, pos = 0;
+};
+
+struct Ctx;  // fwd
+
+struct Codec {
+  int id = E_NULL;
+  int content_id = -1;
+  int stop = 0;
+  int64_t offset = 0;
+  int nbits = 0, k = 0;
+  // canonical huffman: entries sorted by (len, sym)
+  std::vector<int> hlen;
+  std::vector<uint32_t> hcode;
+  std::vector<int64_t> hsym;
+  bool has_const = false;
+  int64_t const_val = 0;
+  int32_t by_len_code[33];
+  int32_t by_len_idx[33];
+  Codec* sub0 = nullptr;  // BYTE_ARRAY_LEN: len codec
+  Codec* sub1 = nullptr;  //                value codec
+};
+
+struct Ctx {
+  BitR core;
+  std::unordered_map<int, Ext> ext;
+  bool fail = false;  // any error/unsupported -> bail
+  Ext* get(int cid) {
+    auto it = ext.find(cid);
+    if (it == ext.end()) { fail = true; return nullptr; }
+    return &it->second;
+  }
+};
+
+int64_t codec_read_int(const Codec* c, Ctx* x);
+
+int codec_read_byte(const Codec* c, Ctx* x) {
+  if (c->id == E_EXTERNAL) {
+    Ext* s = x->get(c->content_id);
+    if (!s || s->pos >= s->len) { x->fail = true; return 0; }
+    return s->d[s->pos++];
+  }
+  return (int)(uint8_t)codec_read_int(c, x);
+}
+
+int64_t codec_read_int(const Codec* c, Ctx* x) {
+  switch (c->id) {
+    case E_EXTERNAL: {
+      Ext* s = x->get(c->content_id);
+      if (!s) return 0;
+      uint32_t v;
+      uint64_t p = s->pos;
+      if (!itf8_get(s->d, s->len, &p, &v)) { x->fail = true; return 0; }
+      s->pos = p;
+      return (int32_t)v;  // ITF8 is a 32-bit signed int
+    }
+    case E_HUFFMAN: {
+      if (c->has_const) return c->const_val;
+      uint32_t val = 0;
+      for (int length = 1; length <= 31; length++) {
+        val = (val << 1) | (uint32_t)x->core.get_bit();
+        if (x->core.fail) { x->fail = true; return 0; }
+        int32_t fc = c->by_len_code[length];
+        if (fc >= 0 && val >= (uint32_t)fc) {
+          size_t idx = (size_t)c->by_len_idx[length] + (val - (uint32_t)fc);
+          if (idx < c->hlen.size() && c->hlen[idx] == length)
+            return c->hsym[idx];
+        }
+      }
+      x->fail = true;
+      return 0;
+    }
+    case E_BETA: {
+      int64_t v = (int64_t)x->core.get_bits(c->nbits) - c->offset;
+      if (x->core.fail) x->fail = true;
+      return v;
+    }
+    case E_GAMMA: {
+      int nz = 0;
+      while (!x->core.fail && x->core.get_bit() == 0) {
+        if (++nz > 40) { x->fail = true; return 0; }
+      }
+      int64_t val = 1;
+      for (int i = 0; i < nz; i++) val = (val << 1) | x->core.get_bit();
+      if (x->core.fail) x->fail = true;
+      return val - 1 - c->offset;
+    }
+    case E_SUBEXP: {
+      int i = 0;
+      while (!x->core.fail && x->core.get_bit() == 1) {
+        if (++i > 40) { x->fail = true; return 0; }
+      }
+      int64_t n;
+      if (i == 0) n = x->core.get_bits(c->k);
+      else {
+        int b = i + c->k - 1;
+        if (b > 31) { x->fail = true; return 0; }
+        n = (1ll << b) | x->core.get_bits(b);
+      }
+      if (x->core.fail) x->fail = true;
+      return n - c->offset;
+    }
+    default:
+      x->fail = true;
+      return 0;
+  }
+}
+
+// exactly n bytes (seq fragments of known length)
+void codec_read_bytes(const Codec* c, Ctx* x, uint64_t n, Buf* out);
+
+// length-prefixed / stop-terminated byte array (names, tags, SC/IN/BB)
+bool codec_read_array(const Codec* c, Ctx* x, Buf* out) {
+  if (c->id == E_BYTE_ARRAY_LEN) {
+    int64_t n = codec_read_int(c->sub0, x);
+    if (x->fail || n < 0 || n > (1 << 28)) { x->fail = true; return false; }
+    codec_read_bytes(c->sub1, x, (uint64_t)n, out);
+    return !x->fail;
+  }
+  if (c->id == E_BYTE_ARRAY_STOP) {
+    Ext* s = x->get(c->content_id);
+    if (!s) return false;
+    const uint8_t* e = (const uint8_t*)memchr(s->d + s->pos, c->stop,
+                                              s->len - s->pos);
+    if (!e) {  // htslib tolerates a missing stop byte at end of block
+      out->put(s->d + s->pos, s->len - s->pos);
+      s->pos = s->len;
+      return true;
+    }
+    out->put(s->d + s->pos, (uint64_t)(e - (s->d + s->pos)));
+    s->pos = (uint64_t)(e - s->d) + 1;
+    return true;
+  }
+  x->fail = true;
+  return false;
+}
+
+void codec_read_bytes(const Codec* c, Ctx* x, uint64_t n, Buf* out) {
+  if (c->id == E_EXTERNAL) {
+    Ext* s = x->get(c->content_id);
+    if (!s) return;
+    if (s->pos + n > s->len) { x->fail = true; return; }
+    out->put(s->d + s->pos, n);
+    s->pos += n;
+    return;
+  }
+  if (c->id == E_BYTE_ARRAY_LEN || c->id == E_BYTE_ARRAY_STOP) {
+    // fixed-length reads still honour the stored length (codecs.py:455)
+    codec_read_array(c, x, out);
+    return;
+  }
+  for (uint64_t i = 0; i < n && !x->fail; i++)
+    out->putc((char)codec_read_byte(c, x));
+}
+
+// ---- compression header ----------------------------------------------------
+
+struct CompHdr {
+  bool read_names_included = true;
+  bool AP_delta = true;
+  bool no_ref = false;
+  bool qs_seq_orient = true;
+  uint8_t sub_matrix[5][4];
+  std::vector<std::string> TD;
+  std::unordered_map<uint32_t, Codec*> codecs;      // 2-char key packed
+  std::unordered_map<uint32_t, Codec*> tag_codecs;  // kid
+  std::vector<std::unique_ptr<Codec>> arena;
+};
+
+inline uint32_t skey(const char* k) {
+  return ((uint32_t)(uint8_t)k[0] << 8) | (uint8_t)k[1];
+}
+
+Codec* parse_encoding(CompHdr* h, const uint8_t* b, uint64_t len, uint64_t* pp,
+                      bool* ok) {
+  uint32_t cid, nbytes;
+  if (!itf8_get(b, len, pp, &cid) || !itf8_get(b, len, pp, &nbytes)) {
+    *ok = false;
+    return nullptr;
+  }
+  uint64_t end = *pp + nbytes;
+  if (end > len) { *ok = false; return nullptr; }
+  h->arena.emplace_back(new Codec());
+  Codec* c = h->arena.back().get();
+  c->id = (int)cid;
+  switch (cid) {
+    case E_NULL:
+      break;
+    case E_EXTERNAL: {
+      uint32_t v;
+      if (!itf8_get(b, len, pp, &v)) { *ok = false; return nullptr; }
+      c->content_id = (int)v;
+      break;
+    }
+    case E_HUFFMAN: {
+      uint32_t nsym;
+      if (!itf8_get(b, len, pp, &nsym) || nsym > 65536) { *ok = false; return nullptr; }
+      std::vector<int64_t> syms(nsym);
+      for (uint32_t i = 0; i < nsym; i++) {
+        uint32_t v;
+        if (!itf8_get(b, len, pp, &v)) { *ok = false; return nullptr; }
+        syms[i] = (int32_t)v;
+      }
+      uint32_t nlen;
+      if (!itf8_get(b, len, pp, &nlen) || nlen != nsym) { *ok = false; return nullptr; }
+      std::vector<std::pair<int, int64_t>> zipped(nsym);
+      for (uint32_t i = 0; i < nsym; i++) {
+        uint32_t v;
+        if (!itf8_get(b, len, pp, &v) || v > 31) { *ok = false; return nullptr; }
+        zipped[i] = {(int)v, syms[i]};
+      }
+      std::sort(zipped.begin(), zipped.end());
+      c->hlen.resize(nsym);
+      c->hcode.resize(nsym);
+      c->hsym.resize(nsym);
+      int64_t val = -1;
+      int last_len = 0;
+      for (int i = 0; i < 33; i++) { c->by_len_code[i] = -1; c->by_len_idx[i] = -1; }
+      for (uint32_t i = 0; i < nsym; i++) {
+        int ln = zipped[i].first;
+        val += 1;
+        if (ln > last_len) { val <<= (ln - last_len); last_len = ln; }
+        c->hlen[i] = ln;
+        c->hcode[i] = (uint32_t)val;
+        c->hsym[i] = zipped[i].second;
+        if (c->by_len_code[ln] < 0) {
+          c->by_len_code[ln] = (int32_t)val;
+          c->by_len_idx[ln] = (int32_t)i;
+        }
+      }
+      if (nsym == 1 && zipped[0].first == 0) {
+        c->has_const = true;
+        c->const_val = zipped[0].second;
+      }
+      break;
+    }
+    case E_BYTE_ARRAY_LEN: {
+      c->sub0 = parse_encoding(h, b, len, pp, ok);
+      c->sub1 = parse_encoding(h, b, len, pp, ok);
+      if (!*ok) return nullptr;
+      break;
+    }
+    case E_BYTE_ARRAY_STOP: {
+      if (*pp >= len) { *ok = false; return nullptr; }
+      c->stop = b[(*pp)++];
+      uint32_t v;
+      if (!itf8_get(b, len, pp, &v)) { *ok = false; return nullptr; }
+      c->content_id = (int)v;
+      break;
+    }
+    case E_BETA: {
+      uint32_t off, nb;
+      if (!itf8_get(b, len, pp, &off) || !itf8_get(b, len, pp, &nb) || nb > 32) {
+        *ok = false;
+        return nullptr;
+      }
+      c->offset = (int32_t)off;
+      c->nbits = (int)nb;
+      break;
+    }
+    case E_SUBEXP: {
+      uint32_t off, k;
+      if (!itf8_get(b, len, pp, &off) || !itf8_get(b, len, pp, &k) || k > 31) {
+        *ok = false;
+        return nullptr;
+      }
+      c->offset = (int32_t)off;
+      c->k = (int)k;
+      break;
+    }
+    case E_GAMMA: {
+      uint32_t off;
+      if (!itf8_get(b, len, pp, &off)) { *ok = false; return nullptr; }
+      c->offset = (int32_t)off;
+      break;
+    }
+    default:
+      *ok = false;  // GOLOMB / v4 / transform codecs: python path
+      return nullptr;
+  }
+  *pp = end;
+  return c;
+}
+
+bool parse_comp_hdr(CompHdr* h, const uint8_t* b, uint64_t len) {
+  // default substitution matrix "CGTN AGTN ACTN ACGN ACGT"
+  static const char* kDefault[5] = {"CGTN", "AGTN", "ACTN", "ACGN", "ACGT"};
+  for (int i = 0; i < 5; i++) memcpy(h->sub_matrix[i], kDefault[i], 4);
+  uint64_t p = 0;
+  uint32_t tmp, n;
+  if (!itf8_get(b, len, &p, &tmp) || !itf8_get(b, len, &p, &n)) return false;
+  for (uint32_t i = 0; i < n; i++) {
+    if (p + 2 > len) return false;
+    char k0 = (char)b[p], k1 = (char)b[p + 1];
+    p += 2;
+    auto is1 = [&](const char* s) { return k0 == s[0] && k1 == s[1]; };
+    if (is1("MI") || is1("UI") || is1("PI") || is1("RN") || is1("AP") ||
+        is1("RR") || is1("QO")) {
+      if (p >= len) return false;
+      uint8_t v = b[p++];
+      if (is1("RN")) h->read_names_included = v != 0;
+      else if (is1("AP")) h->AP_delta = v != 0;
+      else if (is1("RR")) h->no_ref = v == 0;
+      else if (is1("QO")) h->qs_seq_orient = v != 0;
+    } else if (is1("SM")) {
+      if (p + 5 > len) return false;
+      static const char* kBases = "ACGTN";
+      for (int i2 = 0; i2 < 5; i2++) {
+        char others[4];
+        int oi = 0;
+        for (int j = 0; j < 5; j++)
+          if (j != i2) others[oi++] = kBases[j];
+        for (int j = 0; j < 4; j++) {
+          int code = (b[p + i2] >> (6 - 2 * j)) & 3;
+          h->sub_matrix[i2][code] = (uint8_t)others[j];
+        }
+      }
+      p += 5;
+    } else if (is1("TD")) {
+      uint32_t ln;
+      if (!itf8_get(b, len, &p, &ln) || p + ln > len) return false;
+      // split on NUL; trailing NUL drops the empty tail (decode.py:171)
+      uint64_t s = p, e = p + ln;
+      while (s < e) {
+        const uint8_t* z = (const uint8_t*)memchr(b + s, 0, e - s);
+        uint64_t stop = z ? (uint64_t)(z - b) : e;
+        h->TD.emplace_back((const char*)b + s, stop - s);
+        s = z ? stop + 1 : e;
+      }
+      if (ln == 0 || b[e - 1] != 0) {
+        // blob without trailing NUL keeps its last element (split keeps it)
+        if (ln == 0) h->TD.emplace_back("");
+      }
+      p = e;
+    } else {
+      return false;  // unknown preservation key: python path
+    }
+  }
+  bool ok = true;
+  if (!itf8_get(b, len, &p, &tmp) || !itf8_get(b, len, &p, &n)) return false;
+  for (uint32_t i = 0; i < n; i++) {
+    if (p + 2 > len) return false;
+    uint32_t key = skey((const char*)b + p);
+    p += 2;
+    Codec* c = parse_encoding(h, b, len, &p, &ok);
+    if (!ok) return false;
+    h->codecs[key] = c;
+  }
+  if (!itf8_get(b, len, &p, &tmp) || !itf8_get(b, len, &p, &n)) return false;
+  for (uint32_t i = 0; i < n; i++) {
+    uint32_t kid;
+    if (!itf8_get(b, len, &p, &kid)) return false;
+    Codec* c = parse_encoding(h, b, len, &p, &ok);
+    if (!ok) return false;
+    h->tag_codecs[kid] = c;
+  }
+  return true;
+}
+
+}  // namespace cramdec
+
+namespace cramdec {
+
+struct RecTmp {
+  int64_t flags = 0, cram_flags = 0;
+  int32_t ref_id = -1;
+  int64_t len = 0, apos = 0;
+  int64_t rg = -1;
+  std::string name;
+  int64_t mate_flags = 0;
+  int32_t mate_ref_id = -1;
+  int64_t mate_pos = 0;
+  int64_t tlen = kI64Min, explicit_tlen = kI64Min;
+  int64_t mate_line = -1;
+  std::string aux;
+  std::vector<uint32_t> cigar;
+  int64_t mqual = 0;
+  std::string seq, qual;
+  int64_t aend = 0;
+};
+
+struct SliceArgs {
+  int32_t ref_seq_id;
+  int64_t ref_seq_start, ref_seq_span;
+  int32_t num_records;
+  int64_t record_counter;
+  const uint8_t* ref;       // slice reference window (may be null)
+  uint64_t ref_window_len;
+  int64_t ref_start;        // 1-based genome coord of ref[0]
+  int64_t ref_chrom_len;    // full chromosome length (0 = unknown)
+  int32_t n_rg;
+  int32_t decode_md;
+};
+
+struct DecState {
+  const CompHdr* h;
+  Ctx* x;
+  const SliceArgs* a;
+  bool bail = false;
+  Codec* get(uint32_t key) {
+    auto it = h->codecs.find(key);
+    return it == h->codecs.end() ? nullptr : it->second;
+  }
+  Codec* need(uint32_t key) {
+    Codec* c = get(key);
+    if (!c) bail = true;
+    return c;
+  }
+};
+
+#define K(a, b) ((uint32_t)(((uint8_t)(a) << 8) | (uint8_t)(b)))
+
+inline int l1_of(uint8_t base) {
+  switch (base) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+// _decode_aux (decode.py:429): returns false on bail; has_MD/has_NM out.
+bool decode_aux(DecState* st, RecTmp* cr, int* has_MD, int* has_NM) {
+  *has_MD = *has_NM = 0;
+  Codec* TLc = st->get(K('T', 'L'));
+  if (!TLc) return true;
+  int64_t TL = codec_read_int(TLc, st->x);
+  if (st->x->fail || TL < 0 || (size_t)TL >= st->h->TD.size()) return false;
+  const std::string& TN = st->h->TD[(size_t)TL];
+  std::string& aux = cr->aux;
+  for (size_t i = 0; i + 3 <= TN.size(); i += 3) {
+    const char* tag = TN.data() + i;
+    if (tag[2] == '*') return false;  // CRAM 4 placeholders: python path
+    if (tag[0] == 'M' && tag[1] == 'D') *has_MD = 1;
+    else if (tag[0] == 'N' && tag[1] == 'M') *has_NM = 1;
+    uint32_t kid = ((uint32_t)(uint8_t)tag[0] << 16) |
+                   ((uint32_t)(uint8_t)tag[1] << 8) | (uint8_t)tag[2];
+    auto it = st->h->tag_codecs.find(kid);
+    if (it == st->h->tag_codecs.end()) return false;
+    Codec* c = it->second;
+    Buf val;
+    if (c->id == E_BYTE_ARRAY_LEN || c->id == E_BYTE_ARRAY_STOP) {
+      if (!codec_read_array(c, st->x, &val)) return false;
+    } else {
+      int sz;
+      switch (tag[2]) {
+        case 'A': case 'c': case 'C': sz = 1; break;
+        case 's': case 'S': sz = 2; break;
+        case 'i': case 'I': case 'f': sz = 4; break;
+        case 'd': sz = 8; break;
+        default: return false;
+      }
+      codec_read_bytes(c, st->x, (uint64_t)sz, &val);
+      if (st->x->fail) return false;
+    }
+    if (tag[0] == 'c' && tag[1] == 'F' && val.len() == 1)
+      continue;  // cF control tag is consumed, not emitted
+    aux.append(tag, 3);
+    aux.append((const char*)val.data(), val.len());
+  }
+  if (TN.size() % 3) return false;
+  return true;
+}
+
+// _decode_seq (decode.py:486): feature playback + MD/NM generation.
+bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
+  const CompHdr* h = st->h;
+  const SliceArgs* a = st->a;
+  Ctx* x = st->x;
+  if (cr->len < 0 || cr->len > (1 << 28)) return false;
+  std::string seq((size_t)cr->len, a->ref ? '\0' : '=');
+  std::string qual((size_t)cr->len, (char)0xFF);
+  int64_t ref_len = a->ref_chrom_len;
+
+  bool gen_md = ((a->decode_md && !has_MD) || has_MD < 0) && a->ref &&
+                cr->ref_id >= 0 && !(cr->cram_flags & CF_NO_SEQ);
+  bool gen_nm = ((a->decode_md && !has_NM) || has_NM < 0) && a->ref &&
+                cr->ref_id >= 0 && !(cr->cram_flags & CF_NO_SEQ);
+  std::string md;
+  int64_t md_dist = 0;
+  int64_t nm = 0;
+  char numbuf[24];
+  auto md_num = [&](int64_t v) {
+    int n2 = snprintf(numbuf, sizeof numbuf, "%lld", (long long)v);
+    md.append(numbuf, n2);
+  };
+
+  // ref bases [rp, rp+ln) in 0-based genome coords, padded with 'N'
+  // (decode.py ref_at); negative window offsets bail (python would wrap)
+  auto ref_at = [&](int64_t rp, int64_t ln, std::string* out2) -> bool {
+    int64_t s = rp - (a->ref_start - 1);
+    if (s < 0 || ln < 0) return false;
+    int64_t have = (int64_t)a->ref_window_len - s;
+    if (have < 0) have = 0;
+    int64_t take = std::min(have, ln);
+    out2->assign((const char*)a->ref + s, (size_t)take);
+    out2->append((size_t)(ln - take), 'N');
+    return true;
+  };
+  auto md_char = [&](uint8_t ch) {
+    if (md_dist >= 0 && gen_md) {
+      md_num(md_dist);
+      md.push_back((char)ch);
+    }
+    md_dist = 0;
+  };
+  auto md_match_frag = [&](const std::string& frag) {
+    if (!(gen_md || gen_nm) || md_dist < 0) return;
+    for (unsigned char ch : frag) {
+      if (ch == 'N') { md_char(ch); nm++; }
+      else md_dist++;
+    }
+  };
+
+  Codec* FNc = st->get(K('F', 'N'));
+  int64_t fn = FNc ? codec_read_int(FNc, x) : 0;
+  if (x->fail || fn < 0 || fn > (1 << 24)) return false;
+  std::vector<uint32_t>& cigar = cr->cigar;
+  int cig_op = CMATCH;
+  int64_t cig_len = 0;
+  int64_t seq_pos = 1;
+  int64_t ref_pos = cr->apos - 1;
+  int64_t prev_pos = 0;
+  auto flush = [&](int op) {
+    if (cig_len && cig_op != op) {
+      cigar.push_back(((uint32_t)cig_len << 4) | (uint32_t)cig_op);
+      cig_len = 0;
+    }
+    cig_op = op;
+  };
+  Codec* FCc = st->get(K('F', 'C'));
+  Codec* FPc = st->get(K('F', 'P'));
+  std::string frag;
+
+  for (int64_t f = 0; f < fn; f++) {
+    int op = FCc ? codec_read_byte(FCc, x) : 'B';
+    int64_t pos = (FPc ? codec_read_int(FPc, x) : 0) + prev_pos;
+    if (x->fail) return false;
+    if (pos <= 0) return false;
+    if (pos > seq_pos) {
+      if (a->ref && cr->ref_id >= 0) {
+        if (!ref_at(ref_pos, pos - seq_pos, &frag)) return false;
+        if (ref_len && ref_pos + pos - seq_pos > ref_len) {
+          int64_t avail = std::max<int64_t>(ref_len - ref_pos, 0);
+          frag.resize((size_t)avail);
+          frag.append((size_t)(pos - seq_pos - avail), 'N');
+          if (md_dist >= 0) md_dist += pos - seq_pos;
+        } else {
+          md_match_frag(frag);
+        }
+        if (cr->len) {
+          if ((uint64_t)(pos - 1) > seq.size()) return false;
+          seq.replace((size_t)(seq_pos - 1), frag.size(), frag);
+        }
+      }
+      flush(CMATCH);
+      cig_len += pos - seq_pos;
+      ref_pos += pos - seq_pos;
+      seq_pos = pos;
+    }
+    prev_pos = pos;
+
+    switch (op) {
+      case 'S': {
+        flush(CSOFT);
+        Codec* c = st->get(K('S', 'C'));
+        if (c) {
+          Buf data;
+          if (!codec_read_array(c, x, &data)) return false;
+          if (cr->len) {
+            if ((uint64_t)(pos - 1) + data.len() > seq.size()) return false;
+            seq.replace((size_t)(pos - 1), data.len(),
+                        (const char*)data.data(), data.len());
+          }
+          cigar.push_back(((uint32_t)data.len() << 4) | CSOFT);
+          cig_op = CSOFT;
+          cig_len = 0;
+          seq_pos += (int64_t)data.len();
+        }
+        break;
+      }
+      case 'X': {
+        flush(CMATCH);
+        Codec* c = st->get(K('B', 'S'));
+        if (c) {
+          int code = codec_read_byte(c, x);
+          if (x->fail || code < 0 || code > 3) return false;
+          const uint8_t* base_row;
+          if (cr->ref_id < 0 || !a->ref ||
+              (ref_len && ref_pos >= ref_len)) {
+            base_row = h->sub_matrix[4];
+            if (md_dist >= 0 && gen_md) md_num(md_dist);
+            md_dist = -1;
+          } else {
+            if (!ref_at(ref_pos, 1, &frag)) return false;
+            uint8_t rc = frag.empty() ? 'N' : (uint8_t)frag[0];
+            base_row = h->sub_matrix[l1_of(rc)];
+            md_char(rc);
+            nm++;
+          }
+          if (pos - 1 < cr->len) seq[(size_t)(pos - 1)] = (char)base_row[code];
+        }
+        cig_len++;
+        seq_pos++;
+        ref_pos++;
+        break;
+      }
+      case 'D': {
+        flush(CDEL);
+        Codec* c = st->get(K('D', 'L'));
+        int64_t n2 = c ? codec_read_int(c, x) : 0;
+        if (x->fail || n2 < 0 || n2 > (1 << 28)) return false;
+        if ((gen_md || gen_nm) && n2) {
+          if (md_dist >= 0 && gen_md) md_num(md_dist);
+          if (!ref_len || ref_pos + n2 <= ref_len) {
+            if (gen_md) {
+              if (!ref_at(ref_pos, n2, &frag)) return false;
+              md.push_back('^');
+              md += frag;
+              md_dist = 0;
+            }
+            nm += n2;
+          } else {
+            int64_t avail = std::max<int64_t>(ref_len - ref_pos, 0);
+            if (gen_md && avail > 0) {
+              if (!ref_at(ref_pos, avail, &frag)) return false;
+              md.push_back('^');
+              md += frag;
+              md.push_back('0');
+              nm += avail;
+            }
+            md_dist = -1;
+          }
+        }
+        cig_len += n2;
+        ref_pos += n2;
+        break;
+      }
+      case 'I': {
+        flush(CINS);
+        Codec* c = st->get(K('I', 'N'));
+        if (c) {
+          Buf data;
+          if (!codec_read_array(c, x, &data)) return false;
+          if (cr->len) {
+            if ((uint64_t)(pos - 1) + data.len() > seq.size()) return false;
+            seq.replace((size_t)(pos - 1), data.len(),
+                        (const char*)data.data(), data.len());
+          }
+          cig_len += (int64_t)data.len();
+          seq_pos += (int64_t)data.len();
+          nm += (int64_t)data.len();
+        }
+        break;
+      }
+      case 'i': {
+        flush(CINS);
+        Codec* c = st->get(K('B', 'A'));
+        if (c) {
+          int b2 = codec_read_byte(c, x);
+          if (x->fail) return false;
+          if (cr->len) {
+            if (pos - 1 >= cr->len) return false;
+            seq[(size_t)(pos - 1)] = (char)b2;
+          }
+        }
+        cig_len++;
+        seq_pos++;
+        nm++;
+        break;
+      }
+      case 'b': {
+        flush(CMATCH);
+        int64_t n2 = cr->len ? cr->len - (pos - 1) : 1;
+        Codec* c = st->get(K('B', 'B'));
+        if (c) {
+          Buf data;
+          if (!codec_read_array(c, x, &data)) return false;
+          n2 = (int64_t)data.len();
+          if (cr->len) {
+            if ((uint64_t)(pos - 1) + data.len() > seq.size()) return false;
+            seq.replace((size_t)(pos - 1), data.len(),
+                        (const char*)data.data(), data.len());
+          }
+          if (gen_md || gen_nm) {
+            // every stored base treated as a mismatch (cram_decode.c:1505)
+            if (md_dist >= 0 && gen_md) md_num(md_dist);
+            int64_t x2 = 0;
+            bool broke = false;
+            for (x2 = 0; x2 < n2; x2++) {
+              if (x2 && gen_md) md.push_back('0');
+              if ((ref_len && ref_pos + x2 >= ref_len) || !a->ref) {
+                md_dist = -1;
+                broke = true;
+                break;
+              }
+              if (gen_md) {
+                if (!ref_at(ref_pos + x2, 1, &frag)) return false;
+                md += frag;
+              }
+            }
+            if (!broke) x2 = n2;
+            nm += x2;
+            md_dist = 0;
+          }
+        }
+        cig_len += n2;
+        seq_pos += n2;
+        ref_pos += n2;
+        break;
+      }
+      case 'q': {
+        flush(CMATCH);
+        Codec* c = st->get(K('Q', 'Q'));
+        if (c) {
+          Buf data;
+          if (!codec_read_array(c, x, &data)) return false;
+          if (cr->len) {
+            if ((uint64_t)(pos - 1) + data.len() > qual.size()) return false;
+            qual.replace((size_t)(pos - 1), data.len(),
+                         (const char*)data.data(), data.len());
+          }
+        }
+        break;
+      }
+      case 'B': {
+        flush(CMATCH);
+        Codec* c = st->get(K('B', 'A'));
+        if (c) {
+          int b2 = codec_read_byte(c, x);
+          if (x->fail) return false;
+          if (cr->len) {
+            if (pos - 1 >= cr->len) return false;
+            seq[(size_t)(pos - 1)] = (char)b2;
+          }
+          if (gen_md || gen_nm) {
+            if (md_dist >= 0 && gen_md) md_num(md_dist);
+            if ((ref_len && ref_pos >= ref_len) || !a->ref) {
+              md_dist = -1;
+            } else {
+              if (gen_md) {
+                if (!ref_at(ref_pos, 1, &frag)) return false;
+                md += frag;
+              }
+              nm++;
+              md_dist = 0;
+            }
+          }
+        }
+        Codec* qs = st->get(K('Q', 'S'));
+        if (qs) {
+          int q = codec_read_byte(qs, x);
+          if (x->fail) return false;
+          if (!(cf & CF_PRESERVE_QUAL) && cr->len > 0 &&
+              (uint8_t)qual[0] == 0xFF)
+            qual.assign((size_t)cr->len, (char)0x1e);
+          if (cr->len) {
+            if (pos - 1 >= cr->len) return false;
+            qual[(size_t)(pos - 1)] = (char)q;
+          }
+        }
+        cig_len++;
+        seq_pos++;
+        ref_pos++;
+        break;
+      }
+      case 'Q': {
+        Codec* qs = st->get(K('Q', 'S'));
+        if (qs) {
+          int q = codec_read_byte(qs, x);
+          if (x->fail) return false;
+          if (!(cf & CF_PRESERVE_QUAL) && cr->len > 0 &&
+              (uint8_t)qual[0] == 0xFF)
+            qual.assign((size_t)cr->len, (char)0x1e);
+          if (cr->len) {
+            if (pos - 1 >= cr->len) return false;
+            qual[(size_t)(pos - 1)] = (char)q;
+          }
+        }
+        break;
+      }
+      case 'H': {
+        flush(CHARD);
+        Codec* c = st->get(K('H', 'C'));
+        if (c) {
+          int64_t n2 = codec_read_int(c, x);
+          if (x->fail || n2 < 0) return false;
+          cig_len += n2;
+        }
+        break;
+      }
+      case 'P': {
+        flush(CPAD);
+        Codec* c = st->get(K('P', 'D'));
+        if (c) {
+          int64_t n2 = codec_read_int(c, x);
+          if (x->fail || n2 < 0) return false;
+          cig_len += n2;
+        }
+        break;
+      }
+      case 'N': {
+        flush(CREF_SKIP);
+        Codec* c = st->get(K('R', 'S'));
+        if (c) {
+          int64_t n2 = codec_read_int(c, x);
+          if (x->fail || n2 < 0) return false;
+          cig_len += n2;
+          ref_pos += n2;
+        }
+        break;
+      }
+      default:
+        return false;
+    }
+  }
+
+  // implicit trailing match
+  if (cr->len >= seq_pos) {
+    if (a->ref && cr->ref_id >= 0) {
+      int64_t remainder = cr->len - seq_pos + 1;
+      if (!ref_at(ref_pos, remainder, &frag)) return false;
+      if (ref_len && ref_pos + remainder > ref_len) {
+        int64_t avail = std::max<int64_t>(ref_len - ref_pos, 0);
+        frag.resize((size_t)avail);
+        frag.append((size_t)(remainder - avail), 'N');
+        if (md_dist >= 0) md_dist += remainder;
+      } else {
+        md_match_frag(frag);
+      }
+      seq.replace((size_t)(seq_pos - 1), frag.size(), frag);
+      ref_pos += remainder;
+    } else if (cr->ref_id >= 0) {
+      ref_pos += cr->len - seq_pos + 1;
+    }
+    flush(CMATCH);
+    cig_len += cr->len - seq_pos + 1;
+  }
+  if (gen_md && md_dist >= 0) md_num(md_dist);
+  if (cig_len)
+    cigar.push_back(((uint32_t)cig_len << 4) | (uint32_t)cig_op);
+  cr->aend = std::max(ref_pos, cr->apos);
+  Codec* mq = st->get(K('M', 'Q'));
+  cr->mqual = mq ? codec_read_int(mq, x) : 40;
+  if (x->fail) return false;
+  if ((cf & CF_PRESERVE_QUAL)) {
+    Codec* qs = st->get(K('Q', 'S'));
+    if (qs) {
+      Buf qb;
+      codec_read_bytes(qs, x, (uint64_t)cr->len, &qb);
+      if (x->fail) return false;
+      qual.assign((const char*)qb.data(), qb.len());
+    }
+  }
+  if (cr->cram_flags & CF_NO_SEQ) {
+    cr->len = 0;
+    seq.clear();
+    qual.clear();
+  }
+  cr->seq = std::move(seq);
+  cr->qual = std::move(qual);
+  if (gen_md) {
+    cr->aux += "MDZ";
+    cr->aux += md;
+    cr->aux.push_back('\0');
+  }
+  if (gen_nm) {
+    if (nm < 0) return false;
+    if (nm <= 0xFF) {
+      cr->aux += "NMC";
+      cr->aux.push_back((char)(uint8_t)nm);
+    } else if (nm <= 0xFFFF) {
+      cr->aux += "NMS";
+      uint16_t v = (uint16_t)nm;
+      cr->aux.append((const char*)&v, 2);
+    } else {
+      cr->aux += "NMI";
+      uint32_t v = (uint32_t)nm;
+      cr->aux.append((const char*)&v, 4);
+    }
+  }
+  return true;
+}
+
+// _slice_xref (decode.py:775)
+bool slice_xref(std::vector<RecTmp>& recs) {
+  int64_t n = (int64_t)recs.size();
+  for (int64_t i = 0; i < n; i++) {
+    RecTmp& cr = recs[i];
+    if (cr.mate_line >= 0) {
+      if (cr.mate_line >= n) return false;
+      if (cr.tlen == kI64Min) {
+        int64_t id1 = i, id2 = i;
+        int64_t aleft = cr.apos, aright = cr.aend;
+        int32_t ref = cr.ref_id;
+        int left_cnt = 0, right_cnt = 0;
+        for (;;) {
+          if (aleft > recs[id2].apos) { aleft = recs[id2].apos; left_cnt = 1; }
+          else if (aleft == recs[id2].apos) left_cnt++;
+          if (aright < recs[id2].aend) { aright = recs[id2].aend; right_cnt = 1; }
+          else if (aright == recs[id2].aend) right_cnt++;
+          if (recs[id2].mate_line == -1) {
+            recs[id2].mate_line = i;
+            break;
+          }
+          if (recs[id2].mate_line <= id2 || recs[id2].mate_line >= n)
+            return false;
+          id2 = recs[id2].mate_line;
+          if (recs[id2].ref_id != ref) ref = -1;
+          if (id2 == id1) break;
+        }
+        if (ref != -1) {
+          int64_t tlen = aright - aleft + 1;
+          id2 = i;
+          RecTmp& r0 = recs[id2];
+          if (r0.apos == aleft && (r0.aend < aright || left_cnt <= 1)) {
+            r0.tlen = tlen;
+            tlen = -tlen;
+          } else if (r0.apos == aleft && r0.aend == aright && left_cnt > 1 &&
+                     right_cnt > 1) {
+            if (r0.flags & FREAD1) {
+              r0.tlen = tlen;
+              tlen = -tlen;
+            } else {
+              r0.tlen = -tlen;
+            }
+          } else {
+            r0.tlen = -tlen;
+          }
+          id2 = r0.mate_line;
+          while (id2 != i) {
+            recs[id2].tlen = tlen;
+            id2 = recs[id2].mate_line;
+          }
+        } else {
+          id2 = i;
+          recs[id2].tlen = 0;
+          id2 = recs[id2].mate_line;
+          while (id2 != i) {
+            recs[id2].tlen = 0;
+            id2 = recs[id2].mate_line;
+          }
+        }
+      }
+      RecTmp& mate = recs[cr.mate_line];
+      cr.mate_pos = mate.apos;
+      cr.mate_ref_id = mate.ref_id;
+      cr.flags |= FPAIRED;
+      if (mate.flags & FUNMAP) {
+        cr.flags |= FMUNMAP;
+        cr.tlen = 0;
+      }
+      if (cr.flags & FUNMAP) cr.tlen = 0;
+      if (mate.flags & FREVERSE) cr.flags |= FMREVERSE;
+    } else {
+      if (cr.mate_flags & M_REVERSE) cr.flags |= FPAIRED | FMREVERSE;
+      if (cr.mate_flags & M_UNMAP) cr.flags |= FMUNMAP;
+      if (!(cr.flags & FPAIRED)) cr.mate_ref_id = -1;
+    }
+    if (cr.tlen == kI64Min) cr.tlen = 0;
+  }
+  for (auto& cr : recs) {
+    if (cr.explicit_tlen != kI64Min) cr.tlen = cr.explicit_tlen;
+  }
+  return true;
+}
+
+}  // namespace cramdec
+
+extern "C" {
+
+// Decode one CRAM v3 slice to a u32-framed BAM record stream.
+// Returns total bytes via *out_ptr (htstpu_buf_free to release),
+// -100 = unsupported/bail (caller uses the Python decoder), -1 = OOM.
+int64_t htstpu_cram_decode_slice(
+    const uint8_t* comp_hdr, uint64_t comp_hdr_len,
+    int32_t ref_seq_id, int64_t ref_seq_start, int64_t ref_seq_span,
+    int32_t num_records, int64_t record_counter,
+    int32_t n_blocks, const int32_t* content_types, const int32_t* content_ids,
+    const uint64_t* blk_offs, const uint64_t* blk_lens, const uint8_t* blk_buf,
+    const uint8_t* ref, uint64_t ref_window_len, int64_t ref_start,
+    int64_t ref_chrom_len,
+    int32_t n_rg, const uint8_t* rg_buf, const uint64_t* rg_offs,
+    const uint32_t* rg_lens, const uint8_t* rg_valid,
+    int32_t decode_md, uint8_t** out_ptr) {
+  using namespace cramdec;
+  if (ref_seq_id == -2) return kBail;  // multi-ref slices: python path
+  CompHdr h;
+  if (!parse_comp_hdr(&h, comp_hdr, comp_hdr_len)) return kBail;
+
+  Ctx x;
+  for (int32_t i = 0; i < n_blocks; i++) {
+    if (content_types[i] == 5) {  // CT_CORE
+      x.core.d = blk_buf + blk_offs[i];
+      x.core.len = blk_lens[i];
+    } else if (content_types[i] == 4) {  // CT_EXTERNAL
+      x.ext[content_ids[i]] = Ext{blk_buf + blk_offs[i], blk_lens[i], 0};
+    }
+  }
+
+  SliceArgs a{ref_seq_id, ref_seq_start, ref_seq_span, num_records,
+              record_counter, (h.no_ref ? nullptr : ref),
+              ref_window_len, ref_start, ref_chrom_len, n_rg, decode_md};
+  DecState st{&h, &x, &a};
+
+  std::vector<RecTmp> recs(num_records);
+  int64_t last_apos = ref_seq_start;
+  Codec* BF = st.need(K('B', 'F'));
+  if (st.bail) return kBail;
+  Codec* CF = st.get(K('C', 'F'));
+  Codec* RL = st.get(K('R', 'L'));
+  Codec* AP = st.get(K('A', 'P'));
+  Codec* RG = st.get(K('R', 'G'));
+  Codec* RN = st.get(K('R', 'N'));
+  Codec* MF = st.get(K('M', 'F'));
+  Codec* NS = st.get(K('N', 'S'));
+  Codec* NP = st.get(K('N', 'P'));
+  Codec* TS = st.get(K('T', 'S'));
+  Codec* NF = st.get(K('N', 'F'));
+  Codec* BA = st.get(K('B', 'A'));
+  Codec* QS = st.get(K('Q', 'S'));
+
+  for (int32_t rec_i = 0; rec_i < num_records; rec_i++) {
+    RecTmp& cr = recs[rec_i];
+    cr.flags = codec_read_int(BF, &x);
+    cr.cram_flags = CF ? codec_read_int(CF, &x) : 0;
+    if (x.fail) return kBail;
+    int64_t cf = cr.cram_flags;
+    cr.ref_id = ref_seq_id;
+    cr.len = RL ? codec_read_int(RL, &x) : 0;
+    int64_t apos = AP ? codec_read_int(AP, &x) : ref_seq_start;
+    if (h.AP_delta) apos += last_apos;
+    last_apos = apos;
+    cr.apos = apos;
+    if (RG) {
+      cr.rg = codec_read_int(RG, &x);
+      if (cr.rg == -1 || cr.rg >= n_rg) cr.rg = -1;
+    }
+    if (x.fail) return kBail;
+    if (h.read_names_included && RN) {
+      Buf nb;
+      if (!codec_read_array(RN, &x, &nb)) return kBail;
+      cr.name.assign((const char*)nb.data(), nb.len());
+    }
+    if (cf & CF_DETACHED) {
+      cr.mate_flags = MF ? codec_read_int(MF, &x) : 0;
+      if (!h.read_names_included && RN) {
+        Buf nb;
+        if (!codec_read_array(RN, &x, &nb)) return kBail;
+        cr.name.assign((const char*)nb.data(), nb.len());
+      }
+      if (NS) cr.mate_ref_id = (int32_t)codec_read_int(NS, &x);
+      if (NP) cr.mate_pos = codec_read_int(NP, &x);
+      cr.tlen = TS ? codec_read_int(TS, &x) : kI64Min;
+    } else if (cf & CF_MATE_DOWNSTREAM) {
+      if (NF) cr.mate_line = codec_read_int(NF, &x) + rec_i + 1;
+      cr.tlen = kI64Min;
+      if ((cf & CF_EXPLICIT_TLEN) && TS)
+        cr.explicit_tlen = codec_read_int(TS, &x);
+    } else if (cf & CF_EXPLICIT_TLEN) {
+      if (TS) cr.explicit_tlen = codec_read_int(TS, &x);
+    }
+    if (x.fail) return kBail;
+    int has_MD = 0, has_NM = 0;
+    if (!decode_aux(&st, &cr, &has_MD, &has_NM)) return kBail;
+    if (!(cr.flags & FUNMAP)) {
+      if (!decode_seq(&st, &cr, (int)cf, has_MD, has_NM)) return kBail;
+    } else {
+      cr.aend = cr.apos;
+      cr.mqual = 0;
+      if (BA && cr.len) {
+        if (cr.len < 0 || cr.len > (1 << 28)) return kBail;
+        Buf sb;
+        codec_read_bytes(BA, &x, (uint64_t)cr.len, &sb);
+        if (x.fail) return kBail;
+        cr.seq.assign((const char*)sb.data(), sb.len());
+      }
+      if (cf & CF_PRESERVE_QUAL) {
+        if (QS && cr.len >= 0) {
+          Buf qb;
+          codec_read_bytes(QS, &x, (uint64_t)cr.len, &qb);
+          if (x.fail) return kBail;
+          cr.qual.assign((const char*)qb.data(), qb.len());
+        }
+      } else {
+        cr.qual.assign((size_t)std::max<int64_t>(cr.len, 0), (char)0xFF);
+      }
+      if (cr.seq.empty()) {
+        cr.qual.clear();
+        cr.len = 0;
+      }
+    }
+    if (!h.qs_seq_orient && (cr.flags & FREVERSE) && !cr.qual.empty())
+      std::reverse(cr.qual.begin(), cr.qual.end());
+  }
+
+  if (!slice_xref(recs)) return kBail;
+
+  // cram_to_bam (decode.py:858): pack u32-framed BAM records
+  Buf out;
+  char gen[40];
+  for (int32_t i = 0; i < num_records; i++) {
+    RecTmp& cr = recs[i];
+    const std::string* qname = nullptr;
+    std::string genname;
+    if (!cr.name.empty()) {
+      qname = &cr.name;
+    } else if (cr.mate_line >= 0 && cr.mate_line < num_records &&
+               !recs[cr.mate_line].name.empty()) {
+      qname = &recs[cr.mate_line].name;
+    } else {
+      int64_t mate_i = (cr.mate_line >= 0 && cr.mate_line < i) ? cr.mate_line
+                                                               : i;
+      int gl = snprintf(gen, sizeof gen, "?:%lld",
+                        (long long)(record_counter + mate_i + 1));
+      genname.assign(gen, gl);
+      qname = &genname;
+    }
+    if (qname->size() == 0 || qname->size() > 254) return kBail;
+    if (cr.flags < 0 || cr.flags > 0xFFFF) return kBail;
+    if (cr.cigar.size() > 0xFFFF) return kBail;  // CG escape: python path
+    int64_t l_qseq = (int64_t)cr.seq.size();
+    if (l_qseq > 0 && (int64_t)cr.qual.size() != l_qseq) return kBail;
+    if (cr.mqual < 0 || cr.mqual > 0xFF) return kBail;
+    int64_t rlen = 0;
+    if (!(cr.flags & FUNMAP)) {
+      for (uint32_t c : cr.cigar) {
+        int op = (int)(c & 0xF);
+        if (op == CMATCH || op == CDEL || op == CREF_SKIP || op == 7 ||
+            op == 8)
+          rlen += c >> 4;
+      }
+    }
+    int64_t pos0 = cr.apos - 1;
+    int32_t bin = reg2bin_c(pos0, pos0 + (rlen ? rlen : 1));
+    uint32_t l_qname = (uint32_t)qname->size() + 1;
+    uint64_t bsz = 32 + l_qname + 4ull * cr.cigar.size() +
+                   (uint64_t)((l_qseq + 1) / 2) + (uint64_t)l_qseq +
+                   cr.aux.size();
+    std::string rg_aux;
+    if (cr.rg >= 0 && cr.rg < n_rg && rg_valid[cr.rg]) {
+      rg_aux = "RGZ";
+      rg_aux.append((const char*)rg_buf + rg_offs[cr.rg], rg_lens[cr.rg]);
+      rg_aux.push_back('\0');
+      bsz += rg_aux.size();
+    }
+    if (bsz > 0x7FFFFFFF) return kBail;
+    out.reserve(4 + bsz);
+    uint32_t u32 = (uint32_t)bsz;
+    out.put(&u32, 4);
+    int32_t i32 = cr.ref_id;
+    out.put(&i32, 4);
+    i32 = (int32_t)pos0;
+    out.put(&i32, 4);
+    out.putc((char)(uint8_t)l_qname);
+    out.putc((char)(uint8_t)cr.mqual);
+    uint16_t u16 = (uint16_t)bin;
+    out.put(&u16, 2);
+    u16 = (uint16_t)cr.cigar.size();
+    out.put(&u16, 2);
+    u16 = (uint16_t)cr.flags;
+    out.put(&u16, 2);
+    i32 = (int32_t)l_qseq;
+    out.put(&i32, 4);
+    i32 = cr.mate_ref_id;
+    out.put(&i32, 4);
+    i32 = (int32_t)(cr.mate_pos - 1);
+    out.put(&i32, 4);
+    if (cr.tlen < INT32_MIN || cr.tlen > INT32_MAX) return kBail;
+    i32 = (int32_t)cr.tlen;
+    out.put(&i32, 4);
+    out.put(qname->data(), qname->size());
+    out.putc('\0');
+    out.put(cr.cigar.data(), 4 * cr.cigar.size());
+    if (l_qseq) {
+      out.reserve((size_t)((l_qseq + 1) / 2));
+      uint8_t* dst = out.data() + out.len();
+      const uint8_t* s = (const uint8_t*)cr.seq.data();
+      for (int64_t k = 0; k < l_qseq / 2; k++)
+        dst[k] = (uint8_t)((kNt16Enc.t[s[2 * k]] << 4) |
+                           kNt16Enc.t[s[2 * k + 1]]);
+      if (l_qseq & 1)
+        dst[l_qseq / 2] = (uint8_t)(kNt16Enc.t[s[l_qseq - 1]] << 4);
+      out.bump((size_t)((l_qseq + 1) / 2));
+      out.put(cr.qual.data(), cr.qual.size());
+    }
+    out.put(cr.aux.data(), cr.aux.size());
+    if (!rg_aux.empty()) out.put(rg_aux.data(), rg_aux.size());
+  }
+
+  uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
+  if (!res) return -1;
+  memcpy(res, out.data(), out.len());
+  *out_ptr = res;
+  return (int64_t)out.len();
+}
+
+}  // extern "C"

@@ -233,3 +233,116 @@ def test_required_fields_on_own_encodings(tmp_path):
             got = list(r2)
         assert [(g.qname, g.flag, g.pos) for g in got] \
             == [(x.qname, x.flag, x.pos) for x in recs]
+
+
+def test_native_slice_decoder_matches_python(tmp_path):
+    """The C++ slice decoder (htstpu_cram_decode_slice) must produce
+    records identical to the Python decoder on files it accepts, and the
+    wrapper must actually engage it for single-ref v3 slices."""
+    import htslib_tpu.cram.decode as D
+    from htslib_tpu.native import native
+    if native is None:
+        pytest.skip("native library unavailable")
+    from htslib_tpu.sam import BamReader
+    from htslib_tpu.cram import CramReader, CramWriter
+
+    src = ref_path("range.bam")
+    ref = ref_path("ce.fa")
+    with BamReader(src) as r:
+        hdr = r.header
+        # single-ref record set so the encoder emits single-ref slices
+        # (multi-ref slices intentionally take the Python path)
+        recs = [rec for rec in r if rec.tid == 0]
+    assert recs
+    path = str(tmp_path / "ab.cram")
+    w = CramWriter(path, hdr, ref=ref)
+    for rec in recs:
+        w.write(rec)
+    w.close()
+
+    def read_all(force_python):
+        orig = D._native_decode_slice
+        hits = [0]
+        def counting(*a):
+            if force_python:
+                return None
+            res = orig(*a)
+            hits[0] += res is not None
+            return res
+        D._native_decode_slice = counting
+        try:
+            with CramReader(path, ref=ref) as rr:
+                out = [(rec.qname, rec.flag, rec.tid, rec.pos, rec.mapq,
+                        rec.cigar.tolist(), rec.mtid, rec.mpos, rec.isize,
+                        rec.seq, bytes(rec.qual), bytes(rec.aux), rec.bin)
+                       for rec in rr]
+        finally:
+            D._native_decode_slice = orig
+        return out, hits[0]
+
+    native_out, native_hits = read_all(False)
+    python_out, _ = read_all(True)
+    assert native_hits > 0, "native slice decoder never engaged"
+    assert native_out == python_out
+
+
+def test_native_slice_decoder_corpus_sweep(tmp_path):
+    """A/B sweep: for every single-ref corpus SAM with an embedded-ref
+    fasta, encode to CRAM and compare native vs Python slice decode."""
+    import glob as _glob
+    import htslib_tpu.cram.decode as D
+    from htslib_tpu.native import native
+    if native is None:
+        pytest.skip("native library unavailable")
+    from htslib_tpu.sam import SamReader
+    from htslib_tpu.cram import CramReader, CramWriter
+
+    total_hits = 0
+    n_files = 0
+    for sam in sorted(_glob.glob(ref_path("ce#*.sam"))
+                      + sorted(_glob.glob(ref_path("xx#*.sam")))):
+        base = os.path.basename(sam).split("#")[0]
+        ref = ref_path(base + ".fa")
+        if not os.path.exists(ref):
+            continue
+        try:
+            with SamReader(sam) as r:
+                hdr = r.header
+                recs = list(r)
+        except Exception:
+            continue
+        if not recs:
+            continue
+        path = str(tmp_path / (os.path.basename(sam) + ".cram"))
+        try:
+            w = CramWriter(path, hdr, ref=ref)
+            for rec in recs:
+                w.write(rec)
+            w.close()
+        except Exception:
+            continue
+        n_files += 1
+
+        def read_all(force_python):
+            orig = D._native_decode_slice
+            hits = [0]
+            def counting(*a):
+                if force_python:
+                    return None
+                res = orig(*a)
+                hits[0] += res is not None
+                return res
+            D._native_decode_slice = counting
+            try:
+                with CramReader(path, ref=ref) as rr:
+                    out = [rec.to_sam(rr.header) for rec in rr]
+            finally:
+                D._native_decode_slice = orig
+            return out, hits[0]
+
+        nat, hits = read_all(False)
+        py, _ = read_all(True)
+        assert nat == py, f"native != python for {sam}"
+        total_hits += hits
+    assert n_files > 5
+    assert total_hits > 0, "native decoder never engaged across corpus"
