@@ -33,7 +33,7 @@ from htslib_tpu.cram.v4 import VarintVec, varint_vec
 from htslib_tpu.hfile import HFile, hopen
 from htslib_tpu.sam.cigar import (BAM_CDEL, BAM_CHARD_CLIP, BAM_CINS,
                                   BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
-                                  cigar2rlen)
+                                  cigar2qlen, cigar2rlen)
 from htslib_tpu.sam.header import SamHeader
 from htslib_tpu.sam.record import (FMREVERSE, FMUNMAP, FPAIRED, FREVERSE,
                                    FSECONDARY, FSUPPLEMENTARY, FUNMAP,
@@ -48,6 +48,9 @@ SERIES = {
     "DL": 15, "BA": 16, "BS": 17, "MQ": 18, "QS": 19, "IN": 20, "RN": 21,
     "SC": 22, "HC": 23, "PD": 24, "RS": 25, "BB": 26, "NF": 28,
 }
+# BB length sub-stream: its own external block, like the reference's
+# DS_BB_len (cram_structs.h:189, cram_encode.c:2322)
+BB_LEN_CID = 27
 TAG_ID_BASE = 0x100000
 
 
@@ -69,14 +72,20 @@ def _enc_encoding_byte_array_stop(stop: int, cid: int, vv: VarintVec) -> bytes:
     return vv.put32(E_BYTE_ARRAY_STOP) + vv.put32(len(params)) + params
 
 
-def _enc_encoding_byte_array_len(cid: int, vv: VarintVec) -> bytes:
+def _enc_encoding_byte_array_len(cid: int, vv: VarintVec,
+                                 len_cid: Optional[int] = None) -> bytes:
     # CRAM 4 forbids EXTERNAL for integers (cram_external_encode_init,
-    # cram_codecs.c:597): the length sub-encoding becomes VARINT_UNSIGNED
+    # cram_codecs.c:597): the length sub-encoding becomes VARINT_UNSIGNED.
+    # len_cid defaults to the value stream (lengths interleaved with the
+    # bytes, as the reference does for aux tags); pass a distinct id for
+    # split streams like BB/DS_BB_len (cram_encode.c:2322).
+    if len_cid is None:
+        len_cid = cid
     if vv.v4:
-        inner = (_enc_encoding_varint(cid, vv, False)
+        inner = (_enc_encoding_varint(len_cid, vv, False)
                  + _enc_encoding_external(cid, vv))
     else:
-        inner = (_enc_encoding_external(cid, vv)
+        inner = (_enc_encoding_external(len_cid, vv)
                  + _enc_encoding_external(cid, vv))
     return vv.put32(E_BYTE_ARRAY_LEN) + vv.put32(len(inner)) + inner
 
@@ -247,6 +256,29 @@ class CramEncoder:
         if ref is not None:
             from htslib_tpu.cram.refs import RefRegistry
             self.refs = RefRegistry(header, fasta=ref)
+            # Annotate @SQ with M5 (+UR) like the reference does when
+            # writing CRAM against a fasta (cram/cram_io.c:2892
+            # refs2id/cram_ref_write path via sam_hdr_update_line), so
+            # any decoder can resolve the reference by MD5 through
+            # REF_PATH/REF_CACHE.
+            self.header = header = header.copy()
+            import hashlib as _hashlib
+            import os as _os
+            for line in header.lines:
+                if line.type != "SQ" or line.get("M5") is not None:
+                    continue
+                name = line.get("SN")
+                tid = header.name2tid(name) if name else -1
+                if tid < 0:
+                    continue
+                try:
+                    seq = self.refs.get(tid, 1, -1)
+                except Exception:
+                    continue
+                line.set("M5", _hashlib.md5(seq).hexdigest())
+                if isinstance(ref, str) and line.get("UR") is None:
+                    line.set("UR", _os.path.abspath(ref))
+            header._dirty = True
         self.version = version
         self.seqs_per_slice = seqs_per_slice
         # CRAM_OPT_SLICES_PER_CONTAINER (cram_io.c:5852 option handling)
@@ -505,8 +537,8 @@ class CramEncoder:
         end = 0
         nbases = 0
 
-        def S(key: str) -> _Stream:
-            return streams[SERIES[key]]
+        def S(key) -> _Stream:
+            return streams[SERIES[key] if isinstance(key, str) else key]
 
         # mate linkage pre-pass: pair primary paired reads by qname and
         # keep the link only when the decoder xref reproduces them
@@ -538,13 +570,19 @@ class CramEncoder:
                 cf |= CRAM_FLAG_MATE_DOWNSTREAM
             elif not linked_down[i]:
                 cf |= CRAM_FLAG_DETACHED
-            if rec.l_qseq == 0:
+            # seq "*": RL carries the CIGAR-implied query length and QS
+            # carries 0xFF quals of that length; NO_SEQ makes the decoder
+            # reset len to 0 afterwards (cram_encode.c:3766 fake_qual)
+            qlen = rec.l_qseq
+            if qlen == 0:
                 cf |= CRAM_FLAG_NO_SEQ
+                if not (rec.flag & FUNMAP) and len(rec.cigar):
+                    qlen = cigar2qlen(rec.cigar)
             S("BF").vint(rec.flag)
             S("CF").vint(cf)
             if multiref:
                 S("RI").vints(rec.tid)
-            S("RL").vint(rec.l_qseq)
+            S("RL").vint(qlen)
             if ap_delta:
                 S("AP").vints(rec.pos + 1 - last_pos)
                 last_pos = rec.pos + 1
@@ -601,6 +639,8 @@ class CramEncoder:
             # quals last (decode order: features -> MQ -> QS)
             if rec.l_qseq:
                 S("QS").raw(rec.qual)
+            elif qlen:
+                S("QS").raw(b"\xff" * qlen)
 
         span = max(end - start + 1, 0) \
             if (not multiref and slice_ref >= 0) else 0
@@ -747,7 +787,13 @@ class CramEncoder:
         for c in rec.cigar:
             op = int(c) & 0xF
             ln = int(c) >> 4
-            if op in (0, 7, 8) and ref_seq is not None:  # M/=/X vs ref
+            if op in (0, 7, 8) and not seq:
+                # seq "*": match runs carry no features; the decoder
+                # rebuilds the CIGAR from the gaps between features
+                # (process_one_read "Seq '*'" branch, cram_encode.c:3628)
+                rpos += ln
+                qpos += ln
+            elif op in (0, 7, 8) and ref_seq is not None:  # M/=/X vs ref
                 for i in range(ln):
                     r = rpos + i - (ref_start - 1)
                     b = seq[qpos - 1 + i] if seq else 0
@@ -771,13 +817,15 @@ class CramEncoder:
                 rpos += ln
                 qpos += ln
             elif op == BAM_CINS:
+                # seq "*": 'N' placeholder bases (cram_add_insertion
+                # NULL-base branch, cram_encode.c:2759)
                 payload.append(("I", seq[qpos - 1:qpos - 1 + ln] if seq
-                                else b"\0" * ln))
+                                else b"N" * ln))
                 feats.append((qpos, "I"))
                 qpos += ln
             elif op == BAM_CSOFT_CLIP:
                 payload.append(("S", seq[qpos - 1:qpos - 1 + ln] if seq
-                                else b"\0" * ln))
+                                else b"N" * ln))
                 feats.append((qpos, "S"))
                 qpos += ln
             elif op == BAM_CDEL:
@@ -801,17 +849,18 @@ class CramEncoder:
             S("FP").vint(fpos - prev)
             prev = fpos
             if code == "b":
-                st = S("BB")
-                st.vint(len(data))
-                st.raw(data)
+                # split length/value streams (DS_BB_len + DS_BB)
+                S(BB_LEN_CID).vint(len(data))
+                S("BB").raw(data)
             elif code == "I":
+                # nul-terminated (byte_array_stop, cram_encode.c:2427)
                 st = S("IN")
-                st.vint(len(data))
                 st.raw(data)
+                st.byte(0)
             elif code == "S":
                 st = S("SC")
-                st.vint(len(data))
                 st.raw(data)
+                st.byte(0)
             elif code == "X":
                 S("BS").byte(data)
             elif code == "B":
@@ -860,10 +909,13 @@ class CramEncoder:
         for key, cid in SERIES.items():
             if cid not in used_cids:
                 continue
-            if key == "RN":
+            if key in ("RN", "IN", "SC"):
+                # nul-terminated byte arrays, matching the reference's
+                # choice for these series (cram_encode.c:2398-2430,2439)
                 enc = _enc_encoding_byte_array_stop(0, cid, vv)
-            elif key in ("BB", "IN", "SC"):
-                enc = _enc_encoding_byte_array_len(cid, vv)
+            elif key == "BB":
+                enc = _enc_encoding_byte_array_len(cid, vv,
+                                                   len_cid=BB_LEN_CID)
             elif self.v4 and key not in self._BYTE_SERIES:
                 enc = _enc_encoding_varint(cid, vv,
                                            key in self._SIGNED_SERIES)
