@@ -245,9 +245,34 @@ const char kCigChar[] = "MIDNSHP=XB??????";
 // 32 output bases via two pshufb table lookups + interleave.  `dst` must
 // have >= 2*ceil(n/16)*16 bytes of headroom (caller over-reserves).
 inline void nibble2base_simd(const uint8_t* src, uint8_t* dst, int64_t n_packed) {
+  int64_t i = 0;
+#if defined(__AVX2__)
+  // 32 packed bytes -> 64 bases per iteration (vpshufb runs per 128-bit
+  // lane, so unpack lo/hi stay lane-local and order is preserved by
+  // working on each 16-byte half's own output span)
+  const __m256i tbl2 = _mm256_broadcastsi128_si256(
+      _mm_loadu_si128((const __m128i*)kNt16));
+  const __m256i lo_mask2 = _mm256_set1_epi8(0x0F);
+  for (; i + 32 <= n_packed; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src + i));
+    __m256i lo = _mm256_and_si256(v, lo_mask2);
+    __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), lo_mask2);
+    __m256i lo_c = _mm256_shuffle_epi8(tbl2, lo);
+    __m256i hi_c = _mm256_shuffle_epi8(tbl2, hi);
+    __m256i a = _mm256_unpacklo_epi8(hi_c, lo_c);   // lanes: [0:8), [16:24)
+    __m256i b = _mm256_unpackhi_epi8(hi_c, lo_c);   // lanes: [8:16), [24:32)
+    _mm_storeu_si128((__m128i*)(dst + 2 * i),
+                     _mm256_castsi256_si128(a));
+    _mm_storeu_si128((__m128i*)(dst + 2 * i + 16),
+                     _mm256_castsi256_si128(b));
+    _mm_storeu_si128((__m128i*)(dst + 2 * i + 32),
+                     _mm256_extracti128_si256(a, 1));
+    _mm_storeu_si128((__m128i*)(dst + 2 * i + 48),
+                     _mm256_extracti128_si256(b, 1));
+  }
+#endif
   const __m128i tbl = _mm_loadu_si128((const __m128i*)kNt16);
   const __m128i lo_mask = _mm_set1_epi8(0x0F);
-  int64_t i = 0;
   for (; i + 16 <= n_packed; i += 16) {
     __m128i v = _mm_loadu_si128((const __m128i*)(src + i));
     __m128i lo = _mm_and_si128(v, lo_mask);
