@@ -10,11 +10,14 @@ PACK 0x80), an optional uint7 uncompressed length, transform metadata
 and a 4- or 32-way interleaved 16-bit-renormalising static rANS core
 with 12-bit frequencies.
 
-INTEROP NOTE: with no htscodecs source or CRAM 3.1 corpus in the
-snapshot, byte-level wire compatibility cannot be cross-validated here;
-this module guarantees decode(encode(x)) == x for every flag
-combination (property-tested) and is the foundation for CRAM 3.1
-support pending cross-validation in a future round.
+INTEROP NOTE: the htscodecs submodule is EMPTY in this snapshot, so
+identity against authentic upstream binaries is unverifiable locally.
+This module is cross-validated stream-for-stream against the
+independent C implementation
+(htslib_tpu/native/htscodecs_shim/rANS_static4x16pr.c, also linked
+into the locally built reference htslib) in tests/test_codecs31.py,
+and file-level CRAM 3.1 interop with that htslib build is covered in
+tests/test_interop_htslib.py.
 """
 from __future__ import annotations
 

@@ -1,139 +1,262 @@
-"""Name tokeniser (reference call sites cram/cram_io.c:1737,1891
-tok3_encode_names/tok3_decode_names; implementation in the htscodecs
-submodule — EMPTY in this snapshot — tokenise_name3.c).
+"""Name tokeniser — CRAM 3.1 TOK3 block method (reference call sites
+cram/cram_io.c:1737,1891 tok3_encode_names/tok3_decode_names; the
+original tokenise_name3.c lives in the htscodecs submodule, an EMPTY
+directory in this snapshot).
 
-Read names split into digit/non-digit token columns; each column codes
-per-name as MATCH (same as previous name's token), DELTA (numeric
-difference from the previous name, the big win for instrument:run:x:y
-style names), literal DIGITS (with zero-padded width) or literal STRING.
-Column streams concatenate and compress with rANS Nx16 order-1.
-Self-consistent wire format (cross-validation impossible here).
+Architecture per the CRAM 3.1 specification's name-tokenisation
+section: each read name is split into digit-run / alpha-run /
+single-character tokens; token columns are compared against the
+previous name, giving MATCH (identical), DELTA/DELTA0 (small numeric
+increment, the big win for instrument:run:tile:x:y names), or literal
+DIGITS/DIGITS0/ALPHA/CHAR; per-(column,kind) byte streams are then
+entropy-coded with rANS Nx16 or the adaptive arith coder.
 
-The CRAM-facing payload is NUL-separated names, matching the RN data
-series' byte_array_stop framing.
+Wire format (project-wide definition, mirrored by
+htslib_tpu/native/htscodecs_shim/tokenise_name3.c and cross-validated
+in tests/test_codecs31.py):
+
+    u7   ulen      total decoded length (names NUL-joined, trailing NUL)
+    u7   nnames
+    byte use_arith (0 = rANS Nx16, 1 = arith)
+    repeated until end of stream:
+      byte pos, byte kind, u7 clen, clen-byte compressed sub-stream
+
+Column kinds: 0 TYPE (one type byte per name at this column),
+1 ALPHA (NUL-terminated strings), 2 CHAR, 3 DIGITS (u32le),
+4 DZLEN (zero-padded widths), 5 DELTA (byte increments).
+Type bytes: 0 END, 1 MATCH, 2 DELTA, 3 DELTA0, 4 DIGITS, 5 DIGITS0,
+6 CHAR, 7 ALPHA; column 0's type byte is 8 DUP (identical to previous
+name) or 9 DIFF.
 """
 from __future__ import annotations
 
-import re
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
-from htslib_tpu.codecs import rans4x16
+from htslib_tpu.codecs import arith, rans4x16
 from htslib_tpu.codecs.rans4x16 import u7_get, u7_put
 
-T_END = 0      # no token in this column
-T_MATCH = 1    # identical to previous name's token
-T_DELTA = 2    # numeric, value = prev + delta (0..255)
-T_DIGITS = 3   # numeric literal (value + zero-padded width)
-T_STRING = 4   # string literal (NUL-terminated)
+K_TYPE, K_ALPHA, K_CHAR, K_DIGITS, K_DZLEN, K_DELTA = range(6)
+T_END, T_MATCH, T_DELTA, T_DELTA0, T_DIGITS, T_DIGITS0, T_CHAR, T_ALPHA, \
+    T_DUP, T_DIFF = range(10)
 
-_TOKEN_RE = re.compile(rb"\d+|\D+")
+MAX_TOK = 250
 
 
 def _tokenize(name: bytes) -> List[bytes]:
-    return _TOKEN_RE.findall(name)
-
-
-def encode_names(names: List[bytes]) -> bytes:
-    cols: List[bytearray] = []
-    prev_toks: List[bytes] = []
-    out = bytearray()
-    u7_put(out, len(names))
-    for name in names:
-        toks = _tokenize(name)
-        while len(cols) < len(toks) + 1:
-            cols.append(bytearray())
-        for ci, tok in enumerate(toks):
-            col = cols[ci]
-            prev = prev_toks[ci] if ci < len(prev_toks) else None
-            if tok == prev:
-                col.append(T_MATCH)
-            elif tok.isdigit():
-                v = int(tok)
-                pv = int(prev) if prev is not None and prev.isdigit() else None
-                if (pv is not None and 0 <= v - pv <= 255
-                        and len(tok) == len(prev)):
-                    col.append(T_DELTA)
-                    col.append(v - pv)
-                else:
-                    col.append(T_DIGITS)
-                    col.append(len(tok))   # zero-padded width
-                    u7_put(col, v)
+    toks: List[bytes] = []
+    i, n = 0, len(name)
+    while i < n:
+        c = name[i]
+        if 48 <= c <= 57:
+            j = i
+            while j < n and 48 <= name[j] <= 57:
+                j += 1
+            if j - i > 9:           # avoid u32 overflow: literal alpha run
+                toks.append(name[i:j])
             else:
-                col.append(T_STRING)
-                col += tok + b"\0"
-        cols[len(toks)].append(T_END)
+                toks.append(name[i:j])
+            i = j
+        elif (65 <= c <= 90) or (97 <= c <= 122):
+            j = i
+            while j < n and ((65 <= name[j] <= 90) or (97 <= name[j] <= 122)):
+                j += 1
+            toks.append(name[i:j])
+            i = j
+        else:
+            toks.append(name[i:i + 1])
+            i += 1
+    if len(toks) > MAX_TOK:
+        toks = toks[:MAX_TOK - 1] + [b"".join(toks[MAX_TOK - 1:])]
+    return toks
+
+
+def _is_digits(tok: bytes) -> bool:
+    return tok.isdigit() and len(tok) <= 9
+
+
+def _compress_stream(data: bytes, use_arith: int) -> bytes:
+    if not data:
+        return b""
+    best: Optional[bytes] = None
+    codec = arith if use_arith else rans4x16
+    for fl in (0, 1, 0x20):         # order-0, order-1, CAT fallback
+        c = codec.compress(data, fl)
+        if best is None or len(c) < len(best):
+            best = c
+    return best
+
+
+def _uncompress_stream(data: bytes, use_arith: int) -> bytes:
+    if not data:
+        return b""
+    if use_arith:
+        return arith.uncompress(data)
+    return rans4x16.uncompress(data)
+
+
+def encode_names(names: List[bytes], use_arith: int = 0) -> bytes:
+    streams: Dict[Tuple[int, int], bytearray] = {}
+
+    def put(pos: int, kind: int, b: bytes) -> None:
+        streams.setdefault((pos, kind), bytearray()).extend(b)
+
+    prev_name: Optional[bytes] = None
+    prev_toks: List[bytes] = []
+    for name in names:
+        if prev_name is not None and name == prev_name:
+            put(0, K_TYPE, bytes([T_DUP]))
+            continue
+        put(0, K_TYPE, bytes([T_DIFF]))
+        toks = _tokenize(name)
+        for ti, tok in enumerate(toks):
+            pos = ti + 1
+            prev = prev_toks[ti] if ti < len(prev_toks) else None
+            if tok == prev:
+                put(pos, K_TYPE, bytes([T_MATCH]))
+                continue
+            if _is_digits(tok):
+                zero_pad = tok[0:1] == b"0" and len(tok) > 1
+                v = int(tok)
+                if (prev is not None and _is_digits(prev)):
+                    pv = int(prev)
+                    pzp = prev[0:1] == b"0" and len(prev) > 1
+                    d = v - pv
+                    if 0 <= d <= 255 and zero_pad == pzp and \
+                            (not zero_pad or len(tok) == len(prev)):
+                        put(pos, K_TYPE,
+                            bytes([T_DELTA0 if zero_pad else T_DELTA]))
+                        put(pos, K_DELTA, bytes([d]))
+                        continue
+                if zero_pad:
+                    put(pos, K_TYPE, bytes([T_DIGITS0]))
+                    put(pos, K_DIGITS, v.to_bytes(4, "little"))
+                    put(pos, K_DZLEN, bytes([len(tok)]))
+                else:
+                    put(pos, K_TYPE, bytes([T_DIGITS]))
+                    put(pos, K_DIGITS, v.to_bytes(4, "little"))
+                continue
+            if len(tok) == 1 and not tok.isalpha():
+                put(pos, K_TYPE, bytes([T_CHAR]))
+                put(pos, K_CHAR, tok)
+            else:
+                put(pos, K_TYPE, bytes([T_ALPHA]))
+                put(pos, K_ALPHA, tok + b"\0")
+        put(len(toks) + 1, K_TYPE, bytes([T_END]))
+        prev_name = name
         prev_toks = toks
-    u7_put(out, len(cols))
-    blob = bytearray()
-    for col in cols:
-        u7_put(out, len(col))
-        blob += col
-    comp = rans4x16.compress(bytes(blob), rans4x16.O_ORDER1)
-    u7_put(out, len(comp))
-    out += comp
+
+    out = bytearray()
+    ulen = sum(len(n) + 1 for n in names)
+    u7_put(out, ulen)
+    u7_put(out, len(names))
+    out.append(1 if use_arith else 0)
+    for (pos, kind) in sorted(streams):
+        comp = _compress_stream(bytes(streams[(pos, kind)]), use_arith)
+        out.append(pos)
+        out.append(kind)
+        u7_put(out, len(comp))
+        out += comp
     return bytes(out)
 
 
+class _Reader:
+    __slots__ = ("data", "p")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.p = 0
+
+    def byte(self) -> int:
+        b = self.data[self.p]
+        self.p += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        b = self.data[self.p:self.p + n]
+        if len(b) != n:
+            raise ValueError("tok3: truncated stream")
+        self.p += n
+        return b
+
+    def zstring(self) -> bytes:
+        e = self.data.index(0, self.p)
+        s = self.data[self.p:e]
+        self.p = e + 1
+        return s
+
+
 def decode_names(buf: bytes) -> bytes:
-    """Returns NUL-separated names (the RN series payload)."""
-    n_names, p = u7_get(buf, 0)
-    n_cols, p = u7_get(buf, p)
-    col_lens = []
-    for _ in range(n_cols):
-        v, p = u7_get(buf, p)
-        col_lens.append(v)
-    clen, p = u7_get(buf, p)
-    blob = rans4x16.uncompress(buf[p:p + clen])
-    cols = []
-    q = 0
-    for ln in col_lens:
-        cols.append([memoryview(blob)[q:q + ln], 0])
-        q += ln
+    ulen, p = u7_get(buf, 0)
+    nnames, p = u7_get(buf, p)
+    use_arith = buf[p]
+    p += 1
+    streams: Dict[Tuple[int, int], _Reader] = {}
+    while p < len(buf):
+        pos = buf[p]
+        kind = buf[p + 1]
+        p += 2
+        clen, p = u7_get(buf, p)
+        streams[(pos, kind)] = _Reader(
+            _uncompress_stream(bytes(buf[p:p + clen]), use_arith))
+        p += clen
 
-    def col_byte(ci: int) -> int:
-        mv, pos = cols[ci]
-        cols[ci][1] = pos + 1
-        return mv[pos]
-
-    def col_u7(ci: int) -> int:
-        mv, pos = cols[ci]
-        v, np_ = u7_get(mv, pos)
-        cols[ci][1] = np_
-        return v
-
-    def col_str(ci: int) -> bytes:
-        mv, pos = cols[ci]
-        e = pos
-        while mv[e]:
-            e += 1
-        cols[ci][1] = e + 1
-        return bytes(mv[pos:e])
+    def rd(pos: int, kind: int) -> _Reader:
+        r = streams.get((pos, kind))
+        if r is None:
+            raise ValueError(f"tok3: missing stream ({pos},{kind})")
+        return r
 
     out = bytearray()
+    prev_name: Optional[bytes] = None
     prev_toks: List[bytes] = []
-    for _ in range(n_names):
+    for _ in range(nnames):
+        t0 = rd(0, K_TYPE).byte()
+        if t0 == T_DUP:
+            if prev_name is None:
+                raise ValueError("tok3: DUP with no previous name")
+            out += prev_name + b"\0"
+            continue
+        if t0 != T_DIFF:
+            raise ValueError("tok3: bad name-level type")
         toks: List[bytes] = []
-        ci = 0
+        pos = 1
         while True:
-            t = col_byte(ci)
+            t = rd(pos, K_TYPE).byte()
             if t == T_END:
                 break
+            prev = prev_toks[pos - 1] if pos - 1 < len(prev_toks) else None
             if t == T_MATCH:
-                toks.append(prev_toks[ci])
-            elif t == T_DELTA:
-                d = col_byte(ci)
-                prev = prev_toks[ci]
+                if prev is None:
+                    raise ValueError("tok3: MATCH with no previous token")
+                tok = prev
+            elif t in (T_DELTA, T_DELTA0):
+                if prev is None or not prev.isdigit():
+                    raise ValueError("tok3: DELTA with no numeric previous")
+                d = rd(pos, K_DELTA).byte()
                 v = int(prev) + d
-                toks.append(str(v).zfill(len(prev)).encode())
-            elif t == T_DIGITS:
-                width = col_byte(ci)
-                v = col_u7(ci)
-                toks.append(str(v).zfill(width).encode())
-            elif t == T_STRING:
-                toks.append(col_str(ci))
+                if t == T_DELTA0:
+                    tok = str(v).encode().rjust(len(prev), b"0")
+                else:
+                    tok = str(v).encode()
+            elif t in (T_DIGITS, T_DIGITS0):
+                v = int.from_bytes(rd(pos, K_DIGITS).take(4), "little")
+                if t == T_DIGITS0:
+                    w = rd(pos, K_DZLEN).byte()
+                    tok = str(v).encode().rjust(w, b"0")
+                else:
+                    tok = str(v).encode()
+            elif t == T_CHAR:
+                tok = rd(pos, K_CHAR).take(1)
+            elif t == T_ALPHA:
+                tok = rd(pos, K_ALPHA).zstring()
             else:
                 raise ValueError(f"tok3: bad token type {t}")
-            ci += 1
-        out += b"".join(toks) + b"\0"
+            toks.append(tok)
+            pos += 1
+        name = b"".join(toks)
+        out += name + b"\0"
+        prev_name = name
         prev_toks = toks
+    if len(out) != ulen:
+        raise ValueError("tok3: decoded length mismatch")
     return bytes(out)

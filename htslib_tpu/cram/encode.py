@@ -116,6 +116,39 @@ class _Stream:
         self.buf += b
 
 
+def _fqz_compress(data: bytes, lens) -> bytes:
+    """FQZ encode, native shim when available (same wire as codecs/fqzcomp)."""
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.fqz_compress(data, lens)
+    from htslib_tpu.codecs import fqzcomp
+    return fqzcomp.compress(data, list(lens))
+
+
+def _tok3_encode(data: bytes) -> bytes:
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.tok3_encode(data, 0)
+    from htslib_tpu.codecs import tok3
+    return tok3.encode_names(data.split(b"\0")[:-1])
+
+
+def _rans4x16_compress(data: bytes, flags: int) -> bytes:
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.rans4x16_compress(data, flags)
+    from htslib_tpu.codecs import rans4x16
+    return rans4x16.compress(data, flags)
+
+
+def _arith_compress(data: bytes, order: int) -> bytes:
+    from htslib_tpu.native import native
+    if native is not None:
+        return native.arith_compress(data, order)
+    from htslib_tpu.codecs import arith
+    return arith.compress(data, order)
+
+
 class CodecMetrics:
     """Online per-data-series codec selection (the cram_metrics model,
     cram/cram_structs.h:284-305 + cram_compress_block3 trials,
@@ -125,7 +158,7 @@ class CodecMetrics:
 
     TRIAL_EVERY = 32
     CANDIDATES = ("rans0", "rans1", "gzip", "raw")
-    CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack")
+    CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack", "arith1")
 
     def __init__(self, v31: bool = False):
         self.best: Dict[int, str] = {}
@@ -146,7 +179,7 @@ class CodecMetrics:
             # mild cost weighting: raw is free, rans cheap, gzip slower
             weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.03,
                       "gzip": 1.05, "r16o0": 1.0, "r16o1": 1.03,
-                      "r16pack": 1.02}[cand]
+                      "r16pack": 1.02, "arith1": 1.12}[cand]
             sizes[cand] = len(comp) * weight
             outs[cand] = (m, comp)
         winner = min(sizes, key=sizes.get)
@@ -161,12 +194,16 @@ class CodecMetrics:
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
             return GZIP, co.compress(data) + co.flush()
         if cand.startswith("r16"):
-            from htslib_tpu.codecs import rans4x16
             from htslib_tpu.cram.structs import RANSPR
-            fl = {"r16o0": 0, "r16o1": rans4x16.O_ORDER1,
-                  "r16pack": rans4x16.O_PACK | rans4x16.O_ORDER1}[cand]
+            fl = {"r16o0": 0, "r16o1": 1, "r16pack": 0x81}[cand]
             try:
-                return RANSPR, rans4x16.compress(data, fl)
+                return RANSPR, _rans4x16_compress(data, fl)
+            except (ValueError, ZeroDivisionError):
+                return RAW, data
+        if cand.startswith("arith"):
+            from htslib_tpu.cram.structs import ARITH
+            try:
+                return ARITH, _arith_compress(data, 1)
             except (ValueError, ZeroDivisionError):
                 return RAW, data
         from htslib_tpu.codecs import rans4x8
@@ -563,6 +600,7 @@ class CramEncoder:
         last_pos = (start if (not multiref and slice_ref >= 0) else 0) \
             if ap_delta else 0
 
+        qs_lens = []
         for i, rec in enumerate(recs):
             nbases += rec.l_qseq
             cf = CRAM_FLAG_PRESERVE_QUAL_SCORES
@@ -639,8 +677,10 @@ class CramEncoder:
             # quals last (decode order: features -> MQ -> QS)
             if rec.l_qseq:
                 S("QS").raw(rec.qual)
+                qs_lens.append(len(rec.qual))
             elif qlen:
                 S("QS").raw(b"\xff" * qlen)
+                qs_lens.append(qlen)
 
         span = max(end - start + 1, 0) \
             if (not multiref and slice_ref >= 0) else 0
@@ -680,13 +720,22 @@ class CramEncoder:
         for cid in ext_ids:
             data = bytes(streams[cid].buf)
             method, comp = self.metrics.choose(cid, data)
+            if (self.version >= (3, 1) and cid == SERIES["QS"]
+                    and len(data) >= 512):
+                # fqzcomp quality model (FQZ, cram_io.c:1821)
+                from htslib_tpu.cram.structs import FQZ
+                try:
+                    f = _fqz_compress(data, qs_lens)
+                    if len(f) < len(comp):
+                        method, comp = FQZ, f
+                except ValueError:
+                    pass
             if (self.version >= (3, 1) and cid == SERIES["RN"]
                     and len(data) >= 64):
                 # name tokeniser for the read-name series (TOK3)
-                from htslib_tpu.codecs import tok3
                 from htslib_tpu.cram.structs import TOK3
                 try:
-                    t = tok3.encode_names(data.split(b"\0")[:-1])
+                    t = _tok3_encode(data)
                     if len(t) < len(comp):
                         method, comp = TOK3, t
                 except ValueError:

@@ -51,17 +51,33 @@ class CramBlock:
             from htslib_tpu.codecs import rans4x8
             out = rans4x8.uncompress(self.data)
         elif m == RANSPR:
-            from htslib_tpu.codecs import rans4x16
-            out = rans4x16.uncompress(self.data)
+            from htslib_tpu.native import native
+            if native is not None:
+                out = native.rans4x16_uncompress(self.data)
+            else:
+                from htslib_tpu.codecs import rans4x16
+                out = rans4x16.uncompress(self.data)
         elif m == ARITH:
-            from htslib_tpu.codecs import arith
-            out = arith.uncompress(self.data)
+            from htslib_tpu.native import native
+            if native is not None:
+                out = native.arith_uncompress(self.data)
+            else:
+                from htslib_tpu.codecs import arith
+                out = arith.uncompress(self.data)
         elif m == FQZ:
-            from htslib_tpu.codecs import fqzcomp
-            out = fqzcomp.decompress(self.data)
+            from htslib_tpu.native import native
+            if native is not None:
+                out = native.fqz_decompress(self.data)
+            else:
+                from htslib_tpu.codecs import fqzcomp
+                out = fqzcomp.decompress(self.data)
         elif m == TOK3:
-            from htslib_tpu.codecs import tok3
-            out = tok3.decode_names(self.data)
+            from htslib_tpu.native import native
+            if native is not None:
+                out = native.tok3_decode(self.data)
+            else:
+                from htslib_tpu.codecs import tok3
+                out = tok3.decode_names(self.data)
         else:
             raise IOError(f"unknown CRAM compression method {m}")
         if m != TOK3 and len(out) != self.raw_size:

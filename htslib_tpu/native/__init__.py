@@ -19,6 +19,7 @@ from htslib_tpu.util.log import log_warning
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "build", "libhtstpu.so")
 _SRC = os.path.join(_DIR, "src", "htstpu.cc")
+_SHIM_DIR = os.path.join(_DIR, "htscodecs_shim")
 
 MAX_BLOCK = 0x10000
 
@@ -27,8 +28,12 @@ def _ensure_built() -> Optional[str]:
     if os.environ.get("HTS_TPU_NO_NATIVE"):
         return None
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        newest = os.path.getmtime(_SRC)
+        for f in os.listdir(_SHIM_DIR):
+            if f.endswith((".c", ".h")):
+                newest = max(newest,
+                             os.path.getmtime(os.path.join(_SHIM_DIR, f)))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
             subprocess.run(["make", "-s", "-C", _DIR], check=True,
                            capture_output=True, timeout=120)
         return _SO
@@ -80,6 +85,37 @@ class _Native:
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_buf_free.restype = None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.rans_compress_4x16.restype = u8p
+        lib.rans_compress_4x16.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint, ctypes.POINTER(ctypes.c_uint),
+            ctypes.c_int]
+        lib.rans_uncompress_4x16.restype = u8p
+        lib.rans_uncompress_4x16.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint, ctypes.POINTER(ctypes.c_uint)]
+        lib.arith_compress_to.restype = u8p
+        lib.arith_compress_to.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint), ctypes.c_int]
+        lib.arith_uncompress_to.restype = u8p
+        lib.arith_uncompress_to.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint)]
+        lib.fqz_compress.restype = u8p
+        lib.fqz_compress.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p]
+        lib.fqz_decompress.restype = u8p
+        lib.fqz_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p, ctypes.c_int]
+        lib.tok3_encode_names.restype = u8p
+        lib.tok3_encode_names.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_void_p]
+        lib.tok3_decode_names.restype = u8p
+        lib.tok3_decode_names.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint32)]
         lib.htstpu_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.htstpu_rans4x8_uncompress.restype = ctypes.c_int64
         lib.htstpu_rans4x8_uncompress.argtypes = [u8p, ctypes.c_uint64, u8p,
@@ -392,6 +428,103 @@ class _Native:
             return ctypes.string_at(out_ptr, r)
         finally:
             self._lib.htstpu_buf_free(out_ptr)
+
+    # ---- CRAM 3.1 codecs (htscodecs_shim, same wire as codecs/*.py) ----
+
+    def rans4x16_compress(self, data: bytes, flags: int) -> bytes:
+        n = ctypes.c_uint()
+        ptr = self._lib.rans_compress_4x16(data, len(data),
+                                           ctypes.byref(n), flags)
+        if not ptr:
+            raise ValueError("rANS Nx16 encode failed")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def rans4x16_uncompress(self, data: bytes) -> bytes:
+        n = ctypes.c_uint()
+        ptr = self._lib.rans_uncompress_4x16(data, len(data),
+                                             ctypes.byref(n))
+        if not ptr:
+            raise ValueError("malformed rANS Nx16 stream")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def arith_compress(self, data: bytes, order: int) -> bytes:
+        n = ctypes.c_uint()
+        ptr = self._lib.arith_compress_to(data, len(data), None,
+                                          ctypes.byref(n), order)
+        if not ptr:
+            raise ValueError("arith encode failed")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def arith_uncompress(self, data: bytes) -> bytes:
+        n = ctypes.c_uint()
+        ptr = self._lib.arith_uncompress_to(data, len(data), None,
+                                            ctypes.byref(n))
+        if not ptr:
+            raise ValueError("malformed arith stream")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def fqz_compress(self, data: bytes, lens) -> bytes:
+        class _Slice(ctypes.Structure):
+            _fields_ = [("num_records", ctypes.c_int),
+                        ("len", ctypes.POINTER(ctypes.c_uint32)),
+                        ("flags", ctypes.POINTER(ctypes.c_uint32))]
+        lens = list(lens) if lens is not None else [len(data)]
+        arr = (ctypes.c_uint32 * max(len(lens), 1))(*lens)
+        fl = (ctypes.c_uint32 * max(len(lens), 1))()
+        sl = _Slice(len(lens), arr, fl)
+        osz = ctypes.c_size_t()
+        ptr = self._lib.fqz_compress(3, ctypes.byref(sl), data, len(data),
+                                     ctypes.byref(osz), 0, None)
+        if not ptr:
+            raise ValueError("fqz encode failed")
+        try:
+            return ctypes.string_at(ptr, osz.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def fqz_decompress(self, data: bytes) -> bytes:
+        osz = ctypes.c_size_t()
+        ptr = self._lib.fqz_decompress(data, len(data), ctypes.byref(osz),
+                                       None, 0)
+        if not ptr:
+            raise ValueError("malformed fqz stream")
+        try:
+            return ctypes.string_at(ptr, osz.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def tok3_encode(self, blk: bytes, use_arith: int = 0) -> bytes:
+        n = ctypes.c_int()
+        ptr = self._lib.tok3_encode_names(blk, len(blk), 7, use_arith,
+                                          ctypes.byref(n), None)
+        if not ptr:
+            raise ValueError("tok3 encode failed")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
+
+    def tok3_decode(self, data: bytes) -> bytes:
+        n = ctypes.c_uint32()
+        ptr = self._lib.tok3_decode_names(data, len(data), ctypes.byref(n))
+        if not ptr:
+            raise ValueError("malformed tok3 stream")
+        try:
+            return ctypes.string_at(ptr, n.value)
+        finally:
+            self._lib.htstpu_buf_free(ptr)
 
 
 native: Optional[_Native] = None

@@ -139,3 +139,75 @@ def test_we_read_htslib_bgzf(tmp_path):
     subprocess.run([BGZIP, "-f", raw], check=True)
     with BGZFReader(raw + ".gz") as r:
         assert bytes(r.read_all()) == data
+
+
+# ---------------------------------------------------------------------------
+# CRAM 3.1: the experimental codec set (rANS Nx16 / arith / fqzcomp / tok3).
+# The locally built htslib uses the htscodecs_shim implementations, which
+# share their wire definition with codecs/*.py — these tests prove full
+# file-level bidirectional interop through that stack (test.pl:792-808).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sam", ["ce#1.sam", "ce#5b.sam", "ce#1000.sam",
+                                 "ce#unmap2.sam"])
+def test_htslib_reads_our_cram31(sam, tmp_path):
+    src = os.path.join(REF_TEST, sam)
+    out = str(tmp_path / "ours31.cram")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    with CramWriter(out, hdr, ref=os.path.join(REF_TEST, "ce.fa"),
+                    version=(3, 1)) as cw:
+        for r in recs:
+            cw.write(r)
+    got = body(tv("-i", "decode_md=0", out), nomd=True)
+    assert got == htslib_cram_roundtrip(src, tmp_path)
+
+
+@pytest.mark.parametrize("profile", ["small", "archive"])
+@pytest.mark.parametrize("sam", ["ce#1.sam", "ce#5b.sam", "ce#1000.sam"])
+def test_we_read_htslib_cram31(sam, profile, tmp_path):
+    src = os.path.join(REF_TEST, sam)
+    hc = str(tmp_path / "htslib31.cram")
+    subprocess.run([TV, "-S", "-l7", "-C", "-o", "VERSION=3.1",
+                    "-o", profile, "-t", os.path.join(REF_TEST, "ce.fa"),
+                    "-p", hc, src], check=True,
+                   stderr=subprocess.DEVNULL)
+    got = []
+    with CramReader(hc, ref=os.path.join(REF_TEST, "ce.fa"),
+                    decode_md=False) as cr:
+        h = cr.header
+        for rec in cr:
+            got.append(rec.to_sam(h).rstrip())
+    got = body("\n".join(got), nomd=True)
+    assert got == htslib_cram_roundtrip(src, tmp_path)
+
+
+def test_fqz_tok3_actually_used(tmp_path):
+    """The 3.1 encoder must actually emit FQZ and TOK3 blocks (not fall
+    back to rANS) on realistic many-record data."""
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    out = str(tmp_path / "m31.cram")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    with CramWriter(out, hdr, ref=os.path.join(REF_TEST, "ce.fa"),
+                    version=(3, 1)) as cw:
+        for r in recs:
+            cw.write(r)
+    from htslib_tpu.cram.io import CramIO, read_file_definition
+    methods = set()
+    with open(out, "rb") as fh:
+        version, _ = read_file_definition(fh)
+        cio = CramIO(fh, version)
+        while True:
+            cont = cio.read_container_header()
+            if cont is None or cont.ref_seq_id == -1 and cont.num_blocks == 0:
+                break
+            end = fh.tell() + cont.length
+            while fh.tell() < end:
+                blk = cio.read_block()
+                methods.add(blk.method)
+    from htslib_tpu.cram.structs import FQZ, TOK3
+    assert TOK3 in methods
+    assert FQZ in methods
