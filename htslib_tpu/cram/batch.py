@@ -1,0 +1,159 @@
+"""Batch CRAM pipelines: slice-parallel decode-ahead conversion.
+
+The reference decodes slices ahead of the consumer on the thread pool
+(cram_next_slice + cram_decode_slice_mt, cram_decode.c:3268,3047).
+Here the slice is the batch unit: the serial main thread walks
+containers and reads slice blocks; `pipeline_map` runs block
+uncompression + the native slice decoder on worker threads with a
+bounded in-flight window (ordered, back-pressured); the consumer gets
+u32-framed BAM record blobs in file order and hands them to the native
+SAM formatter — no per-record Python objects anywhere.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from htslib_tpu.cram import CRAM_EOF_START, CramReader
+from htslib_tpu.cram.decode import (decode_compression_header,
+                                    decode_slice_blob, decode_slice_header)
+from htslib_tpu.cram.structs import (CT_COMPRESSION_HEADER, CT_MAPPED_SLICE,
+                                     CT_UNMAPPED_SLICE)
+from htslib_tpu.pipeline import pipeline_map
+from htslib_tpu.sam.header import SamHeader
+
+
+def _slice_jobs(r: CramReader) -> Iterator[Tuple[object, object, list]]:
+    """Serial walk of containers -> (comp_hdr, slice_hdr, blocks).
+    Block payloads are read (not uncompressed) on the main thread; the
+    expensive work happens in the pipeline stage."""
+    while True:
+        c = r.io.read_container_header()
+        if c is None:
+            return
+        if c.ref_seq_id == -1 and c.ref_seq_start == CRAM_EOF_START:
+            return
+        if c.length == 0 or c.num_records == 0:
+            r.io.skip_container_data(c)
+            continue
+        comp_block = r.io.read_block()
+        if comp_block.content_type != CT_COMPRESSION_HEADER:
+            raise IOError("CRAM: expected compression header block")
+        chdr = decode_compression_header(comp_block, r.version[0])
+        end = c.data_offset + c.length
+        while r.fp.tell() < end:
+            hdr_block = r.io.read_block()
+            if hdr_block.content_type not in (CT_MAPPED_SLICE,
+                                              CT_UNMAPPED_SLICE):
+                raise IOError("CRAM: unexpected block content type "
+                              f"{hdr_block.content_type} in container")
+            sh = decode_slice_header(hdr_block, r.version[0])
+            blocks = [r.io.read_block() for _ in range(sh.num_blocks)]
+            yield chdr, sh, blocks
+
+
+def iter_slice_blobs(r: CramReader, window: int = 8,
+                     decode_md: Optional[bool] = None) -> Iterator[bytes]:
+    """Decode-ahead slice pipeline: yields each slice's u32-framed BAM
+    record blob in file order, decoding up to `window` slices ahead on
+    the shared pool."""
+    md = r.decode_md if decode_md is None else decode_md
+
+    def stage(job):
+        chdr, sh, blocks = job
+        return decode_slice_blob(chdr, sh, blocks, r.header, r.refs.get,
+                                 r.version[0], decode_md=md)
+
+    return pipeline_map(stage, _slice_jobs(r), window=window)
+
+
+def _slice_to_sam_stage(r: CramReader, lock, decode_md: bool):
+    """Build the per-slice pipeline stage: fused native decompress +
+    decode + format when possible, blob + python formatting otherwise."""
+    from htslib_tpu.native import native
+    rg_names = [ln.get("ID") for ln in r.header.lines if ln.type == "RG"]
+    ref_names = r.header.ref_names
+    from htslib_tpu.cram.structs import CT_CORE, CT_EXTERNAL
+
+    def locked_get_ref(tid, beg, end):
+        # the faidx handle inside RefRegistry is a shared seek+read
+        # stream: serialise fetches across pipeline workers
+        with lock:
+            return r.refs.get(tid, beg, end)
+
+    def stage(job):
+        chdr, sh, blocks = job
+        ref = None
+        ref_start = sh.ref_seq_start
+        if sh.ref_seq_id >= 0 and not chdr.no_ref:
+            if sh.ref_base_id >= 0:
+                for b in blocks:
+                    if b.content_id == sh.ref_base_id:
+                        ref = b.uncompress()
+                        break
+            else:
+                ref = locked_get_ref(sh.ref_seq_id, sh.ref_seq_start,
+                                     sh.ref_seq_start + sh.ref_seq_span - 1)
+            if ref is not None and sh.md5 != b"\0" * 16:
+                import hashlib
+                if hashlib.md5(ref[:sh.ref_seq_span]).digest() != sh.md5:
+                    raise IOError("MD5 checksum reference mismatch at "
+                                  f"#{sh.ref_seq_id}:{sh.ref_seq_start}")
+        if (native is not None and r.version[0] == 3 and sh.ref_seq_id != -2
+                and chdr.raw is not None):
+            cts, cis, mts, rss, pls = [], [], [], [], []
+            for b in blocks:
+                if b.content_type in (CT_CORE, CT_EXTERNAL):
+                    cts.append(b.content_type)
+                    cis.append(b.content_id)
+                    mts.append(b.method)
+                    rss.append(b.raw_size)
+                    pls.append(bytes(b.data))
+            out = native.cram_slice_to_sam(
+                chdr.raw, sh.ref_seq_id, sh.ref_seq_start, sh.ref_seq_span,
+                sh.num_records, sh.record_counter, cts, cis, mts, rss, pls,
+                None if chdr.no_ref else ref, ref_start,
+                r.header.tid2len(sh.ref_seq_id), rg_names, decode_md,
+                ref_names)
+            if out is not None:
+                return out
+        blob = decode_slice_blob(chdr, sh, blocks, r.header, locked_get_ref,
+                                 r.version[0], decode_md=decode_md)
+        if not blob:
+            return np.frombuffer(b"", np.uint8)
+        if native is not None:
+            return native.bam_scan_format(np.frombuffer(blob, np.uint8), 0,
+                                          ref_names)
+        from htslib_tpu.sam.batch import bam_stream_to_sam
+        return bam_stream_to_sam(blob, r.header)
+
+    return stage
+
+
+def cram_file_to_sam(path: str, ref: Optional[str] = None,
+                     decode_md: bool = True, window: int = 8,
+                     ) -> Tuple[SamHeader, np.ndarray]:
+    """One-call CRAM file -> SAM text (the test_view hot path,
+    cram_to_bam + sam_format1): slice-parallel decode-ahead, each slice
+    running the fused native decompress+decode+format call.  Returns
+    (header, uint8 text)."""
+    import threading
+    with CramReader(path, ref=ref, decode_md=decode_md) as r:
+        hdr = r.header
+        stage = _slice_to_sam_stage(r, threading.Lock(), decode_md)
+        parts = [p for p in pipeline_map(stage, _slice_jobs(r),
+                                         window=window) if len(p)]
+        if not parts:
+            return hdr, np.frombuffer(b"", np.uint8)
+        return hdr, np.concatenate(parts)
+
+
+def cram_file_to_bam_stream(path: str, ref: Optional[str] = None,
+                            decode_md: bool = True, window: int = 8,
+                            ) -> Tuple[SamHeader, bytes]:
+    """CRAM file -> u32-framed BAM record stream (batch form)."""
+    with CramReader(path, ref=ref, decode_md=decode_md) as r:
+        hdr = r.header
+        return hdr, b"".join(iter_slice_blobs(r, window=window))

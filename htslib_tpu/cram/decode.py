@@ -476,6 +476,60 @@ def _native_decode_slice(hdr: CompressionHeader, sh: SliceHeader,
     return out
 
 
+def decode_slice_blob(hdr: CompressionHeader, sh: SliceHeader,
+                      blocks: List[CramBlock], header: SamHeader,
+                      get_ref, vmajor: int, decode_md: bool = True,
+                      ) -> bytes:
+    """Decode one slice to a u32-length-prefixed BAM record blob — the
+    batch-pipeline form of decode_slice (no per-record Python objects;
+    the native slice decoder's output is passed through untouched).
+    Falls back to the Python record decoder and re-serialises when the
+    native path bails."""
+    import struct as _struct
+    ref = None
+    ref_start = sh.ref_seq_start
+    if sh.ref_seq_id >= 0 and not hdr.no_ref:
+        if sh.ref_base_id >= 0:
+            for b in blocks:
+                if b.content_id == sh.ref_base_id:
+                    ref = b.uncompress()
+                    break
+        else:
+            ref = get_ref(sh.ref_seq_id, sh.ref_seq_start,
+                          sh.ref_seq_start + sh.ref_seq_span - 1)
+        if ref is not None and sh.md5 != b"\0" * 16:
+            import hashlib
+            if hashlib.md5(ref[:sh.ref_seq_span]).digest() != sh.md5:
+                raise IOError("MD5 checksum reference mismatch at "
+                              f"#{sh.ref_seq_id}:{sh.ref_seq_start}")
+    from htslib_tpu.native import native
+    if (native is not None and vmajor == 3 and sh.ref_seq_id != -2
+            and hdr.raw is not None):
+        payloads = []
+        ctypes_list = []
+        cids = []
+        for b in blocks:
+            if b.content_type in (CT_CORE, CT_EXTERNAL):
+                payloads.append(b.uncompress())
+                ctypes_list.append(b.content_type)
+                cids.append(b.content_id)
+        rg_names = [ln.get("ID") for ln in header.lines
+                    if ln.type == "RG"]
+        blob = native.cram_decode_slice(
+            hdr.raw, sh.ref_seq_id, sh.ref_seq_start, sh.ref_seq_span,
+            sh.num_records, sh.record_counter, ctypes_list, cids, payloads,
+            None if hdr.no_ref else ref, ref_start,
+            header.tid2len(sh.ref_seq_id), rg_names, decode_md)
+        if blob is not None:
+            return bytes(blob)
+    parts = []
+    for rec in decode_slice(hdr, sh, blocks, header, get_ref, vmajor,
+                            decode_md=decode_md):
+        buf = rec.to_bam_buffer()
+        parts.append(_struct.pack("<I", len(buf)) + buf)
+    return b"".join(parts)
+
+
 def _decode_aux(hdr: CompressionHeader, st: SliceStreams,
                 cr: CramRecordTmp, rg_names=(),
                 values: bool = True) -> Tuple[int, int]:

@@ -279,7 +279,7 @@ def _consensus_reference(recs: List[BamRecord], start: int,
 
 class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
-                 ref: Optional[str] = None, seqs_per_slice: int = 1000,
+                 ref: Optional[str] = None, seqs_per_slice: int = 10000,
                  version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
                  lossy_names: int = 0, write_index: bool = False,
                  slices_per_container: int = 1):

@@ -85,6 +85,7 @@ class _Native:
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_buf_free.restype = None
+        lib.htstpu_cram_slice_to_sam.restype = ctypes.c_int64
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.rans_compress_4x16.restype = u8p
         lib.rans_compress_4x16.argtypes = [
@@ -428,6 +429,74 @@ class _Native:
             return ctypes.string_at(out_ptr, r)
         finally:
             self._lib.htstpu_buf_free(out_ptr)
+
+    def cram_slice_to_sam(self, comp_hdr: bytes, ref_seq_id: int,
+                          ref_seq_start: int, ref_seq_span: int,
+                          num_records: int, record_counter: int,
+                          content_types, content_ids, methods, raw_sizes,
+                          payloads, ref: Optional[bytes], ref_start: int,
+                          ref_chrom_len: int, rg_names, decode_md: bool,
+                          ref_names) -> Optional[np.ndarray]:
+        """Fused slice decode: block decompression (all CRAM 3.x block
+        methods) + record decode + SAM formatting in one GIL-free call.
+        Returns SAM text (uint8) or None when the native path bails."""
+        import weakref
+        ch = np.frombuffer(comp_hdr, np.uint8)
+        nblk = len(payloads)
+        blk_buf = np.frombuffer(b"".join(payloads) + b"\0", np.uint8)
+        blk_lens = np.array([len(x) for x in payloads] or [0], np.uint64)
+        blk_offs = np.zeros(max(nblk, 1), np.uint64)
+        if nblk > 1:
+            np.cumsum(blk_lens[:-1], dtype=np.uint64, out=blk_offs[1:])
+        ct = np.array(list(content_types) or [0], np.int32)
+        ci = np.array(list(content_ids) or [0], np.int32)
+        mt = np.array(list(methods) or [0], np.int32)
+        rs = np.array(list(raw_sizes) or [0], np.uint64)
+        rg_b = b"".join((n or "").encode() for n in rg_names) + b"\0"
+        rg_buf = np.frombuffer(rg_b, np.uint8)
+        rg_lens = np.array([len((n or "").encode()) for n in rg_names]
+                           or [0], np.uint32)
+        rg_offs = np.zeros(max(len(rg_names), 1), np.uint64)
+        if len(rg_names) > 1:
+            np.cumsum(rg_lens[:-1], dtype=np.uint64, out=rg_offs[1:])
+        rg_valid = np.array([1 if n else 0 for n in rg_names] or [0],
+                            np.uint8)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        if ref is None:
+            ref_arr = np.zeros(1, np.uint8)
+            ref_len = 0
+        else:
+            ref_arr = np.frombuffer(ref, np.uint8)
+            ref_len = len(ref)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_cram_slice_to_sam(
+            self._u8(ch), len(ch), ref_seq_id, ref_seq_start, ref_seq_span,
+            num_records, record_counter, nblk,
+            self._ptr(ct, ctypes.c_int32), self._ptr(ci, ctypes.c_int32),
+            self._ptr(mt, ctypes.c_int32), self._ptr(rs, ctypes.c_uint64),
+            self._ptr(blk_offs, ctypes.c_uint64),
+            self._ptr(blk_lens, ctypes.c_uint64), self._u8(blk_buf),
+            self._u8(ref_arr), ref_len, ref_start, ref_chrom_len,
+            len(rg_names), self._u8(rg_buf),
+            self._ptr(rg_offs, ctypes.c_uint64),
+            self._ptr(rg_lens, ctypes.c_uint32), self._u8(rg_valid),
+            1 if decode_md else 0,
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            ctypes.byref(out_ptr))
+        if r == -100:
+            return None
+        if r < 0:
+            raise IOError(f"native CRAM slice decode failed ({r})")
+        cbuf = ctypes.cast(out_ptr,
+                           ctypes.POINTER(ctypes.c_uint8 * r)).contents
+        weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
+        return np.frombuffer(cbuf, np.uint8)
 
     # ---- CRAM 3.1 codecs (htscodecs_shim, same wire as codecs/*.py) ----
 

@@ -3304,3 +3304,153 @@ int64_t htstpu_cram_decode_slice(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused CRAM slice -> SAM text: block decompression (all CRAM 3.x methods
+// incl. the 3.1 codecs from htscodecs_shim), slice decode and SAM
+// formatting in one native call — the per-slice unit the decode-ahead
+// pipeline (cram_decode.c:3047 cram_decode_slice_mt) dispatches to
+// workers.  GIL-free end to end; Python only frames containers.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+#include "../htscodecs_shim/rANS_static4x16.h"
+#include "../htscodecs_shim/arith_dynamic.h"
+#include "../htscodecs_shim/fqzcomp_qual.h"
+#include "../htscodecs_shim/tokenise_name3.h"
+}
+
+namespace {
+
+// returns 0 ok, -1 corrupt, -2 unsupported-method (caller bails to python)
+int cram_block_uncompress(int method, const uint8_t* in, uint64_t in_len,
+                          uint8_t* out, uint64_t raw_size) {
+  if (raw_size == 0 && in_len == 0) return 0;
+  switch (method) {
+    case 0:  // RAW
+      if (in_len != raw_size) return -1;
+      memcpy(out, in, raw_size);
+      return 0;
+    case 1: {  // GZIP
+      size_t actual = 0;
+      libdeflate_decompressor* d = t_decomp.get();
+      if (libdeflate_gzip_decompress(d, in, in_len, out, raw_size,
+                                     &actual) == LIBDEFLATE_SUCCESS
+          && actual == raw_size)
+        return 0;
+      if (libdeflate_zlib_decompress(d, in, in_len, out, raw_size,
+                                     &actual) == LIBDEFLATE_SUCCESS
+          && actual == raw_size)
+        return 0;
+      return -1;
+    }
+    case 4:  // RANS (4x8)
+      return htstpu_rans4x8_uncompress(in, in_len, out, raw_size)
+                 == (int64_t)raw_size ? 0 : -1;
+    case 5: {  // RANSPR (Nx16)
+      unsigned int osz = (unsigned int)raw_size;
+      return rans_uncompress_to_4x16((unsigned char*)in,
+                                     (unsigned int)in_len, out, &osz)
+                 && osz == raw_size ? 0 : -1;
+    }
+    case 6: {  // ARITH
+      unsigned int osz = (unsigned int)raw_size;
+      return arith_uncompress_to((unsigned char*)in, (unsigned int)in_len,
+                                 out, &osz)
+                 && osz == raw_size ? 0 : -1;
+    }
+    case 7: {  // FQZ
+      size_t osz = 0;
+      char* r = fqz_decompress((char*)in, in_len, &osz, nullptr, 0);
+      if (!r || osz != raw_size) { free(r); return -1; }
+      memcpy(out, r, osz);
+      free(r);
+      return 0;
+    }
+    case 8: {  // TOK3
+      uint32_t osz = 0;
+      uint8_t* r = tok3_decode_names((uint8_t*)in, (uint32_t)in_len, &osz);
+      if (!r) return -1;
+      if (osz != raw_size) { free(r); return -2; }
+      memcpy(out, r, osz);
+      free(r);
+      return 0;
+    }
+    default:   // BZIP2 / LZMA / unknown: python path handles these
+      return -2;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns SAM text length via *out_ptr, kBail (-100) for configurations
+// the native path does not cover, -1 on malloc failure, -2 on corrupt
+// input.
+int64_t htstpu_cram_slice_to_sam(
+    const uint8_t* comp_hdr, uint64_t comp_hdr_len,
+    int32_t ref_seq_id, int64_t ref_seq_start, int64_t ref_seq_span,
+    int32_t num_records, int64_t record_counter,
+    int32_t n_blocks, const int32_t* content_types,
+    const int32_t* content_ids, const int32_t* methods,
+    const uint64_t* raw_sizes, const uint64_t* blk_offs,
+    const uint64_t* blk_lens, const uint8_t* blk_buf,
+    const uint8_t* ref, uint64_t ref_window_len, int64_t ref_start,
+    int64_t ref_chrom_len,
+    int32_t n_rg, const uint8_t* rg_buf, const uint64_t* rg_offs,
+    const uint32_t* rg_lens, const uint8_t* rg_valid,
+    int32_t decode_md,
+    const uint8_t* name_buf, const uint64_t* name_offs,
+    const uint32_t* name_lens, int32_t n_ref,
+    uint8_t** out_ptr) {
+  // 1. decompress every block into one arena
+  uint64_t total_raw = 0;
+  for (int32_t i = 0; i < n_blocks; i++) total_raw += raw_sizes[i];
+  std::vector<uint8_t> arena(total_raw ? total_raw : 1);
+  std::vector<uint64_t> uoffs(n_blocks ? n_blocks : 1);
+  uint64_t uo = 0;
+  for (int32_t i = 0; i < n_blocks; i++) {
+    uoffs[i] = uo;
+    int rc = cram_block_uncompress(methods[i], blk_buf + blk_offs[i],
+                                   blk_lens[i], arena.data() + uo,
+                                   raw_sizes[i]);
+    if (rc == -2) return -100;
+    if (rc != 0) return -2;
+    uo += raw_sizes[i];
+  }
+
+  // 2. slice decode to a u32-framed BAM blob
+  uint8_t* blob = nullptr;
+  int64_t blen = htstpu_cram_decode_slice(
+      comp_hdr, comp_hdr_len, ref_seq_id, ref_seq_start, ref_seq_span,
+      num_records, record_counter, n_blocks, content_types, content_ids,
+      uoffs.data(), raw_sizes, arena.data(), ref, ref_window_len,
+      ref_start, ref_chrom_len, n_rg, rg_buf, rg_offs, rg_lens, rg_valid,
+      decode_md, &blob);
+  if (blen < 0) return blen;
+
+  // 3. format records as SAM text
+  NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  Buf out;
+  out.reserve((size_t)blen * 5 / 2 + 4096);
+  uint64_t p = 0;
+  int64_t rc = 0;
+  while (p + 4 <= (uint64_t)blen) {
+    uint32_t bsz;
+    memcpy(&bsz, blob + p, 4);
+    if (p + 4 + bsz > (uint64_t)blen) { rc = -2; break; }
+    if (format_record(blob + p + 4, bsz, nt, &out) < 0) { rc = -2; break; }
+    p += 4 + bsz;
+  }
+  free(blob);
+  if (rc) return rc;
+
+  uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
+  if (!res) return -1;
+  memcpy(res, out.data(), out.len());
+  *out_ptr = res;
+  return (int64_t)out.len();
+}
+
+}  // extern "C"

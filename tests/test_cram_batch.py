@@ -1,0 +1,87 @@
+"""Batch CRAM decode pipeline (cram/batch.py): the slice-parallel
+decode-ahead path (cram_decode_slice_mt + cram_next_slice,
+cram_decode.c:3047,3268) must be byte-identical to the record-at-a-time
+reader on every input it accepts."""
+import os
+import struct
+
+import pytest
+
+from conftest import REF_TEST
+
+from htslib_tpu.cram import CramReader, CramWriter
+from htslib_tpu.cram.batch import (cram_file_to_bam_stream,
+                                   cram_file_to_sam, iter_slice_blobs)
+from htslib_tpu.sam import SamReader
+
+
+def record_path_sam(path, ref=None, decode_md=True):
+    out = []
+    with CramReader(path, ref=ref, decode_md=decode_md) as cr:
+        hdr = cr.header
+        for rec in cr:
+            out.append(rec.to_sam(hdr).rstrip("\n"))
+    return ("\n".join(out) + "\n" if out else "").encode()
+
+
+@pytest.mark.parametrize("name,ref", [
+    ("range.cram", "ce.fa"),
+    ("ce#5b_java.cram", "ce.fa"),
+    ("xx#large_aux_java.cram", "xx.fa"),
+])
+def test_batch_matches_record_path_corpus(name, ref):
+    path = os.path.join(REF_TEST, name)
+    refp = os.path.join(REF_TEST, ref)
+    hdr, sam = cram_file_to_sam(path, ref=refp)
+    assert bytes(sam.tobytes()) == record_path_sam(path, ref=refp)
+
+
+@pytest.mark.parametrize("version", [(3, 0), (3, 1)])
+def test_batch_roundtrip_written_cram(tmp_path, version):
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    refp = os.path.join(REF_TEST, "ce.fa")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    out = str(tmp_path / "t.cram")
+    with CramWriter(out, hdr, ref=refp, version=version) as cw:
+        for r in recs:
+            cw.write(r)
+    h, sam = cram_file_to_sam(out, ref=refp)
+    assert bytes(sam.tobytes()) == record_path_sam(out, ref=refp)
+    want = ("\n".join(r.to_sam(hdr).rstrip("\n") for r in recs)
+            + "\n").encode()
+    assert bytes(sam.tobytes()) == want
+
+
+def test_batch_no_ref(tmp_path):
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    out = str(tmp_path / "nr.cram")
+    with CramWriter(out, hdr) as cw:   # no_ref
+        for r in recs:
+            cw.write(r)
+    h, sam = cram_file_to_sam(out)
+    assert bytes(sam.tobytes()) == record_path_sam(out)
+
+
+def test_bam_stream_framing(tmp_path):
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    out = str(tmp_path / "s.cram")
+    with CramWriter(out, hdr) as cw:
+        for r in recs:
+            cw.write(r)
+    h, blob = cram_file_to_bam_stream(out)
+    n = 0
+    p = 0
+    while p < len(blob):
+        (bsz,) = struct.unpack_from("<I", blob, p)
+        p += 4 + bsz
+        n += 1
+    assert p == len(blob)
+    assert n == len(recs)
