@@ -577,6 +577,17 @@ class CramEncoder:
         def S(key) -> _Stream:
             return streams[SERIES[key] if isinstance(key, str) else key]
 
+        # native fast path: the process_one_read hot loop in C++
+        # (htstpu_cram_encode_slice); bails here for v4 / lossy names /
+        # multiref / embedded-ref configurations
+        if (not self.v4 and not self.lossy_names and not multiref
+                and not self.embed_ref):
+            res = self._encode_slice_native(recs, plan, tag_dict,
+                                            tag_lines, used_tags,
+                                            record_counter)
+            if res is not None:
+                return res
+
         # mate linkage pre-pass: pair primary paired reads by qname and
         # keep the link only when the decoder xref reproduces them
         link = [-1] * len(recs)
@@ -682,12 +693,27 @@ class CramEncoder:
                 S("QS").raw(b"\xff" * qlen)
                 qs_lens.append(qlen)
 
+        return self._emit_slice_tail(
+            {cid: bytes(st.buf) for cid, st in streams.items()},
+            qs_lens, len(recs), plan, record_counter, nbases, end)
+
+    # ------------------------------------------------------------------
+    def _emit_slice_tail(self, stream_bytes: Dict[int, bytes], qs_lens,
+                         n_recs: int, plan: dict, record_counter: int,
+                         nbases: int, end: int) -> dict:
+        """Slice header + core + external block emission shared by the
+        Python and native stream builders (cram_encode_slice tail,
+        cram_encode.c:1096)."""
+        multiref = plan["multiref"]
+        slice_ref = plan["slice_ref"]
+        start = plan["start"]
+        use_ref = plan["use_ref"]
+        ref_seq = plan["ref_seq"]
         span = max(end - start + 1, 0) \
             if (not multiref and slice_ref >= 0) else 0
         if use_ref and not multiref:
             span = max(span, plan["ref_span"])
-
-        ext_ids = sorted(streams.keys())
+        ext_ids = sorted(stream_bytes.keys())
         embed = (self.embed_ref and use_ref and not multiref
                  and ref_seq is not None)
         EMBED_REF_ID = 100  # clear of series ids, below TAG_ID_BASE
@@ -701,7 +727,7 @@ class CramEncoder:
         else:
             slice_hdr += vv.put32(start if slice_ref >= 0 else 0)
             slice_hdr += vv.put32(span)
-        slice_hdr += vv.put32(len(recs))
+        slice_hdr += vv.put32(n_recs)
         slice_hdr += vv.put64(record_counter)
         slice_hdr += vv.put32(1 + len(all_ids))  # core + externals
         slice_hdr += vv.put32(len(all_ids))
@@ -718,10 +744,10 @@ class CramEncoder:
                      vv=vv)
         _write_block(blocks, RAW, CT_CORE, 0, b"", vv=vv)
         for cid in ext_ids:
-            data = bytes(streams[cid].buf)
+            data = stream_bytes[cid]
             method, comp = self.metrics.choose(cid, data)
             if (self.version >= (3, 1) and cid == SERIES["QS"]
-                    and len(data) >= 512):
+                    and len(data) >= 512 and sum(qs_lens) == len(data)):
                 # fqzcomp quality model (FQZ, cram_io.c:1821)
                 from htslib_tpu.cram.structs import FQZ
                 try:
@@ -749,8 +775,54 @@ class CramEncoder:
                          precompressed=comp if method != RAW else None,
                          vv=vv)
         return {"blocks": bytes(blocks), "nbases": nbases,
-                "cids": set(streams.keys()), "nblocks": 2 + len(all_ids),
-                "span": span}
+                "cids": set(stream_bytes.keys()),
+                "nblocks": 2 + len(all_ids), "span": span}
+
+    # ------------------------------------------------------------------
+    def _encode_slice_native(self, recs, plan, tag_dict, tag_lines,
+                             used_tags, record_counter):
+        """Native stream builder (htstpu_cram_encode_slice): records are
+        framed into a u32-prefixed BAM blob, the C++ hot loop produces
+        every data-series stream + the slice tag dictionary, and Python
+        merges the TD lines into the container dictionary and builds the
+        TL stream."""
+        from htslib_tpu.native import native
+        if native is None:
+            return None
+        parts = []
+        for rec in recs:
+            buf = rec.to_bam_buffer()
+            parts.append(struct.pack("<I", len(buf)) + buf)
+        blob = b"".join(parts)
+        res = native.cram_encode_slice(
+            blob, plan["slice_ref"], plan["start"], plan["ref_seq"],
+            plan["start"], plan["use_ref"] and plan["ref_seq"] is not None)
+        if res is None:
+            return None
+        n, nbases, end_pos, streams, td_lines, rec_tl, qs_lens = res
+        # merge slice-local TD lines into the container-wide dictionary
+        remap = np.empty(max(len(td_lines), 1), np.uint32)
+        for li, line in enumerate(td_lines):
+            tl = tag_lines.get(line)
+            if tl is None:
+                tl = len(tag_dict)
+                tag_lines[line] = tl
+                tag_dict.append(line)
+            remap[li] = tl
+        mapped = remap[rec_tl]
+        if mapped.size and int(mapped.max()) < 128:
+            tl_stream = mapped.astype(np.uint8).tobytes()
+        else:
+            out = bytearray()
+            for v in mapped:
+                out += itf8_encode(int(v))
+            tl_stream = bytes(out)
+        streams[SERIES["TL"]] = tl_stream
+        for cid in streams:
+            if cid >= TAG_ID_BASE:
+                used_tags[cid - TAG_ID_BASE] = b""
+        return self._emit_slice_tail(streams, qs_lens.tolist(), n, plan,
+                                     record_counter, nbases, int(end_pos))
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -86,6 +86,13 @@ class _Native:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_cram_slice_to_sam.restype = ctypes.c_int64
+        lib.htstpu_cram_encode_slice.restype = ctypes.c_int64
+        lib.htstpu_cram_encode_slice.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.rans_compress_4x16.restype = u8p
         lib.rans_compress_4x16.argtypes = [
@@ -497,6 +504,63 @@ class _Native:
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
         return np.frombuffer(cbuf, np.uint8)
+
+    def cram_encode_slice(self, blob: bytes, slice_ref: int,
+                          slice_start: int, ref: Optional[bytes],
+                          ref_start: int, use_ref: bool):
+        """Native slice encoder (process_one_read hot loop).  Returns
+        (n_records, nbases, end_pos, {cid: stream bytes}, td_lines,
+        rec_tl uint32 array, qs_lens uint32 array) or None when the
+        native path bails."""
+        buf = np.frombuffer(blob, np.uint8)
+        if ref is None:
+            ref_arr = np.zeros(1, np.uint8)
+            ref_len = 0
+        else:
+            ref_arr = np.frombuffer(ref, np.uint8)
+            ref_len = len(ref)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_cram_encode_slice(
+            self._u8(buf), len(buf), slice_ref, slice_start,
+            self._u8(ref_arr), ref_len, ref_start, 1 if use_ref else 0,
+            ctypes.byref(out_ptr))
+        if r == -100:
+            return None
+        if r < 0:
+            raise IOError(f"native CRAM slice encode failed ({r})")
+        try:
+            raw = ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
+        mv = memoryview(raw)
+        import struct as _st
+        n, = _st.unpack_from("<I", mv, 0)
+        nbases, end_pos = _st.unpack_from("<qq", mv, 4)
+        n_streams, = _st.unpack_from("<I", mv, 20)
+        p = 24
+        table = []
+        for _ in range(n_streams):
+            cid, = _st.unpack_from("<i", mv, p)
+            ln, = _st.unpack_from("<Q", mv, p + 4)
+            table.append((cid, ln))
+            p += 12
+        n_td, = _st.unpack_from("<I", mv, p)
+        td_len, = _st.unpack_from("<Q", mv, p + 4)
+        p += 12
+        td_blob = bytes(mv[p:p + td_len])
+        p += td_len
+        rec_tl = np.frombuffer(raw, np.uint32, n, p).copy()
+        p += n * 4
+        qs_lens = np.frombuffer(raw, np.uint32, n, p).copy()
+        p += n * 4
+        streams = {}
+        for cid, ln in table:
+            streams[cid] = bytes(mv[p:p + ln])
+            p += ln
+        td_lines = td_blob.split(b"\0")[:-1] if td_len else []
+        if len(td_lines) != n_td:
+            raise IOError("native CRAM encode: TD framing mismatch")
+        return n, nbases, end_pos, streams, td_lines, rec_tl, qs_lens
 
     # ---- CRAM 3.1 codecs (htscodecs_shim, same wire as codecs/*.py) ----
 

@@ -3454,3 +3454,595 @@ int64_t htstpu_cram_slice_to_sam(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native CRAM slice encoder: the process_one_read hot loop
+// (cram_encode.c:3382) over a u32-framed BAM record blob.  Produces the
+// per-data-series streams + tag dictionary + slice stats in one packed
+// buffer; Python builds the compression header and container framing
+// (cold path) and runs the codec metrics over the returned streams.
+// Fast path covers CRAM v3, non-multiref slices, full names, no
+// embedded ref; anything else returns kBail for the Python encoder.
+// ---------------------------------------------------------------------------
+
+namespace cramenc {
+
+constexpr int64_t kBail = -100;
+
+// ITF8 writer (cram/cram_io.c:138 semantics; itf8.py mirror)
+inline void put_itf8(Buf* b, int64_t val) {
+  uint32_t v = (uint32_t)val;
+  b->reserve(5);
+  uint8_t* d = b->data() + b->len();
+  if (v < 0x80) {
+    d[0] = (uint8_t)v;
+    b->bump(1);
+  } else if (v < 0x4000) {
+    d[0] = (uint8_t)(0x80 | (v >> 8));
+    d[1] = (uint8_t)v;
+    b->bump(2);
+  } else if (v < 0x200000) {
+    d[0] = (uint8_t)(0xC0 | (v >> 16));
+    d[1] = (uint8_t)(v >> 8);
+    d[2] = (uint8_t)v;
+    b->bump(3);
+  } else if (v < 0x10000000) {
+    d[0] = (uint8_t)(0xE0 | (v >> 24));
+    d[1] = (uint8_t)(v >> 16);
+    d[2] = (uint8_t)(v >> 8);
+    d[3] = (uint8_t)v;
+    b->bump(4);
+  } else {
+    d[0] = (uint8_t)(0xF0 | (v >> 28));
+    d[1] = (uint8_t)(v >> 20);
+    d[2] = (uint8_t)(v >> 12);
+    d[3] = (uint8_t)(v >> 4);
+    d[4] = (uint8_t)(v & 0x0F);
+    b->bump(5);
+  }
+}
+
+// series content ids (encode.py SERIES)
+enum {
+  S_BF = 1, S_CF = 2, S_RI = 3, S_RL = 4, S_AP = 5, S_RG = 6, S_MF = 7,
+  S_NS = 8, S_NP = 9, S_TS = 10, S_TL = 11, S_FN = 12, S_FC = 13,
+  S_FP = 14, S_DL = 15, S_BA = 16, S_BS = 17, S_MQ = 18, S_QS = 19,
+  S_IN = 20, S_RN = 21, S_SC = 22, S_HC = 23, S_PD = 24, S_RS = 25,
+  S_BB = 26, S_BB_LEN = 27, S_NF = 28, S_MAX = 29
+};
+
+constexpr uint32_t kTagIdBase = 0x100000;
+
+constexpr uint16_t FPAIRED = 1, FUNMAP = 4, FMUNMAP = 8, FREVERSE = 16,
+                   FMREVERSE = 32, FREAD1 = 64, FSECONDARY = 256,
+                   FSUPP = 2048;
+constexpr int64_t CF_PRESERVE_QUAL = 1, CF_DETACHED = 2,
+                  CF_MATE_DOWNSTREAM = 4, CF_NO_SEQ = 8;
+constexpr int64_t M_REVERSE = 1, M_UNMAP = 2;
+
+struct RecView {
+  const uint8_t* rec;
+  uint32_t size;
+  int32_t tid, pos, mtid, mpos, tlen;
+  uint16_t flag, n_cigar;
+  uint8_t l_qname, mapq;
+  int32_t l_qseq;
+  const uint8_t* qname;   // incl. trailing NUL
+  const uint8_t* cig;
+  const uint8_t* seq;     // packed nibbles
+  const uint8_t* qual;
+  const uint8_t* aux;
+  const uint8_t* end;
+};
+
+inline bool parse_rec(const uint8_t* rec, uint32_t size, RecView* v) {
+  if (size < 32) return false;
+  v->rec = rec;
+  v->size = size;
+  v->tid = (int32_t)rd_u32(rec + 0);
+  v->pos = (int32_t)rd_u32(rec + 4);
+  v->l_qname = rec[8];
+  v->mapq = rec[9];
+  v->n_cigar = rd_u16(rec + 12);
+  v->flag = rd_u16(rec + 14);
+  v->l_qseq = (int32_t)rd_u32(rec + 16);
+  v->mtid = (int32_t)rd_u32(rec + 20);
+  v->mpos = (int32_t)rd_u32(rec + 24);
+  v->tlen = (int32_t)rd_u32(rec + 28);
+  v->qname = rec + 32;
+  v->cig = v->qname + v->l_qname;
+  v->seq = v->cig + 4ull * v->n_cigar;
+  v->qual = v->seq + (v->l_qseq + 1) / 2;
+  v->aux = v->qual + v->l_qseq;
+  v->end = rec + size;
+  return v->l_qseq >= 0 && v->aux <= v->end && v->l_qname > 0;
+}
+
+inline int64_t cigar2qlen(const RecView& v) {
+  int64_t n = 0;
+  static const uint16_t qmask = (1 << 0) | (1 << 1) | (1 << 4) | (1 << 7)
+                                | (1 << 8);  // M I S = X
+  for (uint32_t k = 0; k < v.n_cigar; k++) {
+    uint32_t c = rd_u32(v.cig + 4ull * k);
+    if (qmask & (1u << (c & 0xF))) n += c >> 4;
+  }
+  return n;
+}
+
+inline int64_t cigar2rlen(const RecView& v) {
+  int64_t n = 0;
+  static const uint16_t rmask = (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7)
+                                | (1 << 8);  // M D N = X
+  for (uint32_t k = 0; k < v.n_cigar; k++) {
+    uint32_t c = rd_u32(v.cig + 4ull * k);
+    if (rmask & (1u << (c & 0xF))) n += c >> 4;
+  }
+  return n;
+}
+
+inline int64_t aend(const RecView& v) {
+  int64_t ap = v.pos + 1;
+  if (v.flag & FUNMAP) return ap;
+  int64_t rl = cigar2rlen(v);
+  return rl > 0 ? ap + rl - 1 : ap;
+}
+
+// _mate_link_ok port (encode.py): link only when the decoder's xref
+// reproduces both records' mate fields, flags and tlen exactly
+inline bool mate_link_ok(const RecView& a, const RecView& b) {
+  int64_t apos_a = a.pos + 1, apos_b = b.pos + 1;
+  int64_t aend_a = aend(a), aend_b = aend(b);
+  int64_t aleft = apos_a < apos_b ? apos_a : apos_b;
+  int64_t aright = aend_a > aend_b ? aend_a : aend_b;
+  int left_cnt = (apos_a == aleft) + (apos_b == aleft);
+  int right_cnt = (aend_a == aright) + (aend_b == aright);
+  int64_t tlen_a, tlen_b;
+  if (a.tid != b.tid) {
+    tlen_a = tlen_b = 0;
+  } else {
+    int64_t tlen = aright - aleft + 1;
+    if (apos_a == aleft && (aend_a < aright || left_cnt <= 1)) {
+      tlen_a = tlen;
+      tlen_b = -tlen;
+    } else if (apos_a == aleft && aend_a == aright && left_cnt > 1
+               && right_cnt > 1) {
+      if (a.flag & FREAD1) { tlen_a = tlen; tlen_b = -tlen; }
+      else { tlen_a = -tlen; tlen_b = tlen; }
+    } else {
+      tlen_a = -tlen;
+      tlen_b = tlen;
+    }
+  }
+  const RecView* xs[2] = {&a, &b};
+  const RecView* ys[2] = {&b, &a};
+  int64_t tls[2] = {tlen_a, tlen_b};
+  for (int k = 0; k < 2; k++) {
+    const RecView& x = *xs[k];
+    const RecView& y = *ys[k];
+    int64_t tl = tls[k];
+    uint32_t fl = x.flag | FPAIRED;
+    if (y.flag & FUNMAP) {
+      fl |= FMUNMAP;
+      tl = 0;
+    }
+    if (x.flag & FUNMAP) tl = 0;
+    if (y.flag & FREVERSE) fl |= FMREVERSE;
+    if (fl != x.flag || y.tid != x.mtid || y.pos != x.mpos
+        || tl != x.tlen)
+      return false;
+  }
+  return true;
+}
+
+static const char kSubRow0[] = "CGTN";
+static const char kSubRow1[] = "AGTN";
+static const char kSubRow2[] = "ACTN";
+static const char kSubRow3[] = "ACGN";
+static const char kSubRow4[] = "ACGT";
+static const char* kSubRows[5] = {kSubRow0, kSubRow1, kSubRow2, kSubRow3,
+                                  kSubRow4};
+
+inline int l1_of(uint8_t b) {
+  switch (b) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+inline int sub_code(uint8_t refb, uint8_t b) {
+  const char* row = kSubRows[l1_of(refb)];
+  for (int i = 0; i < 4; i++)
+    if ((uint8_t)row[i] == b) return i;
+  return -1;
+}
+
+struct StrKey {
+  const uint8_t* s;
+  uint32_t len;
+  bool operator==(const StrKey& o) const {
+    return len == o.len && memcmp(s, o.s, len) == 0;
+  }
+};
+struct StrKeyHash {
+  size_t operator()(const StrKey& k) const {
+    size_t h = 1469598103934665603ull;
+    for (uint32_t i = 0; i < k.len; i++)
+      h = (h ^ k.s[i]) * 1099511628211ull;
+    return h;
+  }
+};
+
+}  // namespace cramenc
+
+extern "C" {
+
+// Returns the packed result length via *out_ptr (htstpu_buf_free to
+// release), kBail (-100) for configurations left to Python, -2 on
+// malformed records.  Packed layout (all LE):
+//   u32 n_records; u64 nbases; u64 end_pos(1-based incl, 0 if none);
+//   u32 n_streams; n_streams x { i32 cid; u64 len };
+//   u32 n_td; u64 td_len; td bytes (nul-separated lines);
+//   n_records x u32 rec_tl; n_records x u32 qs_len;
+//   stream bytes in table order.
+int64_t htstpu_cram_encode_slice(
+    const uint8_t* blob, uint64_t blob_len,
+    int32_t slice_ref, int64_t slice_start,
+    const uint8_t* ref, uint64_t ref_len, int64_t ref_start,
+    int32_t use_ref, uint8_t** out_ptr) {
+  using namespace cramenc;
+
+  // parse records
+  std::vector<RecView> recs;
+  {
+    uint64_t p = 0;
+    while (p + 4 <= blob_len) {
+      uint32_t bsz;
+      memcpy(&bsz, blob + p, 4);
+      if (p + 4 + bsz > blob_len) return -2;
+      RecView v;
+      if (!parse_rec(blob + p + 4, bsz, &v)) return -2;
+      recs.push_back(v);
+      p += 4 + bsz;
+    }
+    if (p != blob_len) return -2;
+  }
+  int64_t n = (int64_t)recs.size();
+
+  // multiref slices are the python path's job
+  for (auto& r : recs)
+    if (r.tid != slice_ref) return kBail;
+
+  // mate linkage pre-pass
+  std::vector<int32_t> link(n, -1);
+  std::vector<uint8_t> linked_down(n, 0);
+  {
+    std::unordered_map<StrKey, int64_t, StrKeyHash> pending;
+    for (int64_t i = 0; i < n; i++) {
+      const RecView& r = recs[i];
+      if (!(r.flag & FPAIRED) || (r.flag & (FSECONDARY | FSUPP)))
+        continue;
+      StrKey k{r.qname, (uint32_t)(r.l_qname - 1)};
+      auto it = pending.find(k);
+      if (it == pending.end()) {
+        pending.emplace(k, i);
+      } else {
+        int64_t j = it->second;
+        pending.erase(it);
+        if (mate_link_ok(recs[j], recs[i])) {
+          link[j] = (int32_t)i;
+          linked_down[i] = 1;
+        }
+      }
+    }
+  }
+
+  // streams
+  std::vector<Buf> series(S_MAX);
+  std::unordered_map<uint32_t, Buf> tag_streams;
+  std::unordered_map<StrKey, uint32_t, StrKeyHash> td_map;
+  std::vector<std::vector<uint8_t>> td_lines;
+  std::vector<uint32_t> rec_tl((size_t)n);
+  std::vector<uint32_t> qs_lens;
+  qs_lens.reserve((size_t)n);
+  std::vector<uint8_t> seq_buf;   // current record's unpacked bases
+  std::vector<uint8_t> line_buf;
+
+  int64_t nbases = 0, end_pos = 0;
+
+  for (int64_t i = 0; i < n; i++) {
+    const RecView& r = recs[i];
+    nbases += r.l_qseq;
+    int64_t cf = CF_PRESERVE_QUAL;
+    if (link[i] >= 0)
+      cf |= CF_MATE_DOWNSTREAM;
+    else if (!linked_down[i])
+      cf |= CF_DETACHED;
+    int64_t qlen = r.l_qseq;
+    if (qlen == 0) {
+      cf |= CF_NO_SEQ;
+      if (!(r.flag & FUNMAP) && r.n_cigar) qlen = cigar2qlen(r);
+    }
+    put_itf8(&series[S_BF], r.flag);
+    put_itf8(&series[S_CF], cf);
+    put_itf8(&series[S_RL], qlen);
+    put_itf8(&series[S_AP], (int64_t)r.pos + 1);
+    put_itf8(&series[S_RG], -1);
+    series[S_RN].put(r.qname, r.l_qname - 1);
+    series[S_RN].putc('\0');
+    if (cf & CF_DETACHED) {
+      int64_t mf = 0;
+      if (r.flag & FMREVERSE) mf |= M_REVERSE;
+      if (r.flag & FMUNMAP) mf |= M_UNMAP;
+      put_itf8(&series[S_MF], mf);
+      put_itf8(&series[S_NS], r.mtid);
+      put_itf8(&series[S_NP], (int64_t)r.mpos + 1);
+      put_itf8(&series[S_TS], r.tlen);
+    } else if (cf & CF_MATE_DOWNSTREAM) {
+      put_itf8(&series[S_NF], link[i] - i - 1);
+    }
+
+    // aux tags -> TD line + per-tag streams
+    line_buf.clear();
+    {
+      const uint8_t* a = r.aux;
+      const uint8_t* e = r.end;
+      while (a + 3 <= e) {
+        uint8_t t = a[2];
+        const uint8_t* vstart = a + 3;
+        const uint8_t* vend = vstart;
+        switch (t) {
+          case 'A': case 'c': case 'C': vend = vstart + 1; break;
+          case 's': case 'S': vend = vstart + 2; break;
+          case 'i': case 'I': case 'f': vend = vstart + 4; break;
+          case 'd': vend = vstart + 8; break;
+          case 'Z': case 'H': {
+            const uint8_t* z = vstart;
+            while (z < e && *z) z++;
+            if (z >= e) return -2;
+            vend = z + 1;
+            break;
+          }
+          case 'B': {
+            if (vstart + 5 > e) return -2;
+            uint8_t sub = vstart[0];
+            uint32_t cnt = rd_u32(vstart + 1);
+            uint32_t es = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
+                        : (sub == 's' || sub == 'S') ? 2
+                        : (sub == 'i' || sub == 'I' || sub == 'f') ? 4 : 0;
+            if (!es) return -2;
+            vend = vstart + 5 + (uint64_t)es * cnt;
+            break;
+          }
+          default: return -2;
+        }
+        if (vend > e) return -2;
+        line_buf.push_back(a[0]);
+        line_buf.push_back(a[1]);
+        line_buf.push_back(t);
+        uint32_t kid = ((uint32_t)a[0] << 16) | ((uint32_t)a[1] << 8) | t;
+        Buf& ts = tag_streams[kid];
+        put_itf8(&ts, (int64_t)(vend - vstart));
+        ts.put(vstart, (size_t)(vend - vstart));
+        a = vend;
+      }
+      if (a != e) return -2;
+    }
+    {
+      StrKey k{line_buf.data(), (uint32_t)line_buf.size()};
+      auto it = td_map.find(k);
+      uint32_t tl;
+      if (it == td_map.end()) {
+        td_lines.emplace_back(line_buf.begin(), line_buf.end());
+        tl = (uint32_t)(td_lines.size() - 1);
+        StrKey owned{td_lines.back().data(), (uint32_t)line_buf.size()};
+        td_map.emplace(owned, tl);
+      } else {
+        tl = it->second;
+      }
+      rec_tl[(size_t)i] = tl;
+    }
+
+    // features
+    if (!(r.flag & FUNMAP)) {
+      // unpack bases once
+      const char* kNt = "=ACMGRSVTWYHKDBN";
+      seq_buf.resize((size_t)r.l_qseq);
+      for (int64_t k = 0; k < r.l_qseq; k++) {
+        uint8_t pk = r.seq[k >> 1];
+        seq_buf[(size_t)k] =
+            (uint8_t)kNt[(k & 1) ? (pk & 0xF) : (pk >> 4)];
+      }
+      bool have_seq = r.l_qseq > 0;
+      struct Feat { int64_t fpos; uint8_t code; };
+      std::vector<Feat> feats;
+      Buf fdata_bs, fdata_misc;   // not used; we write directly after FN
+      (void)fdata_bs; (void)fdata_misc;
+      // first pass collects features into temp arrays so FN precedes
+      struct Pay {
+        uint8_t code;
+        int64_t a, b;            // ints / (base, qual)
+        const uint8_t* p;        // byte runs
+        int64_t len;
+      };
+      std::vector<Pay> pays;
+      int64_t qpos = 1, rpos = r.pos;
+      for (uint32_t ci = 0; ci < r.n_cigar; ci++) {
+        uint32_t c = rd_u32(r.cig + 4ull * ci);
+        uint32_t op = c & 0xF;
+        int64_t ln = c >> 4;
+        if ((op == 0 || op == 7 || op == 8) && !have_seq) {
+          rpos += ln;
+          qpos += ln;
+        } else if ((op == 0 || op == 7 || op == 8) && use_ref) {
+          for (int64_t k2 = 0; k2 < ln; k2++) {
+            int64_t rr = rpos + k2 - (ref_start - 1);
+            uint8_t b = seq_buf[(size_t)(qpos - 1 + k2)];
+            bool have_rb = rr >= 0 && (uint64_t)rr < ref_len;
+            uint8_t rb = have_rb ? ref[rr] : 0;
+            if (have_rb && rb == b) continue;
+            int sc = have_rb ? sub_code(rb, b) : -1;
+            if (sc >= 0) {
+              feats.push_back({qpos + k2, 'X'});
+              pays.push_back({'X', sc, 0, nullptr, 0});
+            } else {
+              uint8_t q = (qpos - 1 + k2) < r.l_qseq
+                              ? r.qual[qpos - 1 + k2] : 0xFF;
+              feats.push_back({qpos + k2, 'B'});
+              pays.push_back({'B', b ? b : 0x4E, q, nullptr, 0});
+            }
+          }
+          rpos += ln;
+          qpos += ln;
+        } else if (op == 0 || op == 7 || op == 8) {
+          feats.push_back({qpos, 'b'});
+          pays.push_back({'b', 0, 0, seq_buf.data() + (qpos - 1), ln});
+          rpos += ln;
+          qpos += ln;
+        } else if (op == 1) {  // I
+          feats.push_back({qpos, 'I'});
+          pays.push_back({'I', 0, 0,
+                          have_seq ? seq_buf.data() + (qpos - 1) : nullptr,
+                          ln});
+          qpos += ln;
+        } else if (op == 4) {  // S
+          feats.push_back({qpos, 'S'});
+          pays.push_back({'S', 0, 0,
+                          have_seq ? seq_buf.data() + (qpos - 1) : nullptr,
+                          ln});
+          qpos += ln;
+        } else if (op == 2) {  // D
+          feats.push_back({qpos, 'D'});
+          pays.push_back({'D', ln, 0, nullptr, 0});
+          rpos += ln;
+        } else if (op == 3) {  // N
+          feats.push_back({qpos, 'N'});
+          pays.push_back({'N', ln, 0, nullptr, 0});
+          rpos += ln;
+        } else if (op == 5) {  // H
+          feats.push_back({qpos, 'H'});
+          pays.push_back({'H', ln, 0, nullptr, 0});
+        } else if (op == 6) {  // P
+          feats.push_back({qpos, 'P'});
+          pays.push_back({'P', ln, 0, nullptr, 0});
+        }
+      }
+      put_itf8(&series[S_FN], (int64_t)feats.size());
+      int64_t prev = 0;
+      for (size_t fi = 0; fi < feats.size(); fi++) {
+        series[S_FC].putc((char)feats[fi].code);
+        put_itf8(&series[S_FP], feats[fi].fpos - prev);
+        prev = feats[fi].fpos;
+        const Pay& pa = pays[fi];
+        switch (pa.code) {
+          case 'b':
+            put_itf8(&series[S_BB_LEN], pa.len);
+            series[S_BB].put(pa.p, (size_t)pa.len);
+            break;
+          case 'I':
+            if (pa.p) series[S_IN].put(pa.p, (size_t)pa.len);
+            else for (int64_t z = 0; z < pa.len; z++)
+              series[S_IN].putc('N');
+            series[S_IN].putc('\0');
+            break;
+          case 'S':
+            if (pa.p) series[S_SC].put(pa.p, (size_t)pa.len);
+            else for (int64_t z = 0; z < pa.len; z++)
+              series[S_SC].putc('N');
+            series[S_SC].putc('\0');
+            break;
+          case 'X':
+            series[S_BS].putc((char)pa.a);
+            break;
+          case 'B':
+            series[S_BA].putc((char)pa.a);
+            series[S_QS].putc((char)pa.b);
+            break;
+          case 'D': put_itf8(&series[S_DL], pa.a); break;
+          case 'N': put_itf8(&series[S_RS], pa.a); break;
+          case 'H': put_itf8(&series[S_HC], pa.a); break;
+          case 'P': put_itf8(&series[S_PD], pa.a); break;
+        }
+      }
+      put_itf8(&series[S_MQ], r.mapq);
+      if (r.tid == slice_ref && slice_ref >= 0) {
+        int64_t e2 = aend(r);
+        if (e2 > end_pos) end_pos = e2;
+      }
+    } else {
+      if (r.l_qseq) {
+        const char* kNt = "=ACMGRSVTWYHKDBN";
+        series[S_BA].reserve((size_t)r.l_qseq);
+        uint8_t* dst = series[S_BA].data() + series[S_BA].len();
+        for (int64_t k = 0; k < r.l_qseq; k++) {
+          uint8_t pk = r.seq[k >> 1];
+          dst[k] = (uint8_t)kNt[(k & 1) ? (pk & 0xF) : (pk >> 4)];
+        }
+        series[S_BA].bump((size_t)r.l_qseq);
+      }
+    }
+    // quals last
+    if (r.l_qseq) {
+      series[S_QS].put(r.qual, (size_t)r.l_qseq);
+      qs_lens.push_back((uint32_t)r.l_qseq);
+    } else if (qlen) {
+      series[S_QS].reserve((size_t)qlen);
+      memset(series[S_QS].data() + series[S_QS].len(), 0xFF, (size_t)qlen);
+      series[S_QS].bump((size_t)qlen);
+      qs_lens.push_back((uint32_t)qlen);
+    } else {
+      qs_lens.push_back(0);
+    }
+  }
+
+  // ---- pack the result ----
+  std::vector<std::pair<int32_t, Buf*>> table;
+  for (int s = 1; s < S_MAX; s++)
+    if (series[s].len()) table.push_back({s, &series[s]});
+  // TL is built by python (container-wide dict); skip it even if empty.
+  std::vector<uint32_t> tag_kids;
+  for (auto& kv : tag_streams) tag_kids.push_back(kv.first);
+  std::sort(tag_kids.begin(), tag_kids.end());
+  for (uint32_t kid : tag_kids)
+    table.push_back({(int32_t)(kTagIdBase + kid), &tag_streams[kid]});
+
+  uint64_t td_total = 0;
+  for (auto& l : td_lines) td_total += l.size() + 1;
+  uint64_t stream_total = 0;
+  for (auto& t : table) stream_total += t.second->len();
+  uint64_t hdr_sz = 4 + 8 + 8 + 4 + table.size() * 12 + 4 + 8 + td_total
+                    + (uint64_t)n * 8;
+  uint8_t* out = (uint8_t*)malloc(hdr_sz + stream_total);
+  if (!out) return -1;
+  uint8_t* w = out;
+  uint32_t u32v = (uint32_t)n;
+  memcpy(w, &u32v, 4); w += 4;
+  memcpy(w, &nbases, 8); w += 8;
+  memcpy(w, &end_pos, 8); w += 8;
+  u32v = (uint32_t)table.size();
+  memcpy(w, &u32v, 4); w += 4;
+  for (auto& t : table) {
+    memcpy(w, &t.first, 4); w += 4;
+    uint64_t l = t.second->len();
+    memcpy(w, &l, 8); w += 8;
+  }
+  u32v = (uint32_t)td_lines.size();
+  memcpy(w, &u32v, 4); w += 4;
+  memcpy(w, &td_total, 8); w += 8;
+  for (auto& l : td_lines) {
+    memcpy(w, l.data(), l.size()); w += l.size();
+    *w++ = '\0';
+  }
+  memcpy(w, rec_tl.data(), (size_t)n * 4); w += (size_t)n * 4;
+  memcpy(w, qs_lens.data(), (size_t)n * 4); w += (size_t)n * 4;
+  for (auto& t : table) {
+    memcpy(w, t.second->data(), t.second->len());
+    w += t.second->len();
+  }
+  *out_ptr = out;
+  return (int64_t)(hdr_sz + stream_total);
+}
+
+}  // extern "C"
