@@ -97,6 +97,37 @@ def bench_host(bam_path, trials=6):
     return usize, out_len, best
 
 
+def bench_cram(bam_path, n_records, trials=3):
+    """CRAM encode (no_ref, as the measured htslib baseline config) and
+    slice-parallel decode rates over the same records."""
+    from htslib_tpu.cram import CramWriter
+    from htslib_tpu.cram.batch import cram_file_to_sam
+    from htslib_tpu.sam import BamReader
+    with BamReader(bam_path) as r:
+        hdr = r.header
+        recs = list(r)
+    cram = bam_path + ".cram"
+    best_enc = None
+    for _ in range(trials):
+        t0 = time.time()
+        with CramWriter(cram, hdr) as cw:
+            for rec in recs:
+                cw.write(rec)
+        dt = time.time() - t0
+        best_enc = dt if best_enc is None else min(best_enc, dt)
+    best_dec = None
+    for _ in range(trials):
+        t0 = time.time()
+        cram_file_to_sam(cram, window=4)
+        dt = time.time() - t0
+        best_dec = dt if best_dec is None else min(best_dec, dt)
+    return {
+        "encode_krec_s": round(n_records / best_enc / 1e3, 1),
+        "decode_krec_s": round(n_records / best_dec / 1e3, 1),
+        "cram_mb": round(os.path.getsize(cram) / 1e6, 1),
+    }
+
+
 def main():
     tune_host_allocator(1 << 30)
     tmpdir = tempfile.mkdtemp(prefix="htstpu_bench_")
@@ -118,6 +149,7 @@ def main():
             "baseline": base_src,
             "baseline_gbps": round(base, 4),
             "vs_north_star_per_chip": round(gbps / NORTH_STAR_PER_CHIP, 4),
+            "cram": bench_cram(bam, n),
         },
     }
     print(json.dumps(result))
