@@ -203,15 +203,23 @@ def _dec_core(buf, p: int, n_out: int, f: np.ndarray, cum: np.ndarray,
 
 def _enc_core_o1(data: np.ndarray, F: np.ndarray, C: np.ndarray,
                  nway: int) -> bytes:
+    """Order-1 Nx16 core: the stream splits into nway floor-sized
+    contiguous segments, one state per segment with context = previous
+    byte (0 at segment heads); renormalisation is interleaved round-robin
+    across states per round (the htscodecs layout), and the remainder
+    beyond nway*seg is carried by the last state after the main rounds."""
     n = len(data)
     out = bytearray()
     states = [RANS_L] * nway
-    # order-1 Nx16: the stream is split into nway consecutive segments;
-    # state j codes segment j with left-context (0 for each segment head)
-    seg = (n + nway - 1) // nway
-    for i in range(n - 1, -1, -1):
-        j = min(i // seg, nway - 1) if seg else 0
-        ctx = int(data[i - 1]) if (seg and i % seg != 0) else 0
+    seg = n // nway
+    # decode consumption order: (round-robin over states) then the tail
+    order = [j * seg + r for r in range(seg) for j in range(nway)]
+    order.extend(range(nway * seg, n))
+    for i in reversed(order):
+        j = min(i // seg, nway - 1) if seg else nway - 1
+        head = (seg and i % seg == 0 and i < nway * seg) \
+            or (not seg and i == 0)
+        ctx = 0 if head else int(data[i - 1])
         s = int(data[i])
         freq = int(F[ctx, s])
         x = states[j]
@@ -221,12 +229,12 @@ def _enc_core_o1(data: np.ndarray, F: np.ndarray, C: np.ndarray,
             out.append(x & 0xFF)
             x >>= 16
         states[j] = ((x // freq) << TF_SHIFT) + (x % freq) + int(C[ctx, s])
-    head = bytearray()
+    head_b = bytearray()
     for j in range(nway):
         x = states[j]
-        head += bytes([x & 0xFF, (x >> 8) & 0xFF,
-                       (x >> 16) & 0xFF, (x >> 24) & 0xFF])
-    return bytes(head) + bytes(reversed(out))
+        head_b += bytes([x & 0xFF, (x >> 8) & 0xFF,
+                         (x >> 16) & 0xFF, (x >> 24) & 0xFF])
+    return bytes(head_b) + bytes(reversed(out))
 
 
 def _dec_core_o1(buf, p: int, n_out: int, F: np.ndarray, C: np.ndarray,
@@ -245,14 +253,30 @@ def _dec_core_o1(buf, p: int, n_out: int, F: np.ndarray, C: np.ndarray,
         states.append(x)
     out = np.empty(n_out, np.uint8)
     mask = TOTFREQ - 1
-    seg = (n_out + nway - 1) // nway
+    seg = n_out // nway
     blen = len(buf)
     ptrs = p
-    # decode forward; each state owns one contiguous segment, so the
-    # reversed encode emission order equals forward consumption order
     ctxs = [0] * nway
-    for i in range(n_out):
-        j = min(i // seg, nway - 1) if seg else 0
+    # main rounds: all states advance together, renormalising interleaved
+    for r in range(seg):
+        for j in range(nway):
+            i = j * seg + r
+            ctx = ctxs[j]
+            x = states[j]
+            m = x & mask
+            s = int(sym_of[ctx, m])
+            out[i] = s
+            x = int(F[ctx, s]) * (x >> TF_SHIFT) + m - int(C[ctx, s])
+            while x < RANS_L:
+                if ptrs + 2 > blen:
+                    break
+                x = (x << 16) | buf[ptrs] | (buf[ptrs + 1] << 8)
+                ptrs += 2
+            states[j] = x
+            ctxs[j] = s
+    # tail: the last state continues
+    for i in range(nway * seg, n_out):
+        j = nway - 1
         ctx = ctxs[j]
         x = states[j]
         m = x & mask
@@ -431,10 +455,12 @@ def compress(data: bytes, flags: int = 0) -> bytes:
     if len(arr) == 0:
         return bytes(out)
     if flags & O_ORDER1:
-        seg = (len(arr) + nway - 1) // nway
+        seg = len(arr) // nway
         F = np.zeros((256, 256), np.int64)
         for i in range(len(arr)):
-            ctx = int(arr[i - 1]) if (seg and i % seg != 0) else 0
+            head = (seg and i % seg == 0 and i < nway * seg) \
+                or (not seg and i == 0)
+            ctx = 0 if head else int(arr[i - 1])
             F[ctx, int(arr[i])] += 1
         Fn = np.zeros_like(F)
         C = np.zeros((256, 257), np.int64)

@@ -236,38 +236,53 @@ static int dec_core_o0(const uint8_t *buf, uint64_t len, uint64_t *p,
     return 0;
 }
 
-/* ---- order-1 core (segment-per-state layout) ---- */
+/* ---- order-1 core: floor segments, round-robin renormalisation,
+ * last-state tail (matches codecs/rans4x16.py byte-for-byte) ---- */
 static int enc_core_o1(const uint8_t *in, int64_t n, int64_t (*F)[256],
                        int64_t (*C)[256], int nway, rbuf_t *out) {
     uint32_t st[32];
     int j;
     for (j = 0; j < nway; j++) st[j] = R4X16_L;
-    int64_t seg = (n + nway - 1) / nway;
+    int64_t seg = n / nway;
+    /* decode order: (r, j) round-robin, then tail on state nway-1 */
+    int64_t n_order = n;
+    int64_t *order = (int64_t *)malloc((size_t)(n_order ? n_order : 1) * 8);
+    if (!order) return -1;
+    int64_t k = 0, r, t;
+    for (r = 0; r < seg; r++)
+        for (j = 0; j < nway; j++)
+            order[k++] = (int64_t)j * seg + r;
+    for (t = (int64_t)nway * seg; t < n; t++)
+        order[k++] = t;
     rbuf_t body = {0, 0, 0};
-    int64_t i;
-    for (i = n - 1; i >= 0; i--) {
-        j = seg ? (int)(i / seg) : 0;
-        if (j > nway - 1) j = nway - 1;
-        int ctx = (seg && i % seg != 0) ? in[i - 1] : 0;
+    int64_t oi;
+    for (oi = n_order - 1; oi >= 0; oi--) {
+        int64_t i = order[oi];
+        int jj = seg ? (int)(i / seg) : nway - 1;
+        if (jj > nway - 1) jj = nway - 1;
+        int head = (seg && i % seg == 0 && i < (int64_t)nway * seg)
+                   || (!seg && i == 0);
+        int ctx = head ? 0 : in[i - 1];
         int s = in[i];
         uint32_t freq = (uint32_t)F[ctx][s];
-        uint32_t x = st[j];
+        uint32_t x = st[jj];
         uint32_t x_max = ((R4X16_L >> TF_SHIFT) << 16) * freq;
         while (x >= x_max) {
             if (rb_putc(&body, (x >> 8) & 0xFF) || rb_putc(&body, x & 0xFF))
-                { free(body.d); return -1; }
+                { free(order); free(body.d); return -1; }
             x >>= 16;
         }
-        st[j] = ((x / freq) << TF_SHIFT) + (x % freq) + (uint32_t)C[ctx][s];
+        st[jj] = ((x / freq) << TF_SHIFT) + (x % freq) + (uint32_t)C[ctx][s];
     }
+    free(order);
     for (j = 0; j < nway; j++) {
         uint8_t h[4] = { (uint8_t)st[j], (uint8_t)(st[j] >> 8),
                          (uint8_t)(st[j] >> 16), (uint8_t)(st[j] >> 24) };
         if (rb_put(out, h, 4)) { free(body.d); return -1; }
     }
     if (rb_need(out, body.len)) { free(body.d); return -1; }
-    for (i = (int64_t)body.len - 1; i >= 0; i--)
-        out->d[out->len++] = body.d[i];
+    for (oi = (int64_t)body.len - 1; oi >= 0; oi--)
+        out->d[out->len++] = body.d[oi];
     free(body.d);
     return 0;
 }
@@ -275,7 +290,6 @@ static int enc_core_o1(const uint8_t *in, int64_t n, int64_t (*F)[256],
 static int dec_core_o1(const uint8_t *buf, uint64_t len, uint64_t *p,
                        int64_t n_out, int64_t (*F)[256], int64_t (*C)[256],
                        int nway, uint8_t *out) {
-    /* per-context symbol lookup, built lazily per used context */
     uint8_t *sym_of = (uint8_t *)malloc(256 * TOTFREQ);
     uint8_t built[256];
     if (!sym_of) return -1;
@@ -288,38 +302,44 @@ static int dec_core_o1(const uint8_t *buf, uint64_t len, uint64_t *p,
               | ((uint32_t)buf[*p + 2] << 16) | ((uint32_t)buf[*p + 3] << 24);
         *p += 4;
     }
-    int64_t seg = (n_out + nway - 1) / nway;
+    int64_t seg = n_out / nway;
     int ctxs[32];
     for (j = 0; j < nway; j++) ctxs[j] = 0;
+    int64_t r;
     int64_t i;
-    for (i = 0; i < n_out; i++) {
-        j = seg ? (int)(i / seg) : 0;
-        if (j > nway - 1) j = nway - 1;
-        int ctx = ctxs[j];
-        if (!built[ctx]) {
-            int s;
-            memset(sym_of + ctx * TOTFREQ, 0, TOTFREQ);
-            for (s = 0; s < 256; s++)
-                if (F[ctx][s]) {
-                    int64_t c = C[ctx][s], e = C[ctx][s] + F[ctx][s];
-                    if (c < 0 || e > TOTFREQ) { free(sym_of); return -1; }
-                    memset(sym_of + ctx * TOTFREQ + c, s, (size_t)(e - c));
-                }
-            built[ctx] = 1;
-        }
-        uint32_t x = st[j];
-        uint32_t m = x & (TOTFREQ - 1);
-        int s = sym_of[ctx * TOTFREQ + m];
-        out[i] = (uint8_t)s;
-        x = (uint32_t)F[ctx][s] * (x >> TF_SHIFT) + m - (uint32_t)C[ctx][s];
-        while (x < R4X16_L) {
-            if (*p + 2 > len) break;
-            x = (x << 16) | buf[*p] | ((uint32_t)buf[*p + 1] << 8);
-            *p += 2;
-        }
-        st[j] = x;
-        ctxs[j] = s;
-    }
+#define O1_STEP(jj, idx) do { \
+        int ctx = ctxs[jj]; \
+        if (!built[ctx]) { \
+            int s2; \
+            memset(sym_of + ctx * TOTFREQ, 0, TOTFREQ); \
+            for (s2 = 0; s2 < 256; s2++) \
+                if (F[ctx][s2]) { \
+                    int64_t c0 = C[ctx][s2], e0 = C[ctx][s2] + F[ctx][s2]; \
+                    if (c0 < 0 || e0 > TOTFREQ) { free(sym_of); return -1; } \
+                    memset(sym_of + ctx * TOTFREQ + c0, s2, \
+                           (size_t)(e0 - c0)); \
+                } \
+            built[ctx] = 1; \
+        } \
+        uint32_t x = st[jj]; \
+        uint32_t m = x & (TOTFREQ - 1); \
+        int s = sym_of[ctx * TOTFREQ + m]; \
+        out[idx] = (uint8_t)s; \
+        x = (uint32_t)F[ctx][s] * (x >> TF_SHIFT) + m - (uint32_t)C[ctx][s]; \
+        while (x < R4X16_L) { \
+            if (*p + 2 > len) break; \
+            x = (x << 16) | buf[*p] | ((uint32_t)buf[*p + 1] << 8); \
+            *p += 2; \
+        } \
+        st[jj] = x; \
+        ctxs[jj] = s; \
+    } while (0)
+    for (r = 0; r < seg; r++)
+        for (j = 0; j < nway; j++)
+            O1_STEP(j, (int64_t)j * seg + r);
+    for (i = (int64_t)nway * seg; i < n_out; i++)
+        O1_STEP(nway - 1, i);
+#undef O1_STEP
     free(sym_of);
     return 0;
 }
@@ -498,10 +518,13 @@ static int compress_rec(const uint8_t *in, uint64_t in_size, int flags,
         int64_t (*Fn)[256] = (int64_t (*)[256])calloc(256, 256 * 8);
         int64_t (*C)[256] = (int64_t (*)[256])calloc(256, 256 * 8);
         if (!F || !Fn || !C) { free(F); free(Fn); free(C); r = -1; goto done; }
-        int64_t seg = ((int64_t)paylen + nway - 1) / nway;
+        int64_t seg = (int64_t)paylen / nway;
         uint64_t i;
         for (i = 0; i < paylen; i++) {
-            int ctx = (seg && (int64_t)i % seg != 0) ? payload[i - 1] : 0;
+            int head = (seg && (int64_t)i % seg == 0
+                        && (int64_t)i < (int64_t)nway * seg)
+                       || (!seg && i == 0);
+            int ctx = head ? 0 : payload[i - 1];
             F[ctx][payload[i]]++;
         }
         int ctxs[256], nctx = 0, ctx;

@@ -51,10 +51,38 @@ def bench_inflate(n_blocks=32):
     }
 
 
+def bench_rans(n_blocks=16, block_sz=65536):
+    """Device rANS 4x8 decode MB/s vs the host codec."""
+    from htslib_tpu.codecs import rans4x8
+    from htslib_tpu.ops.rans import uncompress_batch
+    rng = np.random.RandomState(3)
+    datas = [bytes(np.clip(np.cumsum(rng.randint(-2, 3, block_sz)) + 40,
+                           33, 73).astype(np.uint8))
+             for _ in range(n_blocks)]
+    blocks = [rans4x8.compress(d, o % 2) for o, d in enumerate(datas)]
+    total = sum(len(d) for d in datas)
+    out = uncompress_batch(blocks)      # compile + check
+    assert out == datas
+    t0 = time.time()
+    uncompress_batch(blocks)
+    dt = time.time() - t0
+    t0 = time.time()
+    host = [rans4x8.uncompress(b) for b in blocks]
+    dt_host = time.time() - t0
+    assert host == datas
+    return {
+        "blocks": n_blocks,
+        "uncompressed_mb": round(total / 1e6, 1),
+        "device_MBps": round(total / dt / 1e6, 2),
+        "host_native_MBps": round(total / dt_host / 1e6, 2),
+    }
+
+
 def main():
     result = {"note": "secondary device metrics; headline is bench.py "
                       "(host pipeline) — rationale in docs/DEVICE_LIMITS.md"}
     result["device_inflate"] = bench_inflate()
+    result["device_rans4x8"] = bench_rans()
     print(json.dumps(result))
 
 

@@ -86,29 +86,53 @@ def test_mesh_dryrun_8_devices():
 
 
 _RANS_CODE = r"""
+import os
+os.environ["HTS_TPU_NO_NATIVE"] = "1"   # exercise the pure-python encoders
 import numpy as np
-from htslib_tpu.codecs import rans4x8
-from htslib_tpu.ops.rans import uncompress_batch
+from htslib_tpu.codecs import rans4x8, rans4x16
+from htslib_tpu.ops.rans import uncompress_batch, uncompress_nx16_batch
 rng = np.random.default_rng(7)
+
+# ---- 4x8: mixed order-0/order-1, tails included, no host fallback ----
 blocks, wants = [], []
-for i in range(12):
-    n = int(rng.integers(1, 800)) * 4
+for i in range(8):
+    n = int(rng.integers(1, 800)) * 4 + int(rng.integers(0, 4))
     data = rng.integers(30, 80, n, dtype=np.uint8).tobytes()
-    blocks.append(rans4x8.compress(data, 0))
+    order = int(i % 2)
+    blocks.append(rans4x8.compress(data, order))
     wants.append(data)
-# also a non-multiple-of-4 block (host fallback path)
+qualish = np.clip(np.cumsum(rng.integers(-2, 3, 5003)) + 40, 33,
+                  73).astype(np.uint8).tobytes()
+blocks.append(rans4x8.compress(qualish, 1))
+wants.append(qualish)
 odd = rng.integers(0, 255, 1001, dtype=np.uint8).tobytes()
 blocks.append(rans4x8.compress(odd, 0))
 wants.append(odd)
-assert uncompress_batch(blocks) == wants
-print("RANS_OK")
+got = uncompress_batch(blocks)
+for g, w in zip(got, wants):
+    assert g == w
+print("RANS4x8_OK")
+
+# ---- Nx16 core: plain order-0/1, 4- and 32-way, tails ----
+blocks, wants = [], []
+for i in range(8):
+    n = int(rng.integers(1, 3000))
+    data = np.clip(rng.integers(0, 50, n), 0, 255).astype(np.uint8).tobytes()
+    fl = [0, 1, 4, 5][i % 4]
+    blocks.append(rans4x16.compress(data, fl))
+    wants.append(data)
+got = uncompress_nx16_batch(blocks)
+for g, w in zip(got, wants):
+    assert g == w
+print("RANSNX16_OK")
 """
 
 
 @pytest.mark.slow
 def test_device_rans_batch_decode():
     out = clean_jax_run(_RANS_CODE)
-    assert "RANS_OK" in out
+    assert "RANS4x8_OK" in out
+    assert "RANSNX16_OK" in out
 
 
 _HALO_CODE = r"""
