@@ -2,11 +2,16 @@
 HTTP proxy that caches CRAM reference sequences keyed by MD5 for
 REF_PATH clients, ref_cache/ref-cache.1).
 
-``RefCacheServer`` serves GET /<md5> from a local cache directory,
-fetching misses from an upstream URL template (the EBI ENA CRAM
-reference registry by default, as the reference daemon does) and
+``RefCacheServer`` serves GET/HEAD /<md5> from a local cache
+directory, fetching misses from an upstream URL template (the EBI ENA
+CRAM reference registry by default, as the reference daemon does) and
 storing them for subsequent hits.  Range requests are honoured so CRAM
-decoders can fetch reference windows.
+decoders can fetch reference windows.  Daemon behaviours modeled on
+ref_cache/server.c: a threaded request loop (concurrent hits),
+per-MD5 in-flight locks so a burst of misses triggers ONE upstream
+fetch (transaction.c coalescing), chunked streamed responses
+(sendfile-equivalent; the file is never slurped), and a size-rotated
+access log.
 
 Usage:
     python -m htslib_tpu.refcache -d /path/cache -p 8080
@@ -29,12 +34,21 @@ _MD5_RE = re.compile(r"^[0-9a-f]{32}$")
 
 
 class RefCacheServer:
+    CHUNK = 1 << 16
+
     def __init__(self, cache_dir: str, port: int = 0,
                  upstream: Optional[str] = DEFAULT_UPSTREAM,
-                 verify_md5: bool = True):
+                 verify_md5: bool = True, log_path: Optional[str] = None,
+                 log_rotate_bytes: int = 10 << 20):
         self.cache_dir = cache_dir
         self.upstream = upstream
         self.verify_md5 = verify_md5
+        self.log_path = log_path
+        self.log_rotate_bytes = log_rotate_bytes
+        self._log_lock = threading.Lock()
+        self._inflight: dict = {}
+        self._inflight_lock = threading.Lock()
+        self.upstream_fetches = 0      # observability: distinct fetches
         os.makedirs(cache_dir, exist_ok=True)
         outer = self
 
@@ -42,24 +56,33 @@ class RefCacheServer:
             def log_message(self, *a):
                 pass
 
-            def do_GET(self):
+            def do_HEAD(self):
+                self.do_GET(head=True)
+
+            def do_GET(self, head=False):
                 md5 = self.path.strip("/").split("/")[-1].lower()
                 if not _MD5_RE.match(md5):
+                    outer.access_log(self.path, 404)
                     self.send_error(404, "not an MD5")
                     return
                 path = outer.lookup(md5)
                 if path is None:
+                    outer.access_log(self.path, 404)
                     self.send_error(404, "reference not found")
                     return
+                outer.access_log(self.path, 200)
                 size = os.path.getsize(path)
                 start, end = 0, size - 1
                 rng = self.headers.get("Range")
                 if rng and rng.startswith("bytes="):
-                    s, _, e = rng[6:].partition("-")
-                    if s:
-                        start = int(s)
+                    b, _, e = rng[6:].partition("-")
+                    if b:
+                        start = int(b)
                     if e:
                         end = min(int(e), size - 1)
+                    if start > end or start >= size:
+                        self.send_error(416, "range not satisfiable")
+                        return
                     self.send_response(206)
                     self.send_header("Content-Range",
                                      f"bytes {start}-{end}/{size}")
@@ -67,16 +90,25 @@ class RefCacheServer:
                     self.send_response(200)
                 length = end - start + 1
                 self.send_header("Content-Length", str(length))
+                self.send_header("Accept-Ranges", "bytes")
+                self.send_header("Content-Type",
+                                 "application/octet-stream")
                 self.end_headers()
+                if head:
+                    return
+                # sendfile-equivalent: stream in chunks, never slurp
                 with open(path, "rb") as f:
                     f.seek(start)
-                    remaining = length
-                    while remaining > 0:
-                        chunk = f.read(min(1 << 20, remaining))
+                    left = length
+                    while left > 0:
+                        chunk = f.read(min(left, RefCacheServer.CHUNK))
                         if not chunk:
                             break
-                        self.wfile.write(chunk)
-                        remaining -= len(chunk)
+                        try:
+                            self.wfile.write(chunk)
+                        except (BrokenPipeError, ConnectionResetError):
+                            return
+                        left -= len(chunk)
 
         self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port),
                                                      Handler)
@@ -84,16 +116,44 @@ class RefCacheServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
+    def access_log(self, path: str, status: int) -> None:
+        """Size-rotated access log (ref_cache log-rotation role)."""
+        if not self.log_path:
+            return
+        import time
+        line = f"{time.strftime('%Y-%m-%dT%H:%M:%S')} {status} {path}\n"
+        with self._log_lock:
+            try:
+                if (os.path.exists(self.log_path)
+                        and os.path.getsize(self.log_path)
+                        >= self.log_rotate_bytes):
+                    os.replace(self.log_path, self.log_path + ".1")
+                with open(self.log_path, "a") as fh:
+                    fh.write(line)
+            except OSError:
+                pass
+
     def lookup(self, md5: str) -> Optional[str]:
-        """Cache path for an MD5, fetching from upstream on miss
-        (ref_cache upstream.c model)."""
+        """Cache path for an MD5, fetching from upstream on miss; a
+        burst of concurrent misses for one MD5 performs a single
+        upstream fetch (the transaction.c coalescing model)."""
         path = os.path.join(self.cache_dir, md5)
         if os.path.exists(path):
             return path
         if not self.upstream:
             return None
+        with self._inflight_lock:
+            lock = self._inflight.setdefault(md5, threading.Lock())
+        with lock:
+            if os.path.exists(path):       # fetched while we waited
+                return path
+            return self._fetch_upstream(md5, path)
+
+    def _fetch_upstream(self, md5: str, path: str) -> Optional[str]:
+        self.upstream_fetches += 1
         url = self.upstream % md5 if "%s" in self.upstream \
             else self.upstream.rstrip("/") + "/" + md5
+        assert url
         try:
             with urllib.request.urlopen(url, timeout=60) as resp:
                 data = resp.read()

@@ -19,9 +19,13 @@ from htslib_tpu.hfile import HFile, add_scheme_handler
 class HttpFile(HFile):
     """Seekable HTTP reader via Range requests; buffers sequentially."""
 
-    def __init__(self, url: str, headers: Optional[dict] = None):
+    def __init__(self, url: str, headers: Optional[dict] = None,
+                 headers_fn=None):
         self.url = url
         self.headers = dict(headers or {})
+        # re-evaluated before every request: signature refresh hook
+        # (hfile_s3.c AUTH_LIFETIME regeneration)
+        self.headers_fn = headers_fn
         self._pos = 0
         self._resp = None
         self._size: Optional[int] = None
@@ -30,7 +34,9 @@ class HttpFile(HFile):
         self.at_eof = False
 
     def _open_at(self, offset: int):
-        req = urllib.request.Request(self.url, headers=dict(self.headers))
+        hdrs = dict(self.headers_fn() if self.headers_fn is not None
+                    else self.headers)
+        req = urllib.request.Request(self.url, headers=hdrs)
         if offset:
             req.add_header("Range", f"bytes={offset}-")
         self._resp = urllib.request.urlopen(req, timeout=60)

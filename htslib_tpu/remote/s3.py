@@ -21,6 +21,41 @@ class S3Auth:
     session_token: str = ""
     region: str = "us-east-1"
     host: str = "s3.amazonaws.com"
+    expiry: float = 0.0         # epoch seconds; 0 = never expires
+
+
+CREDENTIAL_LIFETIME = 60   # hfile_s3.c:104 — reread this long before expiry
+AUTH_LIFETIME = 60         # hfile_s3.c:103 — regenerate headers if older
+
+
+def _parse_expiry(text: str) -> float:
+    """ISO8601 expiry_time from ~/.aws/credentials (hfile_s3.c
+    expiry-time parsing); 0 when unparsable."""
+    import datetime
+    text = text.strip().replace("Z", "+00:00")
+    try:
+        return datetime.datetime.fromisoformat(text).timestamp()
+    except ValueError:
+        return 0.0
+
+
+class CredentialProvider:
+    """Cached credentials with automatic refresh: rereads the discovery
+    chain when within CREDENTIAL_LIFETIME seconds of expiry (the
+    expiring-credential model of hfile_s3.c:104)."""
+
+    def __init__(self, profile: Optional[str] = None):
+        self.profile = profile
+        self._auth: Optional[S3Auth] = None
+
+    def get(self) -> S3Auth:
+        import time
+        now = time.time()
+        if (self._auth is None
+                or (self._auth.expiry
+                    and now >= self._auth.expiry - CREDENTIAL_LIFETIME)):
+            self._auth = load_credentials(self.profile)
+        return self._auth
 
 
 def load_credentials(profile: Optional[str] = None) -> S3Auth:
@@ -46,6 +81,9 @@ def load_credentials(profile: Optional[str] = None) -> S3Auth:
             auth.secret_key = cp.get(profile, "aws_secret_access_key", fallback="")
             auth.session_token = cp.get(profile, "aws_session_token", fallback="")
             auth.region = cp.get(profile, "region", fallback=auth.region)
+            exp = cp.get(profile, "expiry_time", fallback="")
+            if exp:
+                auth.expiry = _parse_expiry(exp)
             if auth.access_key:
                 return auth
     s3cfg = os.path.expanduser("~/.s3cfg")
@@ -155,11 +193,16 @@ def parse_s3_url(url: str) -> Tuple[str, str, Optional[str]]:
 def s3_open(url: str, mode: str = "r"):
     from htslib_tpu.remote import HttpFile
     bucket, key, profile = parse_s3_url(url)
-    auth = load_credentials(profile)
+    provider = CredentialProvider(profile)
+    auth = provider.get()
     host = f"{bucket}.{auth.host}" if "." not in bucket else auth.host
     path = f"/{key}" if "." not in bucket else f"/{bucket}/{key}"
     https_url = f"https://{host}{path}"
-    headers = {}
-    if auth.access_key:
-        headers = v4_sign_request(auth, "GET", host, path)
-    return HttpFile(https_url, headers=headers)
+
+    def signed_headers():
+        a = provider.get()      # refreshes near expiry
+        if not a.access_key:
+            return {}
+        return v4_sign_request(a, "GET", host, path)
+
+    return HttpFile(https_url, headers_fn=signed_headers)

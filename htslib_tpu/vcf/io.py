@@ -57,6 +57,9 @@ class VcfReader:
     def tell(self) -> int:
         return self.fp.tell()
 
+    def seek(self, voffset: int) -> None:
+        self.fp.seek(voffset)
+
     def close(self) -> None:
         self.fp.close()
 

@@ -78,3 +78,72 @@ def test_cram_decode_via_ref_path(tmp_path, monkeypatch):
     with CramReader(ref_path("range.cram")) as r:  # note: no ref= given
         got = [rec.to_sam(r.header) for rec in r]
     assert len(got) == 112
+
+
+def test_concurrent_hits_and_coalesced_upstream(tmp_path):
+    """A burst of concurrent clients: cache hits are served in parallel
+    and simultaneous misses for one MD5 trigger a single upstream fetch
+    (ref_cache server.c concurrency + transaction.c coalescing)."""
+    import concurrent.futures as fut
+    import hashlib
+    import threading
+    import time
+    import urllib.request
+
+    from htslib_tpu.refcache import RefCacheServer
+
+    seq = b"ACGT" * 50000
+    md5 = hashlib.md5(seq).hexdigest()
+
+    # a slow upstream that counts requests
+    hits = {"n": 0}
+    lock = threading.Lock()
+
+    import http.server
+
+    class Upstream(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits["n"] += 1
+            time.sleep(0.2)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(seq)))
+            self.end_headers()
+            self.wfile.write(seq)
+
+    up = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Upstream)
+    up_thread = threading.Thread(target=up.serve_forever, daemon=True)
+    up_thread.start()
+    up_url = f"http://127.0.0.1:{up.server_address[1]}/%s"
+
+    log = str(tmp_path / "access.log")
+    srv = RefCacheServer(str(tmp_path / "cache"), upstream=up_url,
+                         log_path=log)
+    srv.start()
+    try:
+        def get(rng=None):
+            req = urllib.request.Request(srv.url_template % md5)
+            if rng:
+                req.add_header("Range", rng)
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.read()
+
+        with fut.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(lambda _: get(), range(8)))
+        assert all(r == seq for r in results)
+        assert hits["n"] == 1, "concurrent misses were not coalesced"
+        assert srv.upstream_fetches == 1
+        # concurrent ranged hits
+        with fut.ThreadPoolExecutor(8) as ex:
+            parts = list(ex.map(lambda i: get(f"bytes={i*100}-{i*100+99}"),
+                                range(8)))
+        for i, p2 in enumerate(parts):
+            assert p2 == seq[i * 100:i * 100 + 100]
+        import os
+        assert os.path.getsize(log) > 0
+    finally:
+        srv.stop()
+        up.shutdown()

@@ -223,3 +223,43 @@ def test_crypt4gh_redirect(tmp_path, monkeypatch):
     with hts_open(str(enc)) as r:
         recs = list(r)
     assert len(recs) == 1 and recs[0].qname == b"r1" and recs[0].pos == 4
+
+
+def test_s3_credential_refresh(tmp_path, monkeypatch):
+    """Expiring credentials are reread within CREDENTIAL_LIFETIME of
+    expiry (hfile_s3.c:104), picking up rotated keys."""
+    import time
+
+    from htslib_tpu.remote import s3
+
+    cred = tmp_path / "credentials"
+    exp = time.time() + 30          # inside the 60 s refresh window
+    cred.write_text(
+        "[default]\n"
+        "aws_access_key_id = AKIAOLD\n"
+        "aws_secret_access_key = oldsecret\n"
+        f"expiry_time = {time.strftime('%Y-%m-%dT%H:%M:%S+00:00', time.gmtime(exp))}\n")
+    monkeypatch.setenv("AWS_SHARED_CREDENTIALS_FILE", str(cred))
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    prov = s3.CredentialProvider()
+    a1 = prov.get()
+    assert a1.access_key == "AKIAOLD"
+    assert a1.expiry > 0
+    # rotate the file; the provider must reread since expiry is near
+    cred.write_text(
+        "[default]\n"
+        "aws_access_key_id = AKIANEW\n"
+        "aws_secret_access_key = newsecret\n")
+    a2 = prov.get()
+    assert a2.access_key == "AKIANEW"
+
+
+def test_s3_open_uses_refreshing_signature(tmp_path, monkeypatch):
+    from htslib_tpu.remote import s3
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIATEST")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sekrit")
+    f = s3.s3_open("s3://bucket-name/key.bam")
+    hdrs = f.headers_fn()
+    assert "Authorization" in hdrs
+    assert "AWS4-HMAC-SHA256" in hdrs["Authorization"]

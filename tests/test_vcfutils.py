@@ -152,3 +152,35 @@ def test_bcf_translate_roundtrip_through_bcf(tmp_path):
     with BcfReader(p) as rd:
         back = [rec.to_vcf(rd.header) for rec in rd]
     assert back == lines
+
+
+def test_vcf_sweep_streaming_constant_memory(tmp_path):
+    """Backward sweep over a multi-block bgzipped VCF must chunk (the
+    vcf_sweep.c sw_fill_buffer model), never holding every record."""
+    from htslib_tpu.bgzf import BGZFWriter
+    path = str(tmp_path / "big.vcf.gz")
+    hdr = ("##fileformat=VCFv4.2\n"
+           "##contig=<ID=c1,length=100000000>\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    w = BGZFWriter(path)
+    w.write(hdr.encode())
+    n = 20000
+    for i in range(n):
+        w.write(f"c1\t{i + 1}\t.\tA\tC\t30\tPASS\t.\n".encode())
+    w.close()
+    with VcfSweep(path, block_size=1 << 14) as sw:
+        # chunked: the index must have multiple entries
+        first = sw.bwd()
+        assert first is not None
+        assert first.pos == n - 1            # 0-based position of last rec
+        assert len(sw._idx) > 4, "sweep did not chunk the file"
+        assert len(sw._buf) < n // 2, "sweep buffered the whole file"
+        seen = 1
+        while sw.bwd() is not None:
+            seen += 1
+        assert seen == n
+    # direction flip: fwd after bwd restarts from the head
+    with VcfSweep(path) as sw:
+        assert sw.bwd() is not None
+        r = sw.fwd()
+        assert r is not None and r.pos == 0
