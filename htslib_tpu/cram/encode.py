@@ -161,13 +161,19 @@ class CodecMetrics:
     CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack", "arith1")
 
     def __init__(self, v31: bool = False):
+        import threading
         self.best: Dict[int, str] = {}
         self.count: Dict[int, int] = defaultdict(int)
         self.candidates = self.CANDIDATES_V31 if v31 else self.CANDIDATES
+        # container builds run concurrently (cram_flush_container_mt);
+        # the trial bookkeeping is shared per-fd state (cram_structs.h:868
+        # metrics_lock)
+        self._lock = threading.Lock()
 
     def choose(self, cid: int, data: bytes) -> Tuple[int, bytes]:
-        n = self.count[cid]
-        self.count[cid] += 1
+        with self._lock:
+            n = self.count[cid]
+            self.count[cid] += 1
         if len(data) < 64:
             return RAW, data
         if cid in self.best and n % self.TRIAL_EVERY:
@@ -281,6 +287,7 @@ class CramEncoder:
     def __init__(self, dst: Union[str, HFile], header: SamHeader,
                  ref: Optional[str] = None, seqs_per_slice: int = 10000,
                  version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
+                 nthreads: Optional[int] = None,
                  lossy_names: int = 0, write_index: bool = False,
                  slices_per_container: int = 1):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
@@ -329,9 +336,19 @@ class CramEncoder:
         self.lossy_names = lossy_names
         self.queue: List[BamRecord] = []
         self.record_counter = 0
+        # MT container flush (cram_flush_container_mt): builds run on
+        # the shared pool; the writer commits in submission order
+        import os as _os2
+        self.nthreads = nthreads if nthreads is not None \
+            else (_os2.cpu_count() or 1)
+        from collections import deque as _deque
+        self._pending = _deque()
+        self.flush_window = 3
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
         self.metrics = CodecMetrics(v31=version >= (3, 1))
+        import threading as _threading
+        self._refs_lock = _threading.Lock()
         self.vv = varint_vec(version[0])
         self.v4 = version[0] >= 4
         self._write_file_def()
@@ -343,7 +360,8 @@ class CramEncoder:
 
     def _container(self, blocks_payload: bytes, ref_id: int, start: int,
                    span: int, nrec: int, nbases: int, nblocks: int,
-                   landmarks: List[int]) -> bytes:
+                   landmarks: List[int], counter: Optional[int] = None,
+                   ) -> bytes:
         vv = self.vv
         head = bytearray()
         head += vv.put32s(ref_id)
@@ -354,7 +372,8 @@ class CramEncoder:
             head += vv.put32(start)
             head += vv.put32(span)
         head += vv.put32(nrec)
-        head += vv.put64(self.record_counter)
+        head += vv.put64(self.record_counter if counter is None
+                         else counter)
         head += vv.put64(nbases)
         head += vv.put32(nblocks)
         head += vv.put32(len(landmarks))
@@ -412,6 +431,26 @@ class CramEncoder:
 
     # ------------------------------------------------------------------
     def _write_data_container(self, recs: List[BamRecord]) -> None:
+        """Encode + write one container.  With nthreads > 1, container
+        builds run ahead on the shared pool with a bounded window and
+        an ordered writer (cram_flush_container_mt + cram_flush_thread,
+        cram_io.c:4273,4154)."""
+        counter0 = self.record_counter
+        if self.nthreads > 1:
+            from htslib_tpu.pipeline import shared_pool
+            pool = shared_pool()
+            while len(self._pending) >= self.flush_window:
+                self._commit_container(*self._pending.popleft().result())
+            self._pending.append(
+                pool.submit(self._build_container, recs, counter0))
+            return
+        self._commit_container(*self._build_container(recs, counter0))
+
+    def _drain_pending(self) -> None:
+        while self._pending:
+            self._commit_container(*self._pending.popleft().result())
+
+    def _build_container(self, recs: List[BamRecord], counter0: int):
         """One container = one or more slices (CRAM_OPT_SLICES_PER_
         CONTAINER; cram_encode_container, cram_encode.c:1843): a shared
         compression header, then per-slice header+core+external blocks
@@ -438,7 +477,7 @@ class CramEncoder:
         slices = []
         all_cids: set = set()
         any_multiref = any(p["multiref"] for p in plans)
-        counter = self.record_counter
+        counter = counter0
         total_bases = 0
         for g, p in zip(groups, plans):
             s = self._encode_slice(g, p, tag_dict, tag_lines, used_tags,
@@ -472,12 +511,12 @@ class CramEncoder:
             c_ref, c_start, c_span = -2, 0, 0
 
         nblocks = 1 + sum(s["nblocks"] for s in slices)
-        cpos = self.fp.tell() if self.index_entries is not None else 0
         cont = self._container(bytes(blocks), c_ref, c_start, c_span,
-                               len(recs), total_bases, nblocks, landmarks)
-        self.fp.write(cont)
+                               len(recs), total_bases, nblocks, landmarks,
+                               counter=counter0)
+        # relative CRAI entries; the committer adds the container offset
+        entries = []
         if self.index_entries is not None:
-            from htslib_tpu.cram.index import CraiEntry
             for lm, s, g, p in zip(landmarks, slices, groups, plans):
                 ssize = len(s["blocks"])
                 if p["multiref"]:
@@ -489,19 +528,27 @@ class CramEncoder:
                                            max(hi, rec.endpos()))
                     for tid, (lo, hi) in by_ref.items():
                         if tid < 0:
-                            self.index_entries.append(
-                                CraiEntry(-1, 0, 0, cpos, lm, ssize))
+                            entries.append((-1, 0, 0, lm, ssize))
                         else:
-                            self.index_entries.append(
-                                CraiEntry(tid, lo, hi - lo + 1, cpos, lm,
-                                          ssize))
+                            entries.append((tid, lo, hi - lo + 1, lm,
+                                            ssize))
                 elif p["slice_ref"] < 0:
-                    self.index_entries.append(
-                        CraiEntry(-1, 0, 0, cpos, lm, ssize))
+                    entries.append((-1, 0, 0, lm, ssize))
                 else:
-                    self.index_entries.append(
-                        CraiEntry(p["slice_ref"], p["start"], s["span"],
-                                  cpos, lm, ssize))
+                    entries.append((p["slice_ref"], p["start"], s["span"],
+                                    lm, ssize))
+        return cont, entries
+
+    def _commit_container(self, cont: bytes, entries) -> None:
+        """Ordered writer side of the MT container flush
+        (cram_flush_container_mt consumer, cram_io.c:4273)."""
+        cpos = self.fp.tell() if self.index_entries is not None else 0
+        self.fp.write(cont)
+        if self.index_entries is not None:
+            from htslib_tpu.cram.index import CraiEntry
+            for tid, start, span, lm, ssize in entries:
+                self.index_entries.append(
+                    CraiEntry(tid, start, span, cpos, lm, ssize))
 
     # ------------------------------------------------------------------
     def _slice_ref_plan(self, recs: List[BamRecord]) -> dict:
@@ -524,7 +571,8 @@ class CramEncoder:
                        default=start)
             wend = max(wend, start)
             try:
-                ref_seq = self.refs.get(slice_ref, start, wend)
+                with self._refs_lock:
+                    ref_seq = self.refs.get(slice_ref, start, wend)
             except Exception:
                 plan["fetch_failed"] = True
             else:
@@ -536,7 +584,8 @@ class CramEncoder:
             cache = {}
             for tid in sorted(t for t in ref_ids if t >= 0):
                 try:
-                    cache[tid] = self.refs.get(tid, 1, -1)
+                    with self._refs_lock:
+                        cache[tid] = self.refs.get(tid, 1, -1)
                 except Exception:
                     plan["fetch_failed"] = True
                     cache = {}
@@ -1060,6 +1109,7 @@ class CramEncoder:
     # ------------------------------------------------------------------
     def close(self) -> None:
         self.flush()
+        self._drain_pending()
         self._write_eof()
         self.fp.flush()
         self.fp.close()
