@@ -346,3 +346,36 @@ def test_native_slice_decoder_corpus_sweep(tmp_path):
         total_hits += hits
     assert n_files > 5
     assert total_hits > 0, "native decoder never engaged across corpus"
+
+
+def test_external_encoding_introspection(tmp_path):
+    """cram_external accessor widening: cid2ds / describe_encodings /
+    expand_method / filter_containers (cram_external.c:826 surface)."""
+    from htslib_tpu.cram.external import (cid2ds, describe_encodings,
+                                          filter_containers)
+    from htslib_tpu.sam import SamReader
+    src = ref_path("ce#1000.sam")
+    out = str(tmp_path / "x.cram")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    from htslib_tpu.cram import CramReader, CramWriter
+    with CramWriter(out, hdr, ref=ref_path("ce.fa"),
+                    seqs_per_slice=250) as cw:
+        for r in recs:
+            cw.write(r)
+    m = cid2ds(out)
+    assert m, "empty cid2ds map"
+    series = {s for v in m.values() for s in v}
+    assert "BF" in series and "QS" in series
+    enc = describe_encodings(out)
+    assert enc
+    assert any(e.get("method") in ("rans4x8", "gzip", "ransNx16", "raw")
+               for e in enc)
+    # byte-level container filtering: keep only the first data container
+    sub = str(tmp_path / "sub.cram")
+    kept = filter_containers(out, sub, lambda i, c: i == 0)
+    assert kept == 1
+    with CramReader(sub, ref=ref_path("ce.fa")) as cr:
+        got = sum(1 for _ in cr)
+    assert got == 250
