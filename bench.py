@@ -47,36 +47,82 @@ def baseline_gbps():
 
 
 def build_test_bam(path, n_records=400000, read_len=100, seed=42):
+    """Generate a BAM of n_records UNIQUE paired records — random
+    sequences, qualities, positions and aux values per record (no
+    repeated templates; addresses the round-1 representativeness
+    critique).  Fully vectorised record synthesis: all records share a
+    fixed layout so the batch is one [N, W] byte matrix."""
     from htslib_tpu.sam import BamWriter, SamHeader
-    from htslib_tpu.sam.record import BamRecord
     rng = np.random.default_rng(seed)
     hdr = SamHeader("@HD\tVN:1.6\tSO:coordinate\n"
                     "@SQ\tSN:chr1\tLN:249250621\n"
                     "@RG\tID:rg1\tSM:sample1\n")
+    n = n_records
+    L = read_len
+    qname_w = 14                        # "read%09d" + NUL
+    half = (L + 1) // 2
+    md_txt = str(L).encode()
+    aux = (b"NMC\x00" + b"MDZ" + md_txt + b"\x00"
+           + b"ASC\x00" + b"XSC\x00" + b"RGZrg1\x00")
+    aux_w = len(aux)
+    md_len = 3 + len(md_txt) + 1
+    rec_w = 32 + qname_w + 4 + half + L + aux_w
+    W = 4 + rec_w
+
+    M = np.zeros((n, W), np.uint8)
+    def put_u32(col, vals):
+        v = vals.astype(np.uint32)
+        for b in range(4):
+            M[:, col + b] = (v >> (8 * b)) & 0xFF
+
+    put_u32(0, np.full(n, rec_w, np.uint32))
+    put_u32(4, np.zeros(n, np.uint32))                    # tid
+    gaps = rng.integers(0, 3, n)
+    pos = 9999 + np.cumsum(gaps)
+    put_u32(8, pos)                                       # pos (0-based)
+    M[:, 12] = qname_w                                    # l_qname
+    M[:, 13] = 60                                         # mapq
+    put_u32(14, np.zeros(n, np.uint32))                   # bin<<16|? (bin)
+    M[:, 16] = 1                                          # n_cigar lo
+    flags = np.where(np.arange(n) % 2 == 0, 99, 147)
+    M[:, 18] = flags & 0xFF
+    M[:, 19] = flags >> 8
+    put_u32(20, np.full(n, L, np.uint32))                 # l_qseq
+    put_u32(24, np.zeros(n, np.uint32))                   # mtid
+    mpos = pos + np.where(flags == 99, 300, -300)
+    put_u32(28, mpos.astype(np.int64).astype(np.uint32))
+    tlen = np.where(flags == 99, 300 + L, -(300 + L))
+    put_u32(32, tlen.astype(np.int64).astype(np.uint32))
+    # qname "read%09d\0"
+    q0 = 4 + 32
+    M[:, q0:q0 + 4] = np.frombuffer(b"read", np.uint8)
+    digits = np.arange(n)
+    for d in range(9):
+        M[:, q0 + 4 + (8 - d)] = 48 + (digits // 10 ** d) % 10
+    M[:, q0 + 13] = 0
+    # cigar: 100M
+    c0 = q0 + qname_w
+    put_u32(c0, np.full(n, (L << 4) | 0, np.uint32))
+    # seq: random A/C/G/T nibbles packed
+    s0 = c0 + 4
+    nib = np.frombuffer(b"\x01\x02\x04\x08", np.uint8)[
+        rng.integers(0, 4, (n, L))]
+    M[:, s0:s0 + half] = (nib[:, 0::2] << 4) | nib[:, 1::2]
+    # qual: random 20..40
+    u0 = s0 + half
+    M[:, u0:u0 + L] = rng.integers(20, 41, (n, L), dtype=np.uint8)
+    # aux: fixed structure, varying small ints
+    a0 = u0 + L
+    M[:, a0:a0 + aux_w] = np.frombuffer(aux, np.uint8)
+    M[:, a0 + 3] = rng.integers(0, 4, n, dtype=np.uint8)          # NM:C
+    as_val = a0 + 4 + md_len + 3
+    M[:, as_val] = (L - M[:, a0 + 3]).astype(np.uint8)            # AS:C
+    M[:, as_val + 1 + 3] = rng.integers(0, 40, n, dtype=np.uint8)  # XS:C
+    blob = M.tobytes()
     w = BamWriter(path, hdr, level=6)
-    # realistic template records, randomized fields, written in batches
-    n_templates = 500
-    bases = np.frombuffer(b"ACGT", np.uint8)
-    payloads = []
-    pos = 10000
-    for i in range(n_templates):
-        seq = bases[rng.integers(0, 4, read_len)].tobytes().decode()
-        qual = "".join(chr(33 + int(q)) for q in rng.integers(20, 41, read_len))
-        pos += int(rng.integers(1, 50))
-        nm = int(rng.integers(0, 4))
-        line = (f"read{i:09d}\t99\tchr1\t{pos}\t60\t{read_len}M\t=\t"
-                f"{pos + 300}\t{300 + read_len}\t{seq}\t{qual}\t"
-                f"NM:i:{nm}\tMD:Z:{read_len}\tAS:i:{read_len - nm}\t"
-                f"XS:i:{int(rng.integers(0, 40))}\tRG:Z:rg1")
-        rec = BamRecord.from_sam(line, hdr)
-        buf = rec.to_bam_buffer()
-        payloads.append(struct.pack("<I", len(buf)) + buf)
-    blob = b"".join(payloads)
-    reps = max(1, n_records // n_templates)
-    for _ in range(reps):
-        w.fp.write(blob)
+    w.fp.write(blob)
     w.close()
-    return n_templates * reps
+    return n
 
 
 def bench_host(bam_path, trials=6):
