@@ -1795,23 +1795,23 @@ bool rans_normalize(const uint64_t* hist, uint32_t freqs[256]) {
 }
 
 struct RansTbl {
-  uint8_t sym[kTotFreq];    // slot -> symbol
-  uint16_t freq[kTotFreq];  // slot -> freq of that symbol
-  uint16_t cum[kTotFreq];   // slot -> cumulative start of that symbol
+  // one 16 KiB L1-resident array: sym | (freq-1)<<8 | cum<<20 per slot
+  uint32_t ent[kTotFreq];
+  uint8_t sym_at(uint32_t m) const { return (uint8_t)ent[m]; }
+  uint32_t freq_at(uint32_t m) const { return ((ent[m] >> 8) & 0xFFF) + 1; }
+  uint32_t cum_at(uint32_t m) const { return ent[m] >> 20; }
   bool build(const uint32_t freqs[256]) {
     uint32_t c = 0;
     for (int s = 0; s < 256; s++) {
       uint32_t f = freqs[s];
       if (c + f > kTotFreq) return false;
-      for (uint32_t k = 0; k < f; k++) {
-        sym[c + k] = (uint8_t)s;
-        freq[c + k] = (uint16_t)f;
-        cum[c + k] = (uint16_t)c;
-      }
+      for (uint32_t k = 0; k < f; k++)
+        ent[c + k] = (uint32_t)s | ((f - 1) << 8) | (c << 20);
       c += f;
     }
-    // tail slots unused when sum < 4096 (rounding-tolerant tables)
-    for (; c < kTotFreq; c++) { sym[c] = 0; freq[c] = 0; cum[c] = 0; }
+    // tail slots unused when sum < 4096 (rounding-tolerant tables);
+    // freq-1 encoding keeps the decoder multiplier at 1 there
+    for (; c < kTotFreq; c++) ent[c] = 0;
     return true;
   }
 };
@@ -1856,19 +1856,39 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
     p += 16;
     uint64_t ptr = p;
     uint64_t nmain = out_sz / 4;
-    for (uint64_t i = 0; i < nmain; i++) {
+    // fast main loop while >=8 renorm bytes remain: no per-byte bounds
+    uint64_t safe_end = in_len >= 8 ? in_len - 8 : 0;
+    uint64_t i = 0;
+    for (; i < nmain; i++) {
+      if (ptr > safe_end) break;
       for (int j = 0; j < 4; j++) {
         uint32_t m = x[j] & (kTotFreq - 1);
-        out[i * 4 + j] = tbl.sym[m];
-        x[j] = tbl.freq[m] * (x[j] >> kTfShift) + m - tbl.cum[m];
+        uint32_t e = tbl.ent[m];
+        out[i * 4 + j] = (uint8_t)e;
+        x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m
+               - (e >> 20);
+        if (x[j] < kRansL) {
+          x[j] = (x[j] << 8) | in[ptr++];
+          if (x[j] < kRansL) x[j] = (x[j] << 8) | in[ptr++];
+        }
+      }
+    }
+    for (; i < nmain; i++) {
+      for (int j = 0; j < 4; j++) {
+        uint32_t m = x[j] & (kTotFreq - 1);
+        uint32_t e = tbl.ent[m];
+        out[i * 4 + j] = (uint8_t)e;
+        x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m
+               - (e >> 20);
         rans_renorm_dec(&x[j], in, in_len, &ptr);
       }
     }
     for (uint64_t k = nmain * 4; k < out_sz; k++) {
       int j = (int)(k - nmain * 4);
       uint32_t m = x[j] & (kTotFreq - 1);
-      out[k] = tbl.sym[m];
-      x[j] = tbl.freq[m] * (x[j] >> kTfShift) + m - tbl.cum[m];
+      uint32_t e = tbl.ent[m];
+      out[k] = (uint8_t)e;
+      x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m - (e >> 20);
       rans_renorm_dec(&x[j], in, in_len, &ptr);
     }
     return out_sz;
@@ -1925,9 +1945,10 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
       if (ti < 0) return -1;  // context never declared: corrupt
       const RansTbl& t = tbls[ti];
       uint32_t m = x[j] & (kTotFreq - 1);
-      uint8_t s = t.sym[m];
+      uint32_t e = t.ent[m];
+      uint8_t s = (uint8_t)e;
       out[pos[j]] = s;
-      x[j] = t.freq[m] * (x[j] >> kTfShift) + m - t.cum[m];
+      x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m - (e >> 20);
       rans_renorm_dec(&x[j], in, in_len, &ptr);
       l[j] = s;
       pos[j]++;
@@ -1938,9 +1959,13 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
     if (ti < 0) return -1;
     const RansTbl& t = tbls[ti];
     uint32_t m = x[3] & (kTotFreq - 1);
-    uint8_t s = t.sym[m];
+    uint8_t s = (uint8_t)t.ent[m];
     out[k] = s;
-    x[3] = t.freq[m] * (x[3] >> kTfShift) + m - t.cum[m];
+    {
+      uint32_t e2 = t.ent[m];
+      x[3] = (((e2 >> 8) & 0xFFF) + 1) * (x[3] >> kTfShift) + m
+             - (e2 >> 20);
+    }
     rans_renorm_dec(&x[3], in, in_len, &ptr);
     l[3] = s;
   }
