@@ -143,6 +143,22 @@ def bench_host(bam_path, trials=6):
     return usize, out_len, best
 
 
+def bench_sam2bam(bam_path, usize, trials=3):
+    """Reverse direction: SAM text -> compressed BAM via the fused
+    parse+deflate pipeline (sam.c:3325 + bgzf.c:1852 analogue)."""
+    from htslib_tpu.sam.batch import bam_file_to_sam, sam_to_bam_file
+    hdr, sam = bam_file_to_sam(bam_path)
+    text = sam.tobytes()
+    out = bam_path + ".rt.bam"
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        sam_to_bam_file(text, hdr, out)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(usize / best / 1e9, 4)
+
+
 def bench_cram(bam_path, n_records, trials=3):
     """CRAM encode (no_ref, as the measured htslib baseline config) and
     slice-parallel decode rates over the same records."""
@@ -195,6 +211,7 @@ def main():
             "baseline": base_src,
             "baseline_gbps": round(base, 4),
             "vs_north_star_per_chip": round(gbps / NORTH_STAR_PER_CHIP, 4),
+            "sam2bam_gbps": bench_sam2bam(bam, usize),
             "cram": bench_cram(bam, n),
         },
     }

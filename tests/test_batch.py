@@ -215,3 +215,23 @@ def test_wide_team_spec_scan_byte_identical(tmp_path):
         nw = native.bam_scan_format(udata, u_skip, hdr.ref_names, nthreads=2)
         wd = native.bam_scan_format(udata, u_skip, hdr.ref_names, nthreads=8)
         assert bytes(nw) == bytes(wd)
+
+
+def test_sam_to_bam_file_roundtrip(tmp_path):
+    """Fused SAM->BAM pipeline (parse workers + batch deflate + ordered
+    writer) round-trips byte-exactly through the batch formatter."""
+    from htslib_tpu.sam.batch import bam_file_to_sam, sam_to_bam_file
+    from htslib_tpu.sam import BamWriter, SamReader
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    bam = str(tmp_path / "a.bam")
+    with SamReader(src) as sr:
+        hdr = sr.header
+        recs = list(sr)
+    with BamWriter(bam, hdr) as w:
+        for r in recs:
+            w.write(r)
+    h, sam = bam_file_to_sam(bam)
+    out = str(tmp_path / "b.bam")
+    sam_to_bam_file(sam.tobytes(), h, out)
+    h2, sam2 = bam_file_to_sam(out)
+    assert sam2.tobytes() == sam.tobytes()
