@@ -1859,20 +1859,32 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
     // fast main loop while >=8 renorm bytes remain: no per-byte bounds
     uint64_t safe_end = in_len >= 8 ? in_len - 8 : 0;
     uint64_t i = 0;
+    uint32_t x0v = x[0], x1v = x[1], x2v = x[2], x3v = x[3];
     for (; i < nmain; i++) {
       if (ptr > safe_end) break;
-      for (int j = 0; j < 4; j++) {
-        uint32_t m = x[j] & (kTotFreq - 1);
-        uint32_t e = tbl.ent[m];
-        out[i * 4 + j] = (uint8_t)e;
-        x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m
-               - (e >> 20);
-        if (x[j] < kRansL) {
-          x[j] = (x[j] << 8) | in[ptr++];
-          if (x[j] < kRansL) x[j] = (x[j] << 8) | in[ptr++];
-        }
-      }
+      uint8_t* o = out + i * 4;
+#define R4X8_STEP(xv, oi) do { \
+        uint32_t m = (xv) & (kTotFreq - 1); \
+        uint32_t e = tbl.ent[m]; \
+        o[oi] = (uint8_t)e; \
+        (xv) = (((e >> 8) & 0xFFF) + 1) * ((xv) >> kTfShift) + m \
+               - (e >> 20); \
+        uint32_t t1 = (xv) < kRansL; \
+        uint32_t y1 = ((xv) << 8) | in[ptr]; \
+        (xv) = t1 ? y1 : (xv); \
+        ptr += t1; \
+        uint32_t t2 = (xv) < kRansL; \
+        uint32_t y2 = ((xv) << 8) | in[ptr]; \
+        (xv) = t2 ? y2 : (xv); \
+        ptr += t2; \
+    } while (0)
+      R4X8_STEP(x0v, 0);
+      R4X8_STEP(x1v, 1);
+      R4X8_STEP(x2v, 2);
+      R4X8_STEP(x3v, 3);
+#undef R4X8_STEP
     }
+    x[0] = x0v; x[1] = x1v; x[2] = x2v; x[3] = x3v;
     for (; i < nmain; i++) {
       for (int j = 0; j < 4; j++) {
         uint32_t m = x[j] & (kTotFreq - 1);
@@ -1949,7 +1961,18 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
       uint8_t s = (uint8_t)e;
       out[pos[j]] = s;
       x[j] = (((e >> 8) & 0xFFF) + 1) * (x[j] >> kTfShift) + m - (e >> 20);
-      rans_renorm_dec(&x[j], in, in_len, &ptr);
+      if (ptr + 8 <= in_len) {      // branchless fast renorm
+        uint32_t t1 = x[j] < kRansL;
+        uint32_t y1 = (x[j] << 8) | in[ptr];
+        x[j] = t1 ? y1 : x[j];
+        ptr += t1;
+        uint32_t t2 = x[j] < kRansL;
+        uint32_t y2 = (x[j] << 8) | in[ptr];
+        x[j] = t2 ? y2 : x[j];
+        ptr += t2;
+      } else {
+        rans_renorm_dec(&x[j], in, in_len, &ptr);
+      }
       l[j] = s;
       pos[j]++;
     }
