@@ -37,6 +37,24 @@ int hardware_threads() {
   return n ? static_cast<int>(n) : 2;
 }
 
+// Coarse phase accounting (ns) for the fused CRAM path — 3 clock reads
+// per slice, negligible; read back via htstpu_prof_get for tuning.
+inline uint64_t prof_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (uint64_t)ts.tv_sec * 1000000000ull + (uint64_t)ts.tv_nsec;
+}
+std::atomic<uint64_t> g_prof[8];
+
+}  // namespace
+
+extern "C" {
+uint64_t htstpu_prof_get(int i) { return g_prof[i & 7].load(); }
+void htstpu_prof_reset() { for (auto& a : g_prof) a.store(0); }
+}
+
+namespace {
+
 // Parse one BGZF member header; returns total member size or -1.
 int64_t parse_bsize(const uint8_t* p, size_t avail) {
   if (avail < kBlockHeader) return -1;
@@ -345,6 +363,11 @@ class Buf {
   inline void putc(char c) {
     reserve(1);
     data_[len_++] = c;
+  }
+  inline void put_fill(char c, size_t n) {
+    reserve(n);
+    memset(data_ + len_, (unsigned char)c, n);
+    len_ += n;
   }
   // two digits at a time via a 100-entry pair table (kputll-style,
   // reference NEWS:461-462 credits this with +5% BAM->SAM)
@@ -1860,29 +1883,40 @@ int64_t htstpu_rans4x8_uncompress(const uint8_t* in, uint64_t in_len,
     uint64_t safe_end = in_len >= 8 ? in_len - 8 : 0;
     uint64_t i = 0;
     uint32_t x0v = x[0], x1v = x[1], x2v = x[2], x3v = x[3];
+    // One 8-byte load per iteration feeds every renorm: the 4 states can
+    // consume at most 2 bytes each, so a register window breaks the
+    // load->ptr->load dependency chain (the serial bottleneck: in[ptr]
+    // depended on all previous states' increments).  Byte extraction is
+    // a shift off `w`, leaving only the 1-cycle `used` accumulation on
+    // the cross-state critical path.
     for (; i < nmain; i++) {
       if (ptr > safe_end) break;
-      uint8_t* o = out + i * 4;
+      uint64_t w;
+      memcpy(&w, in + ptr, 8);
+      uint32_t used = 0;
+      uint32_t ob = 0;
 #define R4X8_STEP(xv, oi) do { \
         uint32_t m = (xv) & (kTotFreq - 1); \
         uint32_t e = tbl.ent[m]; \
-        o[oi] = (uint8_t)e; \
+        ob |= (uint32_t)(uint8_t)e << (8 * (oi)); \
         (xv) = (((e >> 8) & 0xFFF) + 1) * ((xv) >> kTfShift) + m \
                - (e >> 20); \
         uint32_t t1 = (xv) < kRansL; \
-        uint32_t y1 = ((xv) << 8) | in[ptr]; \
+        uint32_t y1 = ((xv) << 8) | (uint32_t)((w >> (8 * used)) & 0xFF); \
         (xv) = t1 ? y1 : (xv); \
-        ptr += t1; \
+        used += t1; \
         uint32_t t2 = (xv) < kRansL; \
-        uint32_t y2 = ((xv) << 8) | in[ptr]; \
+        uint32_t y2 = ((xv) << 8) | (uint32_t)((w >> (8 * used)) & 0xFF); \
         (xv) = t2 ? y2 : (xv); \
-        ptr += t2; \
+        used += t2; \
     } while (0)
       R4X8_STEP(x0v, 0);
       R4X8_STEP(x1v, 1);
       R4X8_STEP(x2v, 2);
       R4X8_STEP(x3v, 3);
 #undef R4X8_STEP
+      memcpy(out + i * 4, &ob, 4);
+      ptr += used;
     }
     x[0] = x0v; x[1] = x1v; x[2] = x2v; x[3] = x3v;
     for (; i < nmain; i++) {
@@ -2521,17 +2555,21 @@ struct RecTmp {
   int32_t ref_id = -1;
   int64_t len = 0, apos = 0;
   int64_t rg = -1;
-  std::string name;
   int64_t mate_flags = 0;
   int32_t mate_ref_id = -1;
   int64_t mate_pos = 0;
   int64_t tlen = kI64Min, explicit_tlen = kI64Min;
   int64_t mate_line = -1;
-  std::string aux;
-  std::vector<uint32_t> cigar;
   int64_t mqual = 0;
-  std::string seq, qual;
   int64_t aend = 0;
+  // variable-length fields live in slice-level arenas (DecState) — one
+  // record used to carry 4 heap strings + a vector, i.e. millions of
+  // mallocs per file; now each is an (offset, length) view
+  uint32_t name_off = 0, name_len = 0;
+  uint32_t aux_off = 0, aux_len = 0;
+  uint32_t seq_off = 0, seq_len = 0;
+  uint32_t qual_off = 0, qual_len = 0;
+  uint32_t cig_off = 0, cig_cnt = 0;
 };
 
 struct SliceArgs {
@@ -2552,6 +2590,14 @@ struct DecState {
   Ctx* x;
   const SliceArgs* a;
   bool bail = false;
+  // slice-lifetime scratch, reused across records: the per-record decode
+  // used to malloc/free these millions of times per file (htslib reuses
+  // its bam1_t/block buffers the same way)
+  Buf tmp;
+  std::string seq, qual, md, frag;
+  // arenas backing every RecTmp variable-length field
+  Buf names, auxs, seqs, quals;
+  std::vector<uint32_t> cigs;
   Codec* get(uint32_t key) {
     auto it = h->codecs.find(key);
     return it == h->codecs.end() ? nullptr : it->second;
@@ -2576,14 +2622,16 @@ inline int l1_of(uint8_t base) {
 }
 
 // _decode_aux (decode.py:429): returns false on bail; has_MD/has_NM out.
+// Appends the record's aux blob to the st->auxs arena (cr->aux_off/len).
 bool decode_aux(DecState* st, RecTmp* cr, int* has_MD, int* has_NM) {
   *has_MD = *has_NM = 0;
+  Buf& aux = st->auxs;
+  cr->aux_off = (uint32_t)aux.len();
   Codec* TLc = st->get(K('T', 'L'));
   if (!TLc) return true;
   int64_t TL = codec_read_int(TLc, st->x);
   if (st->x->fail || TL < 0 || (size_t)TL >= st->h->TD.size()) return false;
   const std::string& TN = st->h->TD[(size_t)TL];
-  std::string& aux = cr->aux;
   for (size_t i = 0; i + 3 <= TN.size(); i += 3) {
     const char* tag = TN.data() + i;
     if (tag[2] == '*') return false;  // CRAM 4 placeholders: python path
@@ -2594,9 +2642,10 @@ bool decode_aux(DecState* st, RecTmp* cr, int* has_MD, int* has_NM) {
     auto it = st->h->tag_codecs.find(kid);
     if (it == st->h->tag_codecs.end()) return false;
     Codec* c = it->second;
-    Buf val;
+    size_t tag_at = aux.len();
+    aux.put(tag, 3);
     if (c->id == E_BYTE_ARRAY_LEN || c->id == E_BYTE_ARRAY_STOP) {
-      if (!codec_read_array(c, st->x, &val)) return false;
+      if (!codec_read_array(c, st->x, &aux)) return false;
     } else {
       int sz;
       switch (tag[2]) {
@@ -2606,15 +2655,14 @@ bool decode_aux(DecState* st, RecTmp* cr, int* has_MD, int* has_NM) {
         case 'd': sz = 8; break;
         default: return false;
       }
-      codec_read_bytes(c, st->x, (uint64_t)sz, &val);
+      codec_read_bytes(c, st->x, (uint64_t)sz, &aux);
       if (st->x->fail) return false;
     }
-    if (tag[0] == 'c' && tag[1] == 'F' && val.len() == 1)
-      continue;  // cF control tag is consumed, not emitted
-    aux.append(tag, 3);
-    aux.append((const char*)val.data(), val.len());
+    if (tag[0] == 'c' && tag[1] == 'F' && aux.len() == tag_at + 4)
+      aux.set_len(tag_at);  // cF control tag is consumed, not emitted
   }
   if (TN.size() % 3) return false;
+  cr->aux_len = (uint32_t)(aux.len() - cr->aux_off);
   return true;
 }
 
@@ -2624,15 +2672,18 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
   const SliceArgs* a = st->a;
   Ctx* x = st->x;
   if (cr->len < 0 || cr->len > (1 << 28)) return false;
-  std::string seq((size_t)cr->len, a->ref ? '\0' : '=');
-  std::string qual((size_t)cr->len, (char)0xFF);
+  std::string& seq = st->seq;
+  std::string& qual = st->qual;
+  seq.assign((size_t)cr->len, a->ref ? '\0' : '=');
+  qual.assign((size_t)cr->len, (char)0xFF);
   int64_t ref_len = a->ref_chrom_len;
 
   bool gen_md = ((a->decode_md && !has_MD) || has_MD < 0) && a->ref &&
                 cr->ref_id >= 0 && !(cr->cram_flags & CF_NO_SEQ);
   bool gen_nm = ((a->decode_md && !has_NM) || has_NM < 0) && a->ref &&
                 cr->ref_id >= 0 && !(cr->cram_flags & CF_NO_SEQ);
-  std::string md;
+  std::string& md = st->md;
+  md.clear();
   int64_t md_dist = 0;
   int64_t nm = 0;
   char numbuf[24];
@@ -2671,7 +2722,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
   Codec* FNc = st->get(K('F', 'N'));
   int64_t fn = FNc ? codec_read_int(FNc, x) : 0;
   if (x->fail || fn < 0 || fn > (1 << 24)) return false;
-  std::vector<uint32_t>& cigar = cr->cigar;
+  std::vector<uint32_t>& cigar = st->cigs;
+  cr->cig_off = (uint32_t)cigar.size();
   int cig_op = CMATCH;
   int64_t cig_len = 0;
   int64_t seq_pos = 1;
@@ -2686,7 +2738,7 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
   };
   Codec* FCc = st->get(K('F', 'C'));
   Codec* FPc = st->get(K('F', 'P'));
-  std::string frag;
+  std::string& frag = st->frag;
 
   for (int64_t f = 0; f < fn; f++) {
     int op = FCc ? codec_read_byte(FCc, x) : 'B';
@@ -2721,7 +2773,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
         flush(CSOFT);
         Codec* c = st->get(K('S', 'C'));
         if (c) {
-          Buf data;
+          Buf& data = st->tmp;
+          data.clear();
           if (!codec_read_array(c, x, &data)) return false;
           if (cr->len) {
             if ((uint64_t)(pos - 1) + data.len() > seq.size()) return false;
@@ -2796,7 +2849,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
         flush(CINS);
         Codec* c = st->get(K('I', 'N'));
         if (c) {
-          Buf data;
+          Buf& data = st->tmp;
+          data.clear();
           if (!codec_read_array(c, x, &data)) return false;
           if (cr->len) {
             if ((uint64_t)(pos - 1) + data.len() > seq.size()) return false;
@@ -2830,7 +2884,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
         int64_t n2 = cr->len ? cr->len - (pos - 1) : 1;
         Codec* c = st->get(K('B', 'B'));
         if (c) {
-          Buf data;
+          Buf& data = st->tmp;
+          data.clear();
           if (!codec_read_array(c, x, &data)) return false;
           n2 = (int64_t)data.len();
           if (cr->len) {
@@ -2869,7 +2924,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
         flush(CMATCH);
         Codec* c = st->get(K('Q', 'Q'));
         if (c) {
-          Buf data;
+          Buf& data = st->tmp;
+          data.clear();
           if (!codec_read_array(c, x, &data)) return false;
           if (cr->len) {
             if ((uint64_t)(pos - 1) + data.len() > qual.size()) return false;
@@ -2995,6 +3051,7 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
   if (gen_md && md_dist >= 0) md_num(md_dist);
   if (cig_len)
     cigar.push_back(((uint32_t)cig_len << 4) | (uint32_t)cig_op);
+  cr->cig_cnt = (uint32_t)(cigar.size() - cr->cig_off);
   cr->aend = std::max(ref_pos, cr->apos);
   Codec* mq = st->get(K('M', 'Q'));
   cr->mqual = mq ? codec_read_int(mq, x) : 40;
@@ -3002,7 +3059,8 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
   if ((cf & CF_PRESERVE_QUAL)) {
     Codec* qs = st->get(K('Q', 'S'));
     if (qs) {
-      Buf qb;
+      Buf& qb = st->tmp;
+      qb.clear();
       codec_read_bytes(qs, x, (uint64_t)cr->len, &qb);
       if (x->fail) return false;
       qual.assign((const char*)qb.data(), qb.len());
@@ -3013,28 +3071,35 @@ bool decode_seq(DecState* st, RecTmp* cr, int cf, int has_MD, int has_NM) {
     seq.clear();
     qual.clear();
   }
-  cr->seq = std::move(seq);
-  cr->qual = std::move(qual);
+  cr->seq_off = (uint32_t)st->seqs.len();
+  cr->seq_len = (uint32_t)seq.size();
+  st->seqs.put(seq.data(), seq.size());
+  cr->qual_off = (uint32_t)st->quals.len();
+  cr->qual_len = (uint32_t)qual.size();
+  st->quals.put(qual.data(), qual.size());
+  // MD/NM extend this record's aux blob: nothing has appended to the
+  // arena since decode_aux, so the blob stays contiguous
   if (gen_md) {
-    cr->aux += "MDZ";
-    cr->aux += md;
-    cr->aux.push_back('\0');
+    st->auxs.put("MDZ", 3);
+    st->auxs.put(md.data(), md.size());
+    st->auxs.putc('\0');
   }
   if (gen_nm) {
     if (nm < 0) return false;
     if (nm <= 0xFF) {
-      cr->aux += "NMC";
-      cr->aux.push_back((char)(uint8_t)nm);
+      st->auxs.put("NMC", 3);
+      st->auxs.putc((char)(uint8_t)nm);
     } else if (nm <= 0xFFFF) {
-      cr->aux += "NMS";
+      st->auxs.put("NMS", 3);
       uint16_t v = (uint16_t)nm;
-      cr->aux.append((const char*)&v, 2);
+      st->auxs.put(&v, 2);
     } else {
-      cr->aux += "NMI";
+      st->auxs.put("NMI", 3);
       uint32_t v = (uint32_t)nm;
-      cr->aux.append((const char*)&v, 4);
+      st->auxs.put(&v, 4);
     }
   }
+  cr->aux_len = (uint32_t)(st->auxs.len() - cr->aux_off);
   return true;
 }
 
@@ -3194,16 +3259,16 @@ int64_t htstpu_cram_decode_slice(
     }
     if (x.fail) return kBail;
     if (h.read_names_included && RN) {
-      Buf nb;
-      if (!codec_read_array(RN, &x, &nb)) return kBail;
-      cr.name.assign((const char*)nb.data(), nb.len());
+      cr.name_off = (uint32_t)st.names.len();
+      if (!codec_read_array(RN, &x, &st.names)) return kBail;
+      cr.name_len = (uint32_t)(st.names.len() - cr.name_off);
     }
     if (cf & CF_DETACHED) {
       cr.mate_flags = MF ? codec_read_int(MF, &x) : 0;
       if (!h.read_names_included && RN) {
-        Buf nb;
-        if (!codec_read_array(RN, &x, &nb)) return kBail;
-        cr.name.assign((const char*)nb.data(), nb.len());
+        cr.name_off = (uint32_t)st.names.len();
+        if (!codec_read_array(RN, &x, &st.names)) return kBail;
+        cr.name_len = (uint32_t)(st.names.len() - cr.name_off);
       }
       if (NS) cr.mate_ref_id = (int32_t)codec_read_int(NS, &x);
       if (NP) cr.mate_pos = codec_read_int(NP, &x);
@@ -3226,28 +3291,31 @@ int64_t htstpu_cram_decode_slice(
       cr.mqual = 0;
       if (BA && cr.len) {
         if (cr.len < 0 || cr.len > (1 << 28)) return kBail;
-        Buf sb;
-        codec_read_bytes(BA, &x, (uint64_t)cr.len, &sb);
+        cr.seq_off = (uint32_t)st.seqs.len();
+        codec_read_bytes(BA, &x, (uint64_t)cr.len, &st.seqs);
         if (x.fail) return kBail;
-        cr.seq.assign((const char*)sb.data(), sb.len());
+        cr.seq_len = (uint32_t)(st.seqs.len() - cr.seq_off);
       }
       if (cf & CF_PRESERVE_QUAL) {
         if (QS && cr.len >= 0) {
-          Buf qb;
-          codec_read_bytes(QS, &x, (uint64_t)cr.len, &qb);
+          cr.qual_off = (uint32_t)st.quals.len();
+          codec_read_bytes(QS, &x, (uint64_t)cr.len, &st.quals);
           if (x.fail) return kBail;
-          cr.qual.assign((const char*)qb.data(), qb.len());
+          cr.qual_len = (uint32_t)(st.quals.len() - cr.qual_off);
         }
       } else {
-        cr.qual.assign((size_t)std::max<int64_t>(cr.len, 0), (char)0xFF);
+        cr.qual_off = (uint32_t)st.quals.len();
+        cr.qual_len = (uint32_t)std::max<int64_t>(cr.len, 0);
+        st.quals.put_fill((char)0xFF, cr.qual_len);
       }
-      if (cr.seq.empty()) {
-        cr.qual.clear();
+      if (cr.seq_len == 0) {
+        cr.qual_len = 0;
         cr.len = 0;
       }
     }
-    if (!h.qs_seq_orient && (cr.flags & FREVERSE) && !cr.qual.empty())
-      std::reverse(cr.qual.begin(), cr.qual.end());
+    if (!h.qs_seq_orient && (cr.flags & FREVERSE) && cr.qual_len)
+      std::reverse(st.quals.data() + cr.qual_off,
+                   st.quals.data() + cr.qual_off + cr.qual_len);
   }
 
   if (!slice_xref(recs)) return kBail;
@@ -3257,30 +3325,34 @@ int64_t htstpu_cram_decode_slice(
   char gen[40];
   for (int32_t i = 0; i < num_records; i++) {
     RecTmp& cr = recs[i];
-    const std::string* qname = nullptr;
-    std::string genname;
-    if (!cr.name.empty()) {
-      qname = &cr.name;
+    const char* qname;
+    uint32_t qlen;
+    if (cr.name_len) {
+      qname = (const char*)st.names.data() + cr.name_off;
+      qlen = cr.name_len;
     } else if (cr.mate_line >= 0 && cr.mate_line < num_records &&
-               !recs[cr.mate_line].name.empty()) {
-      qname = &recs[cr.mate_line].name;
+               recs[cr.mate_line].name_len) {
+      qname = (const char*)st.names.data() + recs[cr.mate_line].name_off;
+      qlen = recs[cr.mate_line].name_len;
     } else {
       int64_t mate_i = (cr.mate_line >= 0 && cr.mate_line < i) ? cr.mate_line
                                                                : i;
       int gl = snprintf(gen, sizeof gen, "?:%lld",
                         (long long)(record_counter + mate_i + 1));
-      genname.assign(gen, gl);
-      qname = &genname;
+      qname = gen;
+      qlen = (uint32_t)gl;
     }
-    if (qname->size() == 0 || qname->size() > 254) return kBail;
+    if (qlen == 0 || qlen > 254) return kBail;
     if (cr.flags < 0 || cr.flags > 0xFFFF) return kBail;
-    if (cr.cigar.size() > 0xFFFF) return kBail;  // CG escape: python path
-    int64_t l_qseq = (int64_t)cr.seq.size();
-    if (l_qseq > 0 && (int64_t)cr.qual.size() != l_qseq) return kBail;
+    if (cr.cig_cnt > 0xFFFF) return kBail;  // CG escape: python path
+    const uint32_t* cig = st.cigs.data() + cr.cig_off;
+    int64_t l_qseq = (int64_t)cr.seq_len;
+    if (l_qseq > 0 && (int64_t)cr.qual_len != l_qseq) return kBail;
     if (cr.mqual < 0 || cr.mqual > 0xFF) return kBail;
     int64_t rlen = 0;
     if (!(cr.flags & FUNMAP)) {
-      for (uint32_t c : cr.cigar) {
+      for (uint32_t k = 0; k < cr.cig_cnt; k++) {
+        uint32_t c = cig[k];
         int op = (int)(c & 0xF);
         if (op == CMATCH || op == CDEL || op == CREF_SKIP || op == 7 ||
             op == 8)
@@ -3289,17 +3361,16 @@ int64_t htstpu_cram_decode_slice(
     }
     int64_t pos0 = cr.apos - 1;
     int32_t bin = reg2bin_c(pos0, pos0 + (rlen ? rlen : 1));
-    uint32_t l_qname = (uint32_t)qname->size() + 1;
-    uint64_t bsz = 32 + l_qname + 4ull * cr.cigar.size() +
-                   (uint64_t)((l_qseq + 1) / 2) + (uint64_t)l_qseq +
-                   cr.aux.size();
-    std::string rg_aux;
+    uint32_t l_qname = qlen + 1;
+    uint32_t rg_len = 0;
+    const uint8_t* rg_at = nullptr;
     if (cr.rg >= 0 && cr.rg < n_rg && rg_valid[cr.rg]) {
-      rg_aux = "RGZ";
-      rg_aux.append((const char*)rg_buf + rg_offs[cr.rg], rg_lens[cr.rg]);
-      rg_aux.push_back('\0');
-      bsz += rg_aux.size();
+      rg_at = rg_buf + rg_offs[cr.rg];
+      rg_len = rg_lens[cr.rg];
     }
+    uint64_t bsz = 32 + l_qname + 4ull * cr.cig_cnt +
+                   (uint64_t)((l_qseq + 1) / 2) + (uint64_t)l_qseq +
+                   cr.aux_len + (rg_at ? 4ull + rg_len : 0);
     if (bsz > 0x7FFFFFFF) return kBail;
     out.reserve(4 + bsz);
     uint32_t u32 = (uint32_t)bsz;
@@ -3312,7 +3383,7 @@ int64_t htstpu_cram_decode_slice(
     out.putc((char)(uint8_t)cr.mqual);
     uint16_t u16 = (uint16_t)bin;
     out.put(&u16, 2);
-    u16 = (uint16_t)cr.cigar.size();
+    u16 = (uint16_t)cr.cig_cnt;
     out.put(&u16, 2);
     u16 = (uint16_t)cr.flags;
     out.put(&u16, 2);
@@ -3325,23 +3396,27 @@ int64_t htstpu_cram_decode_slice(
     if (cr.tlen < INT32_MIN || cr.tlen > INT32_MAX) return kBail;
     i32 = (int32_t)cr.tlen;
     out.put(&i32, 4);
-    out.put(qname->data(), qname->size());
+    out.put(qname, qlen);
     out.putc('\0');
-    out.put(cr.cigar.data(), 4 * cr.cigar.size());
+    if (cr.cig_cnt) out.put(cig, 4 * (size_t)cr.cig_cnt);
     if (l_qseq) {
       out.reserve((size_t)((l_qseq + 1) / 2));
       uint8_t* dst = out.data() + out.len();
-      const uint8_t* s = (const uint8_t*)cr.seq.data();
+      const uint8_t* s = st.seqs.data() + cr.seq_off;
       for (int64_t k = 0; k < l_qseq / 2; k++)
         dst[k] = (uint8_t)((kNt16Enc.t[s[2 * k]] << 4) |
                            kNt16Enc.t[s[2 * k + 1]]);
       if (l_qseq & 1)
         dst[l_qseq / 2] = (uint8_t)(kNt16Enc.t[s[l_qseq - 1]] << 4);
       out.bump((size_t)((l_qseq + 1) / 2));
-      out.put(cr.qual.data(), cr.qual.size());
+      out.put(st.quals.data() + cr.qual_off, cr.qual_len);
     }
-    out.put(cr.aux.data(), cr.aux.size());
-    if (!rg_aux.empty()) out.put(rg_aux.data(), rg_aux.size());
+    out.put(st.auxs.data() + cr.aux_off, cr.aux_len);
+    if (rg_at) {
+      out.put("RGZ", 3);
+      out.put(rg_at, rg_len);
+      out.putc('\0');
+    }
   }
 
   uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
@@ -3453,6 +3528,7 @@ int64_t htstpu_cram_slice_to_sam(
     const uint32_t* name_lens, int32_t n_ref,
     uint8_t** out_ptr) {
   // 1. decompress every block into one arena
+  uint64_t t0 = prof_now();
   uint64_t total_raw = 0;
   for (int32_t i = 0; i < n_blocks; i++) total_raw += raw_sizes[i];
   std::vector<uint8_t> arena(total_raw ? total_raw : 1);
@@ -3467,6 +3543,8 @@ int64_t htstpu_cram_slice_to_sam(
     if (rc != 0) return -2;
     uo += raw_sizes[i];
   }
+  uint64_t t1 = prof_now();
+  g_prof[0] += t1 - t0;
 
   // 2. slice decode to a u32-framed BAM blob
   uint8_t* blob = nullptr;
@@ -3477,6 +3555,8 @@ int64_t htstpu_cram_slice_to_sam(
       ref_start, ref_chrom_len, n_rg, rg_buf, rg_offs, rg_lens, rg_valid,
       decode_md, &blob);
   if (blen < 0) return blen;
+  uint64_t t2 = prof_now();
+  g_prof[1] += t2 - t1;
 
   // 3. format records as SAM text
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
@@ -3493,6 +3573,7 @@ int64_t htstpu_cram_slice_to_sam(
   }
   free(blob);
   if (rc) return rc;
+  g_prof[2] += prof_now() - t2;
 
   uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
   if (!res) return -1;

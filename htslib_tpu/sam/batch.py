@@ -708,6 +708,8 @@ def bam_stream_to_sam(data: np.ndarray, header: SamHeader,
         raise IOError("truncated BAM record stream")
     offs = np.array(offs_l, np.uint64)
     sizes = np.array(sizes_l, np.uint32)
+    if not isinstance(data, np.ndarray):
+        data = np.frombuffer(data, np.uint8)
     out = bam_to_sam_bytes(data, offs, sizes, header, use_native=False)
     return np.frombuffer(out, np.uint8)
 
