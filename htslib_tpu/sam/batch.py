@@ -801,23 +801,53 @@ def sam_to_bam_file(text: bytes, header: SamHeader, out_path: str,
         blob = sam_text_to_bam(chunk, header)
         return blob.tobytes() if hasattr(blob, "tobytes") else bytes(blob)
 
+    from htslib_tpu.native import MAX_BLOCK, native
+    import numpy as np
+
     written = 0
     with open(out_path, "wb") as fp:
         pending = bytearray(hdr_payload)
+        off = 0  # consumed prefix; del-slicing the bytearray per block
+        #          would memmove the whole tail (O(n^2) over the file)
 
         def flush(force=False):
-            nonlocal written, pending
-            blocks = []
-            while len(pending) >= BGZF_BLOCK_SIZE:
-                blocks.append(bytes(pending[:BGZF_BLOCK_SIZE]))
-                del pending[:BGZF_BLOCK_SIZE]
-            if force and pending:
-                blocks.append(bytes(pending))
+            nonlocal written, pending, off
+            avail = len(pending) - off
+            n_full = avail // BGZF_BLOCK_SIZE
+            tail = avail - n_full * BGZF_BLOCK_SIZE if force else 0
+            nblk = n_full + (1 if tail else 0)
+            if nblk:
+                if native is not None:
+                    # zero-copy: deflate straight out of the pending
+                    # buffer, write numpy views of the output arena
+                    lens = np.full(nblk, BGZF_BLOCK_SIZE, np.uint32)
+                    if tail:
+                        lens[-1] = tail
+                    offs = (off + np.arange(nblk, dtype=np.uint64)
+                            * BGZF_BLOCK_SIZE)
+                    data = np.frombuffer(pending, np.uint8)
+                    out, out_lens = native.deflate_batch_np(
+                        data, offs, lens, level)
+                    del data
+                    fp.writelines(
+                        out[i * MAX_BLOCK:i * MAX_BLOCK + int(out_lens[i])]
+                        for i in range(nblk))
+                else:
+                    mv = memoryview(pending)
+                    blocks = [bytes(mv[off + i * BGZF_BLOCK_SIZE:
+                                       off + (i + 1) * BGZF_BLOCK_SIZE])
+                              for i in range(n_full)]
+                    if tail:
+                        blocks.append(bytes(mv[off + n_full
+                                               * BGZF_BLOCK_SIZE:]))
+                    mv.release()
+                    for c in deflate_blocks(blocks, level):
+                        fp.write(c)
+                written += avail if force else n_full * BGZF_BLOCK_SIZE
+                off += n_full * BGZF_BLOCK_SIZE + tail
+            if off == len(pending):
                 pending = bytearray()
-            if blocks:
-                for c in deflate_blocks(blocks, level):
-                    fp.write(c)
-                written += sum(len(b) for b in blocks)
+                off = 0
 
         for blob in pipeline_map(stage, chunks(), window=3):
             pending += blob
