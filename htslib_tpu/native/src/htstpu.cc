@@ -2586,9 +2586,9 @@ struct SliceArgs {
 };
 
 struct DecState {
-  const CompHdr* h;
-  Ctx* x;
-  const SliceArgs* a;
+  const CompHdr* h = nullptr;
+  Ctx* x = nullptr;
+  const SliceArgs* a = nullptr;
   bool bail = false;
   // slice-lifetime scratch, reused across records: the per-record decode
   // used to malloc/free these millions of times per file (htslib reuses
@@ -3186,30 +3186,31 @@ bool slice_xref(std::vector<RecTmp>& recs) {
   return true;
 }
 
-}  // namespace cramdec
+// Everything one decoded slice owns: header, codec streams, records and
+// the arenas their variable-length fields point into.
+struct SliceDec {
+  CompHdr h;
+  Ctx x;
+  SliceArgs a;
+  DecState st;
+  std::vector<RecTmp> recs;
+};
 
-extern "C" {
-
-// Decode one CRAM v3 slice to a u32-framed BAM record stream.
-// Returns total bytes via *out_ptr (htstpu_buf_free to release),
-// -100 = unsupported/bail (caller uses the Python decoder), -1 = OOM.
-int64_t htstpu_cram_decode_slice(
+// Decode a slice's records into sd (no output formatting).  Returns 0,
+// kBail, or a negative error.
+int64_t decode_slice_core(
     const uint8_t* comp_hdr, uint64_t comp_hdr_len,
     int32_t ref_seq_id, int64_t ref_seq_start, int64_t ref_seq_span,
     int32_t num_records, int64_t record_counter,
     int32_t n_blocks, const int32_t* content_types, const int32_t* content_ids,
     const uint64_t* blk_offs, const uint64_t* blk_lens, const uint8_t* blk_buf,
     const uint8_t* ref, uint64_t ref_window_len, int64_t ref_start,
-    int64_t ref_chrom_len,
-    int32_t n_rg, const uint8_t* rg_buf, const uint64_t* rg_offs,
-    const uint32_t* rg_lens, const uint8_t* rg_valid,
-    int32_t decode_md, uint8_t** out_ptr) {
-  using namespace cramdec;
+    int64_t ref_chrom_len, int32_t n_rg, int32_t decode_md, SliceDec* sd) {
   if (ref_seq_id == -2) return kBail;  // multi-ref slices: python path
-  CompHdr h;
+  CompHdr& h = sd->h;
   if (!parse_comp_hdr(&h, comp_hdr, comp_hdr_len)) return kBail;
 
-  Ctx x;
+  Ctx& x = sd->x;
   for (int32_t i = 0; i < n_blocks; i++) {
     if (content_types[i] == 5) {  // CT_CORE
       x.core.d = blk_buf + blk_offs[i];
@@ -3219,12 +3220,18 @@ int64_t htstpu_cram_decode_slice(
     }
   }
 
-  SliceArgs a{ref_seq_id, ref_seq_start, ref_seq_span, num_records,
-              record_counter, (h.no_ref ? nullptr : ref),
-              ref_window_len, ref_start, ref_chrom_len, n_rg, decode_md};
-  DecState st{&h, &x, &a};
+  sd->a = SliceArgs{ref_seq_id, ref_seq_start, ref_seq_span, num_records,
+                    record_counter, (h.no_ref ? nullptr : ref),
+                    ref_window_len, ref_start, ref_chrom_len, n_rg,
+                    decode_md};
+  SliceArgs& a = sd->a;
+  DecState& st = sd->st;
+  st.h = &h;
+  st.x = &x;
+  st.a = &a;
 
-  std::vector<RecTmp> recs(num_records);
+  sd->recs.resize(num_records);
+  std::vector<RecTmp>& recs = sd->recs;
   int64_t last_apos = ref_seq_start;
   Codec* BF = st.need(K('B', 'F'));
   if (st.bail) return kBail;
@@ -3319,104 +3326,150 @@ int64_t htstpu_cram_decode_slice(
   }
 
   if (!slice_xref(recs)) return kBail;
+  return 0;
+}
 
-  // cram_to_bam (decode.py:858): pack u32-framed BAM records
-  Buf out;
+// Resolve record i's qname (own name, mate's, or generated into gen[]).
+inline bool qname_of(SliceDec& sd, int32_t i, char gen[40],
+                     const char** qname, uint32_t* qlen) {
+  RecTmp& cr = sd.recs[i];
+  int32_t num_records = (int32_t)sd.recs.size();
+  if (cr.name_len) {
+    *qname = (const char*)sd.st.names.data() + cr.name_off;
+    *qlen = cr.name_len;
+  } else if (cr.mate_line >= 0 && cr.mate_line < num_records &&
+             sd.recs[cr.mate_line].name_len) {
+    *qname = (const char*)sd.st.names.data() + sd.recs[cr.mate_line].name_off;
+    *qlen = sd.recs[cr.mate_line].name_len;
+  } else {
+    int64_t mate_i = (cr.mate_line >= 0 && cr.mate_line < i) ? cr.mate_line
+                                                             : i;
+    int gl = snprintf(gen, 40, "?:%lld",
+                      (long long)(sd.a.record_counter + mate_i + 1));
+    *qname = gen;
+    *qlen = (uint32_t)gl;
+  }
+  return *qlen != 0 && *qlen <= 254;
+}
+
+// cram_to_bam (decode.py:858): pack record i as one u32-framed BAM record.
+bool pack_one(SliceDec& sd, int32_t i, int32_t n_rg, const uint8_t* rg_buf,
+              const uint64_t* rg_offs, const uint32_t* rg_lens,
+              const uint8_t* rg_valid, Buf& out) {
+  DecState& st = sd.st;
+  RecTmp& cr = sd.recs[i];
   char gen[40];
-  for (int32_t i = 0; i < num_records; i++) {
-    RecTmp& cr = recs[i];
-    const char* qname;
-    uint32_t qlen;
-    if (cr.name_len) {
-      qname = (const char*)st.names.data() + cr.name_off;
-      qlen = cr.name_len;
-    } else if (cr.mate_line >= 0 && cr.mate_line < num_records &&
-               recs[cr.mate_line].name_len) {
-      qname = (const char*)st.names.data() + recs[cr.mate_line].name_off;
-      qlen = recs[cr.mate_line].name_len;
-    } else {
-      int64_t mate_i = (cr.mate_line >= 0 && cr.mate_line < i) ? cr.mate_line
-                                                               : i;
-      int gl = snprintf(gen, sizeof gen, "?:%lld",
-                        (long long)(record_counter + mate_i + 1));
-      qname = gen;
-      qlen = (uint32_t)gl;
+  const char* qname;
+  uint32_t qlen;
+  if (!qname_of(sd, i, gen, &qname, &qlen)) return false;
+  if (cr.flags < 0 || cr.flags > 0xFFFF) return false;
+  if (cr.cig_cnt > 0xFFFF) return false;  // CG escape: python path
+  const uint32_t* cig = st.cigs.data() + cr.cig_off;
+  int64_t l_qseq = (int64_t)cr.seq_len;
+  if (l_qseq > 0 && (int64_t)cr.qual_len != l_qseq) return false;
+  if (cr.mqual < 0 || cr.mqual > 0xFF) return false;
+  int64_t rlen = 0;
+  if (!(cr.flags & FUNMAP)) {
+    for (uint32_t k = 0; k < cr.cig_cnt; k++) {
+      uint32_t c = cig[k];
+      int op = (int)(c & 0xF);
+      if (op == CMATCH || op == CDEL || op == CREF_SKIP || op == 7 ||
+          op == 8)
+        rlen += c >> 4;
     }
-    if (qlen == 0 || qlen > 254) return kBail;
-    if (cr.flags < 0 || cr.flags > 0xFFFF) return kBail;
-    if (cr.cig_cnt > 0xFFFF) return kBail;  // CG escape: python path
-    const uint32_t* cig = st.cigs.data() + cr.cig_off;
-    int64_t l_qseq = (int64_t)cr.seq_len;
-    if (l_qseq > 0 && (int64_t)cr.qual_len != l_qseq) return kBail;
-    if (cr.mqual < 0 || cr.mqual > 0xFF) return kBail;
-    int64_t rlen = 0;
-    if (!(cr.flags & FUNMAP)) {
-      for (uint32_t k = 0; k < cr.cig_cnt; k++) {
-        uint32_t c = cig[k];
-        int op = (int)(c & 0xF);
-        if (op == CMATCH || op == CDEL || op == CREF_SKIP || op == 7 ||
-            op == 8)
-          rlen += c >> 4;
-      }
-    }
-    int64_t pos0 = cr.apos - 1;
-    int32_t bin = reg2bin_c(pos0, pos0 + (rlen ? rlen : 1));
-    uint32_t l_qname = qlen + 1;
-    uint32_t rg_len = 0;
-    const uint8_t* rg_at = nullptr;
-    if (cr.rg >= 0 && cr.rg < n_rg && rg_valid[cr.rg]) {
-      rg_at = rg_buf + rg_offs[cr.rg];
-      rg_len = rg_lens[cr.rg];
-    }
-    uint64_t bsz = 32 + l_qname + 4ull * cr.cig_cnt +
-                   (uint64_t)((l_qseq + 1) / 2) + (uint64_t)l_qseq +
-                   cr.aux_len + (rg_at ? 4ull + rg_len : 0);
-    if (bsz > 0x7FFFFFFF) return kBail;
-    out.reserve(4 + bsz);
-    uint32_t u32 = (uint32_t)bsz;
-    out.put(&u32, 4);
-    int32_t i32 = cr.ref_id;
-    out.put(&i32, 4);
-    i32 = (int32_t)pos0;
-    out.put(&i32, 4);
-    out.putc((char)(uint8_t)l_qname);
-    out.putc((char)(uint8_t)cr.mqual);
-    uint16_t u16 = (uint16_t)bin;
-    out.put(&u16, 2);
-    u16 = (uint16_t)cr.cig_cnt;
-    out.put(&u16, 2);
-    u16 = (uint16_t)cr.flags;
-    out.put(&u16, 2);
-    i32 = (int32_t)l_qseq;
-    out.put(&i32, 4);
-    i32 = cr.mate_ref_id;
-    out.put(&i32, 4);
-    i32 = (int32_t)(cr.mate_pos - 1);
-    out.put(&i32, 4);
-    if (cr.tlen < INT32_MIN || cr.tlen > INT32_MAX) return kBail;
-    i32 = (int32_t)cr.tlen;
-    out.put(&i32, 4);
-    out.put(qname, qlen);
+  }
+  int64_t pos0 = cr.apos - 1;
+  int32_t bin = reg2bin_c(pos0, pos0 + (rlen ? rlen : 1));
+  uint32_t l_qname = qlen + 1;
+  uint32_t rg_len = 0;
+  const uint8_t* rg_at = nullptr;
+  if (cr.rg >= 0 && cr.rg < n_rg && rg_valid[cr.rg]) {
+    rg_at = rg_buf + rg_offs[cr.rg];
+    rg_len = rg_lens[cr.rg];
+  }
+  uint64_t bsz = 32 + l_qname + 4ull * cr.cig_cnt +
+                 (uint64_t)((l_qseq + 1) / 2) + (uint64_t)l_qseq +
+                 cr.aux_len + (rg_at ? 4ull + rg_len : 0);
+  if (bsz > 0x7FFFFFFF) return false;
+  out.reserve(4 + bsz);
+  uint32_t u32 = (uint32_t)bsz;
+  out.put(&u32, 4);
+  int32_t i32 = cr.ref_id;
+  out.put(&i32, 4);
+  i32 = (int32_t)pos0;
+  out.put(&i32, 4);
+  out.putc((char)(uint8_t)l_qname);
+  out.putc((char)(uint8_t)cr.mqual);
+  uint16_t u16 = (uint16_t)bin;
+  out.put(&u16, 2);
+  u16 = (uint16_t)cr.cig_cnt;
+  out.put(&u16, 2);
+  u16 = (uint16_t)cr.flags;
+  out.put(&u16, 2);
+  i32 = (int32_t)l_qseq;
+  out.put(&i32, 4);
+  i32 = cr.mate_ref_id;
+  out.put(&i32, 4);
+  i32 = (int32_t)(cr.mate_pos - 1);
+  out.put(&i32, 4);
+  if (cr.tlen < INT32_MIN || cr.tlen > INT32_MAX) return false;
+  i32 = (int32_t)cr.tlen;
+  out.put(&i32, 4);
+  out.put(qname, qlen);
+  out.putc('\0');
+  if (cr.cig_cnt) out.put(cig, 4 * (size_t)cr.cig_cnt);
+  if (l_qseq) {
+    out.reserve((size_t)((l_qseq + 1) / 2));
+    uint8_t* dst = out.data() + out.len();
+    const uint8_t* s = st.seqs.data() + cr.seq_off;
+    for (int64_t k = 0; k < l_qseq / 2; k++)
+      dst[k] = (uint8_t)((kNt16Enc.t[s[2 * k]] << 4) |
+                         kNt16Enc.t[s[2 * k + 1]]);
+    if (l_qseq & 1)
+      dst[l_qseq / 2] = (uint8_t)(kNt16Enc.t[s[l_qseq - 1]] << 4);
+    out.bump((size_t)((l_qseq + 1) / 2));
+    out.put(st.quals.data() + cr.qual_off, cr.qual_len);
+  }
+  out.put(st.auxs.data() + cr.aux_off, cr.aux_len);
+  if (rg_at) {
+    out.put("RGZ", 3);
+    out.put(rg_at, rg_len);
     out.putc('\0');
-    if (cr.cig_cnt) out.put(cig, 4 * (size_t)cr.cig_cnt);
-    if (l_qseq) {
-      out.reserve((size_t)((l_qseq + 1) / 2));
-      uint8_t* dst = out.data() + out.len();
-      const uint8_t* s = st.seqs.data() + cr.seq_off;
-      for (int64_t k = 0; k < l_qseq / 2; k++)
-        dst[k] = (uint8_t)((kNt16Enc.t[s[2 * k]] << 4) |
-                           kNt16Enc.t[s[2 * k + 1]]);
-      if (l_qseq & 1)
-        dst[l_qseq / 2] = (uint8_t)(kNt16Enc.t[s[l_qseq - 1]] << 4);
-      out.bump((size_t)((l_qseq + 1) / 2));
-      out.put(st.quals.data() + cr.qual_off, cr.qual_len);
-    }
-    out.put(st.auxs.data() + cr.aux_off, cr.aux_len);
-    if (rg_at) {
-      out.put("RGZ", 3);
-      out.put(rg_at, rg_len);
-      out.putc('\0');
-    }
+  }
+  return true;
+}
+
+}  // namespace cramdec
+
+extern "C" {
+
+// Decode one CRAM v3 slice to a u32-framed BAM record stream.
+// Returns total bytes via *out_ptr (htstpu_buf_free to release),
+// -100 = unsupported/bail (caller uses the Python decoder), -1 = OOM.
+int64_t htstpu_cram_decode_slice(
+    const uint8_t* comp_hdr, uint64_t comp_hdr_len,
+    int32_t ref_seq_id, int64_t ref_seq_start, int64_t ref_seq_span,
+    int32_t num_records, int64_t record_counter,
+    int32_t n_blocks, const int32_t* content_types, const int32_t* content_ids,
+    const uint64_t* blk_offs, const uint64_t* blk_lens, const uint8_t* blk_buf,
+    const uint8_t* ref, uint64_t ref_window_len, int64_t ref_start,
+    int64_t ref_chrom_len,
+    int32_t n_rg, const uint8_t* rg_buf, const uint64_t* rg_offs,
+    const uint32_t* rg_lens, const uint8_t* rg_valid,
+    int32_t decode_md, uint8_t** out_ptr) {
+  using namespace cramdec;
+  SliceDec sd;
+  int64_t rc = decode_slice_core(
+      comp_hdr, comp_hdr_len, ref_seq_id, ref_seq_start, ref_seq_span,
+      num_records, record_counter, n_blocks, content_types, content_ids,
+      blk_offs, blk_lens, blk_buf, ref, ref_window_len, ref_start,
+      ref_chrom_len, n_rg, decode_md, &sd);
+  if (rc < 0) return rc;
+
+  Buf out;
+  for (int32_t i = 0; i < num_records; i++) {
+    if (!pack_one(sd, i, n_rg, rg_buf, rg_offs, rg_lens, rg_valid, out))
+      return kBail;
   }
 
   uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
@@ -3546,33 +3599,121 @@ int64_t htstpu_cram_slice_to_sam(
   uint64_t t1 = prof_now();
   g_prof[0] += t1 - t0;
 
-  // 2. slice decode to a u32-framed BAM blob
-  uint8_t* blob = nullptr;
-  int64_t blen = htstpu_cram_decode_slice(
+  // 2. slice decode into record views over slice arenas
+  using namespace cramdec;
+  SliceDec sd;
+  int64_t drc = decode_slice_core(
       comp_hdr, comp_hdr_len, ref_seq_id, ref_seq_start, ref_seq_span,
       num_records, record_counter, n_blocks, content_types, content_ids,
       uoffs.data(), raw_sizes, arena.data(), ref, ref_window_len,
-      ref_start, ref_chrom_len, n_rg, rg_buf, rg_offs, rg_lens, rg_valid,
-      decode_md, &blob);
-  if (blen < 0) return blen;
+      ref_start, ref_chrom_len, n_rg, decode_md, &sd);
+  if (drc < 0) return drc;
   uint64_t t2 = prof_now();
   g_prof[1] += t2 - t1;
 
-  // 3. format records as SAM text
+  // 3. format records as SAM text straight from the arenas — no
+  // intermediate BAM blob (no nibble pack/unpack round-trip).  Rare
+  // records that may need the CG long-cigar escape detour through
+  // pack_one + format_record, which owns that logic (sam.c:680).
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  DecState& st = sd.st;
   Buf out;
-  out.reserve((size_t)blen * 5 / 2 + 4096);
-  uint64_t p = 0;
-  int64_t rc = 0;
-  while (p + 4 <= (uint64_t)blen) {
-    uint32_t bsz;
-    memcpy(&bsz, blob + p, 4);
-    if (p + 4 + bsz > (uint64_t)blen) { rc = -2; break; }
-    if (format_record(blob + p + 4, bsz, nt, &out) < 0) { rc = -2; break; }
-    p += 4 + bsz;
+  out.reserve(st.seqs.len() * 5 / 2 + (size_t)num_records * 64 + 4096);
+  Buf scratch;
+  char gen[40];
+  // canonical base mapping: what a BAM nibble round-trip would emit
+  static const struct Canon {
+    uint8_t t[256];
+    Canon() {
+      for (int i = 0; i < 256; i++) t[i] = kNt16[kNt16Enc.t[i] & 0xF];
+    }
+  } kCanon;
+  for (int32_t i = 0; i < num_records; i++) {
+    RecTmp& cr = sd.recs[i];
+    const uint32_t* cig = st.cigs.data() + cr.cig_off;
+    if (cr.cig_cnt == 1 && cr.ref_id >= 0 && cr.apos - 1 >= 0 &&
+        cig[0] == (((uint32_t)cr.seq_len << 4) | 4)) {
+      // possible CG-escape shape: let the BAM formatter decide
+      scratch.clear();
+      if (!pack_one(sd, i, n_rg, rg_buf, rg_offs, rg_lens, rg_valid,
+                    scratch))
+        return kBail;
+      if (format_record(scratch.data() + 4, (uint32_t)(scratch.len() - 4),
+                        nt, &out) < 0)
+        return -2;
+      continue;
+    }
+    const char* qname;
+    uint32_t qlen;
+    if (!qname_of(sd, i, gen, &qname, &qlen)) return kBail;
+    if (cr.flags < 0 || cr.flags > 0xFFFF) return kBail;
+    if (cr.cig_cnt > 0xFFFF) return kBail;  // CG escape: python path
+    int64_t l_qseq = (int64_t)cr.seq_len;
+    if (l_qseq > 0 && (int64_t)cr.qual_len != l_qseq) return kBail;
+    if (cr.mqual < 0 || cr.mqual > 0xFF) return kBail;
+    if (cr.tlen < INT32_MIN || cr.tlen > INT32_MAX) return kBail;
+    out.put(qname, qlen);
+    out.putc('\t');
+    out.put_i64(cr.flags);
+    out.putc('\t');
+    int32_t tid = cr.ref_id;
+    if (tid >= 0 && tid < nt.n_ref)
+      out.put(nt.buf + nt.offs[tid], nt.lens[tid]);
+    else
+      out.putc('*');
+    out.putc('\t');
+    out.put_i64(cr.apos);
+    out.putc('\t');
+    out.put_i64(cr.mqual);
+    out.putc('\t');
+    if (cr.cig_cnt == 0) {
+      out.putc('*');
+    } else {
+      for (uint32_t k = 0; k < cr.cig_cnt; k++) {
+        uint32_t c = cig[k];
+        out.put_i64(c >> 4);
+        out.putc(kCigChar[c & 0xF]);
+      }
+    }
+    out.putc('\t');
+    int32_t mtid = cr.mate_ref_id;
+    if (mtid < 0) out.putc('*');
+    else if (mtid == tid) out.putc('=');
+    else if (mtid < nt.n_ref) out.put(nt.buf + nt.offs[mtid], nt.lens[mtid]);
+    else out.putc('*');
+    out.putc('\t');
+    out.put_i64(cr.mate_pos);
+    out.putc('\t');
+    out.put_i64(cr.tlen);
+    out.putc('\t');
+    if (l_qseq == 0) {
+      out.putc('*');
+    } else {
+      out.reserve((size_t)l_qseq);
+      uint8_t* dst = out.data() + out.len();
+      const uint8_t* s = st.seqs.data() + cr.seq_off;
+      for (int64_t k = 0; k < l_qseq; k++) dst[k] = kCanon.t[s[k]];
+      out.bump((size_t)l_qseq);
+    }
+    out.putc('\t');
+    const uint8_t* q = st.quals.data() + cr.qual_off;
+    if (l_qseq == 0 || q[0] == 0xFF) {
+      out.putc('*');
+    } else {
+      out.reserve((size_t)l_qseq);
+      uint8_t* dst = out.data() + out.len();
+      for (int64_t k = 0; k < l_qseq; k++) dst[k] = q[k] + 33;
+      out.bump((size_t)l_qseq);
+    }
+    if (format_aux(st.auxs.data() + cr.aux_off, cr.aux_len, -1, 0,
+                   &out) < 0)
+      return -2;
+    if (cr.rg >= 0 && cr.rg < n_rg && rg_valid[cr.rg]) {
+      out.put("\tRG:Z:", 6);
+      out.put(rg_buf + rg_offs[cr.rg], rg_lens[cr.rg]);
+    }
+    out.putc('\n');
   }
-  free(blob);
-  if (rc) return rc;
   g_prof[2] += prof_now() - t2;
 
   uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
