@@ -85,3 +85,34 @@ def test_bam_stream_framing(tmp_path):
         n += 1
     assert p == len(blob)
     assert n == len(recs)
+
+
+def test_direct_formatter_edge_records(tmp_path):
+    """The fused native slice->SAM path formats straight from decoded
+    record arenas (no BAM blob); hostile record shapes must match the
+    record-at-a-time path byte for byte: ambiguity/lowercase bases (BAM
+    nibble canonicalisation), '*' quals, unmapped mates, empty aux, and
+    a soft-clip-everything CIGAR (the CG-escape-shaped detour)."""
+    sam_text = "\n".join([
+        "@HD\tVN:1.6\tSO:coordinate",
+        "@SQ\tSN:c1\tLN:10000",
+        "@RG\tID:rgx\tSM:s",
+        # lowercase + ambiguity codes; canonicalised by nibble tables
+        "r1\t0\tc1\t100\t30\t8M\t*\t0\t0\tacgtMRWS\tIIIIIIII\tRG:Z:rgx",
+        "r2\t0\tc1\t120\t30\t4M\t*\t0\t0\tNNKD\t*",                  # no qual
+        # soft-clip-everything CIGAR: same shape the CG escape uses
+        "r3\t0\tc1\t140\t0\t6S\t*\t0\t0\tACGTAC\t!!!!!!",
+        "r4\t4\t*\t0\t0\t*\t*\t0\t0\tGGGG\tJJJJ",                    # unmapped
+        "r5\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*",                          # no seq
+    ]) + "\n"
+    src = tmp_path / "edge.sam"
+    src.write_text(sam_text)
+    with SamReader(str(src)) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    out = str(tmp_path / "edge.cram")
+    with CramWriter(out, hdr) as cw:
+        for r in recs:
+            cw.write(r)
+    h, sam = cram_file_to_sam(out)
+    assert bytes(sam.tobytes()) == record_path_sam(out)
