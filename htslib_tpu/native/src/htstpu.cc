@@ -3323,6 +3323,13 @@ int64_t decode_slice_core(
     if (!h.qs_seq_orient && (cr.flags & FREVERSE) && cr.qual_len)
       std::reverse(st.quals.data() + cr.qual_off,
                    st.quals.data() + cr.qual_off + cr.qual_len);
+    // the RecTmp views are uint32 (offset,len) pairs into the arenas: a
+    // hostile slice (2^31 records x 2^28-byte seqs) could push an arena
+    // past 4 GiB and wrap the offsets into silent corruption — bail first
+    if (st.names.len() > UINT32_MAX || st.auxs.len() > UINT32_MAX ||
+        st.seqs.len() > UINT32_MAX || st.quals.len() > UINT32_MAX ||
+        st.cigs.size() > UINT32_MAX)
+      return kBail;
   }
 
   if (!slice_xref(recs)) return kBail;
@@ -3631,7 +3638,7 @@ int64_t htstpu_cram_slice_to_sam(
   for (int32_t i = 0; i < num_records; i++) {
     RecTmp& cr = sd.recs[i];
     const uint32_t* cig = st.cigs.data() + cr.cig_off;
-    if (cr.cig_cnt == 1 && cr.ref_id >= 0 && cr.apos - 1 >= 0 &&
+    if (cr.cig_cnt > 0 && cr.ref_id >= 0 && cr.apos - 1 >= 0 &&
         cig[0] == (((uint32_t)cr.seq_len << 4) | 4)) {
       // possible CG-escape shape: let the BAM formatter decide
       scratch.clear();

@@ -848,6 +848,11 @@ def sam_to_bam_file(text: bytes, header: SamHeader, out_path: str,
             if off == len(pending):
                 pending = bytearray()
                 off = 0
+            elif off >= (8 << 20):
+                # compact the consumed prefix (amortised O(1)/byte) so
+                # peak RSS stays O(window), not O(file)
+                pending = pending[off:]
+                off = 0
 
         for blob in pipeline_map(stage, chunks(), window=3):
             pending += blob

@@ -59,7 +59,9 @@ def main():
         outs = [stage(j) for j in jobs]
         t_stage = time.time() - t0
     nbytes = sum(len(o) for o in outs)
-    print(f"(b) stage x1 thread: {t_stage:.3f}s  ({nbytes/1e6:.1f} MB SAM)")
+    nrec = sum(o.count(b"\n") for o in outs)
+    print(f"(b) stage x1 thread: {t_stage:.3f}s  ({nbytes/1e6:.1f} MB SAM, "
+          f"{nrec} records)")
 
     # (c) full pipeline
     for w in (2, 4, 8):
@@ -67,7 +69,7 @@ def main():
         hdr, out = cram_file_to_sam(cram, window=w)
         dt = time.time() - t0
         print(f"(c) pipeline window={w}: {dt:.3f}s  -> "
-              f"{400000/dt/1e3:.0f} krec/s")
+              f"{nrec/dt/1e3:.0f} krec/s")
 
 
 if __name__ == "__main__":

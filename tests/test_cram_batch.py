@@ -104,6 +104,11 @@ def test_direct_formatter_edge_records(tmp_path):
         "r3\t0\tc1\t140\t0\t6S\t*\t0\t0\tACGTAC\t!!!!!!",
         "r4\t4\t*\t0\t0\t*\t*\t0\t0\tGGGG\tJJJJ",                    # unmapped
         "r5\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*",                          # no seq
+        # true CG escape: 2-op placeholder <qlen>S<span>N + CG:B,I real
+        # cigar (3M50N3M) — bam_tag2cigar (sam.c:680) swaps it in; both
+        # paths must emit the real cigar with the CG tag dropped
+        "r6\t0\tc1\t200\t0\t6S56N\t*\t0\t0\tACGTAC\tIIIIII\t"
+        "CG:B:I,48,803,48",
     ]) + "\n"
     src = tmp_path / "edge.sam"
     src.write_text(sam_text)
