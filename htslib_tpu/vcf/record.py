@@ -602,6 +602,403 @@ class BcfRecord:
         self._shared = None
         self._indiv = None
 
+    # ==================================================================
+    # write-side record CRUD (bcf_update_*, vcf.c:5546-6035,
+    # htslib/vcf.h:640-1100).  Return 0 on success, -1 when the tag is
+    # not defined in the header (the htslib contract); mutations
+    # invalidate the retained wire blobs so to_bcf() re-encodes.
+    # ==================================================================
+
+    def update_info(self, header: BcfHeader, key: str, values=None,
+                    type: Optional[int] = None) -> int:
+        """bcf_update_info (vcf.c:5546).  values=None removes the tag;
+        True sets a FLAG; int/float/str or sequences update.  None
+        elements inside a sequence become the missing sentinel."""
+        kid = header.id2int(key)
+        if kid < 0 or not header.id_defined(BCF_HL_INFO, kid):
+            return -1
+        ht = type
+        if ht is None:
+            ht, _, _ = header.coltype(BCF_HL_INFO, kid)
+        idx = next((i for i, e in enumerate(self.info) if e.key == kid),
+                   None)
+        is_end = key == "END"
+        is_svlen = key == "SVLEN"
+
+        remove = values is None or values is False or (
+            isinstance(values, (list, tuple, np.ndarray)) and len(values) == 0)
+        if remove:
+            if idx is not None:
+                del self.info[idx]
+                self.mark_dirty()
+            if is_end or is_svlen:
+                self.rlen = get_rlen(header, self)
+            return 0
+
+        if ht == BCF_HT_FLAG or values is True:
+            val = None
+            ht = BCF_HT_FLAG
+        elif ht == BCF_HT_STR:
+            if isinstance(values, bytes):
+                val = values
+            elif isinstance(values, str):
+                val = values.encode()
+            else:
+                val = ",".join(str(v) for v in values).encode()
+        elif ht == BCF_HT_REAL:
+            val = _coerce_float_bits(values)
+        else:
+            ht = BCF_HT_INT
+            val = _coerce_int32(values)
+            if is_end:
+                if len(val) != 1:
+                    return -1
+        e = InfoEntry(kid, ht, val)
+        if idx is not None:
+            self.info[idx] = e
+        else:
+            self.info.append(e)
+        self.mark_dirty()
+        if is_end or is_svlen:
+            self.rlen = get_rlen(header, self)
+        return 0
+
+    def update_format(self, header: BcfHeader, key: str, values=None,
+                      type: Optional[int] = None) -> int:
+        """bcf_update_format (vcf.c:5710).  values: [n_sample, width]
+        array (or nested sequence); None removes the tag.  A new GT
+        entry is inserted first (VCF spec order, vcf.c:5779)."""
+        kid = header.id2int(key)
+        idx = next((i for i, e in enumerate(self.fmt) if e.key == kid),
+                   None)
+        remove = values is None or (
+            isinstance(values, (list, tuple, np.ndarray)) and len(values) == 0)
+        if kid < 0 or not header.id_defined(BCF_HL_FMT, kid):
+            return 0 if remove else -1
+        is_len = key == "LEN"
+        if remove:
+            if idx is not None:
+                del self.fmt[idx]
+                self.mark_dirty()
+            if is_len:
+                self.rlen = get_rlen(header, self)
+            return 0
+
+        self.n_sample = header.n_samples
+        ht = type
+        if ht is None:
+            ht, _, _ = header.coltype(BCF_HL_FMT, kid)
+        is_gt = key == "GT"
+        if is_gt:
+            ht = BCF_HT_INT
+        if ht == BCF_HT_REAL:
+            arr = _coerce_float_bits_2d(values, self.n_sample)
+        elif ht == BCF_HT_STR:
+            arr = _coerce_char_matrix(values, self.n_sample)
+        else:
+            ht = BCF_HT_INT
+            arr = _coerce_int32_2d(values, self.n_sample)
+        entry = FmtEntry(kid, ht, arr, is_gt)
+        if idx is not None:
+            self.fmt[idx] = entry
+        elif is_gt and self.fmt:
+            self.fmt.insert(0, entry)
+        else:
+            self.fmt.append(entry)
+        self.mark_dirty()
+        if is_len:
+            self.rlen = get_rlen(header, self)
+        return 0
+
+    def update_format_string(self, header: BcfHeader, key: str,
+                             strings) -> int:
+        """bcf_update_format_string (vcf.c:5684): one string per sample,
+        padded to equal width with NULs."""
+        if strings is None or len(strings) == 0:
+            return self.update_format(header, key, None, BCF_HT_STR)
+        return self.update_format(header, key, strings, BCF_HT_STR)
+
+    def update_genotypes(self, header: BcfHeader, gts) -> int:
+        """bcf_update_genotypes (htslib/vcf.h:1022): gts are encoded
+        values from gt_phased()/gt_unphased()/GT_MISSING, shaped
+        [n_sample, ploidy]; ragged rows are VECTOR_END padded."""
+        return self.update_format(header, "GT", gts, BCF_HT_INT)
+
+    def update_alleles(self, header: BcfHeader, alleles) -> int:
+        """bcf_update_alleles (vcf.c:5906) + _bcf1_sync_alleles rlen
+        refresh."""
+        self.alleles = [a if isinstance(a, str) else a.decode()
+                        for a in alleles]
+        self.mark_dirty()
+        self.rlen = get_rlen(header, self)
+        return 0
+
+    def update_alleles_str(self, header: BcfHeader,
+                           alleles_string: str) -> int:
+        return self.update_alleles(header, alleles_string.split(","))
+
+    def update_filter(self, header: BcfHeader, flt_ids) -> int:
+        """bcf_update_filter (vcf.c:5824): replace the whole set."""
+        self.filters = [int(f) for f in (flt_ids or [])]
+        self.mark_dirty()
+        return 0
+
+    def add_filter(self, header: BcfHeader, flt_id: int) -> int:
+        """bcf_add_filter (vcf.c:5837): PASS (id 0) clears the rest;
+        adding over lone PASS replaces it.  Returns 1 if added."""
+        if flt_id in self.filters:
+            return 0
+        if flt_id == 0 or (len(self.filters) == 1 and self.filters[0] == 0):
+            self.filters = [flt_id]
+        else:
+            self.filters.append(flt_id)
+        self.mark_dirty()
+        return 1
+
+    def remove_filter(self, header: BcfHeader, flt_id: int,
+                      pass_: bool = False) -> int:
+        """bcf_remove_filter (vcf.c:5855)."""
+        if flt_id not in self.filters:
+            return 0
+        self.filters.remove(flt_id)
+        if not self.filters and pass_:
+            self.add_filter(header, 0)
+        else:
+            self.mark_dirty()
+        return 0
+
+    def has_filter(self, header: BcfHeader, name: str) -> int:
+        """bcf_has_filter (vcf.c:5869): 1/0, -1 if undefined. '.' means
+        PASS; PASS also matches an empty filter set."""
+        if name == ".":
+            name = "PASS"
+        fid = header.id2int(name)
+        if fid < 0 or not header.id_defined(BCF_HL_FLT, fid):
+            return -1
+        if fid == 0 and not self.filters:
+            return 1
+        return 1 if fid in self.filters else 0
+
+    def update_id(self, id_: Optional[str]) -> int:
+        """bcf_update_id (vcf.c:5988)."""
+        self.id = "" if id_ in (None, ".") else id_
+        self.mark_dirty()
+        return 0
+
+    def add_id(self, id_: Optional[str]) -> int:
+        """bcf_add_id (vcf.c:6002): append ';'-separated if absent."""
+        if not id_:
+            return 0
+        if self.id:
+            if id_ in self.id.split(";"):
+                return 0
+            self.id = self.id + ";" + id_
+        else:
+            self.id = id_
+        self.mark_dirty()
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# genotype encoding macros (htslib/vcf.h:1030-1037)
+# ---------------------------------------------------------------------------
+
+GT_MISSING = 0
+
+
+def gt_phased(idx: int) -> int:
+    return ((idx + 1) << 1) | 1
+
+
+def gt_unphased(idx: int) -> int:
+    return (idx + 1) << 1
+
+
+def gt_allele(val: int) -> int:
+    return (val >> 1) - 1
+
+
+def gt_is_phased(val: int) -> bool:
+    return bool(val & 1)
+
+
+# ---------------------------------------------------------------------------
+# update_* value coercion
+# ---------------------------------------------------------------------------
+
+def _coerce_int32(values) -> np.ndarray:
+    """Scalars/sequences -> int32 with None -> MISSING."""
+    if isinstance(values, np.ndarray):
+        return values.astype(np.int32, copy=False).reshape(-1)
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    return np.array([INT32_MISSING if v is None else int(v)
+                     for v in values], np.int32)
+
+
+def _coerce_float_bits(values) -> np.ndarray:
+    """Scalars/sequences -> uint32 float bit patterns; None -> MISSING."""
+    if isinstance(values, np.ndarray):
+        if values.dtype == np.uint32:
+            return values.reshape(-1)
+        return values.astype("<f4").reshape(-1).view(np.uint32).copy()
+    if not isinstance(values, (list, tuple)):
+        values = [values]
+    out = np.empty(len(values), np.uint32)
+    for i, v in enumerate(values):
+        out[i] = (FLOAT_MISSING if v is None else
+                  struct.unpack("<I", struct.pack("<f", float(v)))[0])
+    return out
+
+
+def _ragged_rows(values, n_sample: int):
+    """values as n_sample rows (sequences / scalars / None)."""
+    if isinstance(values, np.ndarray) and values.ndim == 2:
+        rows = [values[i] for i in range(values.shape[0])]
+    elif isinstance(values, np.ndarray):
+        flat = values.reshape(-1)
+        if n_sample and len(flat) % n_sample == 0:
+            w = len(flat) // n_sample
+            rows = [flat[i * w:(i + 1) * w] for i in range(n_sample)]
+        else:
+            rows = [flat]
+    else:
+        rows = []
+        for v in values:
+            if v is None or isinstance(v, (int, float)):
+                rows.append([v])
+            else:
+                rows.append(list(v))
+    if len(rows) != n_sample:
+        raise ValueError(
+            f"FORMAT update needs {n_sample} sample rows, got {len(rows)}")
+    return rows
+
+
+def _coerce_int32_2d(values, n_sample: int) -> np.ndarray:
+    rows = _ragged_rows(values, n_sample)
+    width = max((len(r) for r in rows), default=1) or 1
+    arr = np.full((n_sample, width), INT32_VECTOR_END, np.int32)
+    for i, r in enumerate(rows):
+        for j, v in enumerate(r):
+            arr[i, j] = INT32_MISSING if v is None else int(v)
+    return arr
+
+
+def _coerce_float_bits_2d(values, n_sample: int) -> np.ndarray:
+    if isinstance(values, np.ndarray) and values.dtype == np.uint32 \
+            and values.ndim == 2:
+        return values
+    rows = _ragged_rows(values, n_sample)
+    width = max((len(r) for r in rows), default=1) or 1
+    arr = np.full((n_sample, width), FLOAT_VECTOR_END, np.uint32)
+    for i, r in enumerate(rows):
+        for j, v in enumerate(r):
+            if v is None:
+                arr[i, j] = FLOAT_MISSING
+            elif isinstance(v, (np.uint32, np.integer)) and \
+                    isinstance(r, np.ndarray) and r.dtype == np.uint32:
+                arr[i, j] = int(v)
+            else:
+                arr[i, j] = struct.unpack(
+                    "<I", struct.pack("<f", float(v)))[0]
+    return arr
+
+
+def _coerce_char_matrix(values, n_sample: int) -> np.ndarray:
+    """One string per sample -> NUL-padded fixed-width char matrix
+    (bcf_update_format_string, vcf.c:5684)."""
+    if isinstance(values, np.ndarray) and values.dtype == np.uint8 \
+            and values.ndim == 2:
+        return values
+    svals = []
+    for v in values:
+        if v is None:
+            svals.append(b".")
+        elif isinstance(v, bytes):
+            svals.append(v)
+        else:
+            svals.append(str(v).encode())
+    if len(svals) != n_sample:
+        raise ValueError(
+            f"FORMAT update needs {n_sample} sample strings, got {len(svals)}")
+    width = max((len(s) for s in svals), default=1) or 1
+    arr = np.zeros((n_sample, width), np.uint8)
+    for i, s in enumerate(svals):
+        arr[i, :len(s)] = np.frombuffer(s, np.uint8)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# rlen derivation (get_rlen, vcf.c:6420): max over REF length, INFO/END,
+# INFO/SVLEN (symbolic CNV/DEL/DUP/INV alts only) and FORMAT/LEN (gVCF
+# <*>/<NON_REF> records only)
+# ---------------------------------------------------------------------------
+
+def _svlen_on_ref_alt(alt: str) -> bool:
+    """svlen_on_ref_for_vcf_alt (hts_internal.h:181)."""
+    if len(alt) < 5 or alt[0] != "<" or alt[-1] != ">":
+        return False
+    if alt[4] not in (">", ":"):
+        return False
+    return alt[1:4] in ("CNV", "DEL", "DUP", "INV")
+
+
+def get_rlen(header: BcfHeader, v: "BcfRecord") -> int:
+    use_svlen = False
+    gvcf = False
+    for alt in v.alleles[1:]:
+        if not alt.startswith("<"):
+            continue
+        if _svlen_on_ref_alt(alt):
+            use_svlen = True
+        elif alt in ("<*>", "<NON_REF>"):
+            gvcf = True
+    len_ref = len(v.alleles[0]) if v.alleles else 0
+
+    endinfo = v.get_info(header, "END") if header.id2int("END") >= 0 else None
+    svleninfo = (v.get_info(header, "SVLEN")
+                 if use_svlen and header.id2int("SVLEN") >= 0 else None)
+    lenfmt = (v.get_fmt(header, "LEN")
+              if gvcf and header.id2int("LEN") >= 0 else None)
+
+    end = 0
+    if endinfo is not None and endinfo.value is not None \
+            and len(endinfo.value) > 0:
+        e0 = int(endinfo.value[0])
+        end = 0 if e0 == INT32_MISSING else e0
+
+    # SVLEN leg (vcf.c:6558): largest |SVLEN| over symbolic alleles
+    length = 0
+    if svleninfo is not None and svleninfo.value is not None:
+        for i in range(len(svleninfo.value)):
+            if i + 1 >= len(v.alleles):
+                break
+            if not _svlen_on_ref_alt(v.alleles[i + 1]):
+                continue
+            t = int(svleninfo.value[i])
+            t = 0 if t == INT32_MISSING else abs(t)
+            length = max(length, t)
+    if (svleninfo is None or not length) and end:
+        length = end - v.pos - 1 if end > v.pos else 0
+    end_svlen = v.pos + length + 1
+
+    # FORMAT/LEN leg (vcf.c:6600)
+    length = 0
+    if lenfmt is not None and lenfmt.value is not None \
+            and lenfmt.type == BCF_HT_INT:
+        for t in lenfmt.value.reshape(-1):
+            t = int(t)
+            if t in (INT32_MISSING, INT32_VECTOR_END):
+                continue
+            length = max(length, t)
+    if (lenfmt is None or not length) and end:
+        length = end - v.pos if end > v.pos else 0
+    end_fmtlen = v.pos + length
+
+    hpos = max(end, end_svlen, end_fmtlen)
+    return max(hpos - v.pos, len_ref)
+
 
 # ---------------------------------------------------------------------------
 # value formatting (bcf_fmt_array, vcf.c:3036)

@@ -73,7 +73,8 @@ def remove_alleles(header: BcfHeader, rec: BcfRecord,
         if keep[i]:
             amap[i] = j
             j += 1
-    rec.alleles = [a for i, a in enumerate(rec.alleles) if keep[i]]
+    rec.update_alleles(header,
+                       [a for i, a in enumerate(rec.alleles) if keep[i]])
     # remap GT
     gt = rec.get_fmt(header, "GT")
     if gt is not None:
