@@ -34,3 +34,165 @@ def test_shards_balanced():
     plan = plan_bam_shards(ref_path("range.bam"), 4)
     sizes = [s.uend - s.ustart for s in plan.shards]
     assert max(sizes) < 2 * min(sizes)
+
+
+# ---------------------------------------------------------------------------
+# coordinate-sharded exact mpileup (SURVEY §7 hard part #4)
+# ---------------------------------------------------------------------------
+
+import glob
+import os
+import random
+import socket
+import subprocess
+import sys
+
+from htslib_tpu.parallel.pileup_shard import (mpileup_one_tile,
+                                              plan_pileup_tiles,
+                                              sharded_mpileup, _load_records)
+from tests.conftest import REF_TEST, REPO
+from tests.test_pileup import format_column, run_pileup
+
+MP_SAMS = sorted(glob.glob(os.path.join(REF_TEST, "mpileup", "*.sam")))
+
+
+@pytest.mark.parametrize("n_shards", [2, 3, 5])
+def test_sharded_mpileup_equals_single_engine(n_shards):
+    """Concatenated tile outputs must equal the single-engine mpileup
+    byte-for-byte — including the overlap-pair quality tweak across
+    tile boundaries (reference sam.c:5803 semantics)."""
+    if not MP_SAMS:
+        pytest.skip("no corpus")
+    for sam in MP_SAMS:
+        want = run_pileup(sam, use_mplp=True)
+        parts = sharded_mpileup(sam, n_shards, format_column)
+        got = "\n".join(l for part in parts for l in part)
+        got = got + "\n" if got else ""
+        assert got == want, f"{os.path.basename(sam)} n={n_shards}"
+
+
+def _synth_paired_sam(path, n_pairs=120, seed=7):
+    """Dense overlapping mate pairs across a long contig so that any
+    tile boundary cuts through many overlap pairs."""
+    rng = random.Random(seed)
+    lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:c1\tLN:100000"]
+    recs = []
+    for i in range(n_pairs):
+        pos = rng.randrange(1, 5000)
+        gap = rng.randrange(0, 40)     # mate starts inside the read
+        mpos = pos + gap
+        seq = "".join(rng.choice("ACGT") for _ in range(60))
+        mseq = "".join(rng.choice("ACGT") for _ in range(60))
+        q1 = "".join(chr(33 + rng.randrange(0, 40)) for _ in range(60))
+        q2 = "".join(chr(33 + rng.randrange(0, 40)) for _ in range(60))
+        recs.append((pos, f"p{i}\t99\tc1\t{pos}\t60\t60M\t=\t{mpos}\t"
+                     f"{mpos - pos + 60}\t{seq}\t{q1}"))
+        recs.append((mpos, f"p{i}\t147\tc1\t{mpos}\t60\t60M\t=\t{pos}\t"
+                     f"{pos - mpos - 60}\t{mseq}\t{q2}"))
+    recs.sort()
+    lines += [r[1] for r in recs]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_mpileup_dense_overlaps(tmp_path, n_shards):
+    sam = str(tmp_path / "dense.sam")
+    _synth_paired_sam(sam)
+    want = run_pileup(sam, use_mplp=True)
+    parts = sharded_mpileup(sam, n_shards, format_column)
+    got = "\n".join(l for part in parts for l in part) + "\n"
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# real multi-process execution: 2 workers + jax.distributed coordinator
+# ---------------------------------------------------------------------------
+
+_WORKER = r'''
+import sys
+pid, nprocs, port, outdir, bam, sam = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    sys.argv[5], sys.argv[6])
+import jax
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+assert jax.process_count() == nprocs
+
+# 1) shard-plan BAM decode: this process's shard only
+from htslib_tpu.parallel.distributed import (decode_shard_to_sam,
+                                             plan_bam_shards)
+plan = plan_bam_shards(bam, nprocs)
+blob = decode_shard_to_sam(plan, plan.shards[pid])
+open(f"{outdir}/shard{pid}.sam", "wb").write(blob)
+
+# 2) coordinate-sharded exact pileup: this process's tile only
+from htslib_tpu.parallel.pileup_shard import (_load_records,
+                                              mpileup_one_tile,
+                                              plan_pileup_tiles)
+from tests.test_pileup import format_column
+_, records = _load_records(sam)
+tiles = plan_pileup_tiles(records, nprocs)
+cols = mpileup_one_tile(sam, tiles[pid], format_column)
+open(f"{outdir}/tile{pid}.txt", "w").write("\n".join(cols))
+
+# 3) a real cross-process collective through the coordinator
+import numpy as np
+from jax.experimental import multihost_utils
+g = multihost_utils.process_allgather(
+    np.array([len(blob), len(cols)], np.int64))
+open(f"{outdir}/gather{pid}.txt", "w").write(
+    ",".join(map(str, np.asarray(g).ravel().tolist())))
+'''
+
+
+def test_two_process_jax_distributed(tmp_path):
+    """Two OS processes, a jax.distributed coordinator, CPU backend:
+    each worker decodes its BAM shard and its pileup tile; the
+    concatenated outputs must equal the single-process results, and a
+    process_allgather must give both workers the same global view."""
+    if not has_ref("range.bam"):
+        pytest.skip("no corpus")
+    bam = ref_path("range.bam")
+    sam = str(tmp_path / "dense.sam")
+    _synth_paired_sam(sam)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(":")
+                  if p and ".axon_site" not in p])
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(pid), "2", str(port),
+         str(tmp_path), bam, sam],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for pid in (0, 1)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    # shard decode equality
+    with BamReader(bam) as r:
+        whole = bam_stream_to_sam(r.fp.read_all(), r.header).tobytes()
+    got = b"".join(open(str(tmp_path / f"shard{i}.sam"), "rb").read()
+                   for i in (0, 1))
+    assert got == whole
+
+    # pileup tile equality
+    want = run_pileup(sam, use_mplp=True)
+    cols = []
+    for i in (0, 1):
+        t = open(str(tmp_path / f"tile{i}.txt")).read()
+        if t:
+            cols.append(t)
+    assert "\n".join(cols) + "\n" == want
+
+    # both workers saw the same allgathered view
+    g0 = open(str(tmp_path / "gather0.txt")).read()
+    g1 = open(str(tmp_path / "gather1.txt")).read()
+    assert g0 == g1 and len(g0.split(",")) == 4
