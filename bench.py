@@ -125,6 +125,88 @@ def build_test_bam(path, n_records=400000, read_len=100, seed=42):
     return n
 
 
+def build_deep_sam(path, n_records=100000, read_len=100, seed=5):
+    """Deep single-contig SAM for the mpileup lane (~66x depth)."""
+    rng = np.random.default_rng(seed)
+    pos = 1000 + np.cumsum(rng.integers(0, 4, n_records))
+    seqs = rng.integers(0, 4, (n_records, read_len))
+    quals = rng.integers(20, 41, (n_records, read_len))
+    base = np.frombuffer(b"ACGT", np.uint8)
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000000\n")
+        for i in range(n_records):
+            s = base[seqs[i]].tobytes().decode()
+            q = (quals[i] + 33).astype(np.uint8).tobytes().decode()
+            f.write(f"r{i}\t0\tchr1\t{pos[i]}\t60\t{read_len}M\t*\t0\t0\t"
+                    f"{s}\t{q}\n")
+    return n_records
+
+
+def build_test_bcf(path, n_records=100000, seed=6):
+    """Multi-sample BCF for the BCF->VCF lane (GT/DP/PL formats,
+    DP/AF info)."""
+    from htslib_tpu.vcf import BcfHeader, BcfRecord, BcfWriter
+    rng = np.random.default_rng(seed)
+    hdr_text = "\n".join([
+        "##fileformat=VCFv4.2", "##contig=<ID=1,length=250000000>",
+        '##FILTER=<ID=PASS,Description="p">',
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="f">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+    ]) + "\n"
+    hdr = BcfHeader(hdr_text)
+    pos = np.cumsum(rng.integers(1, 50, n_records))
+    refs = rng.integers(0, 4, n_records)
+    alts = (refs + rng.integers(1, 4, n_records)) % 4
+    dps = rng.integers(5, 99, n_records)
+    afs = rng.random(n_records).round(3)
+    gts = rng.integers(0, 2, (n_records, 3, 2))
+    sdp = rng.integers(1, 60, (n_records, 3))
+    pls = rng.integers(0, 99, (n_records, 3, 3))
+    with BcfWriter(path, hdr) as w:
+        for i in range(n_records):
+            smp = "\t".join(
+                f"{gts[i,s,0]}/{gts[i,s,1]}:{sdp[i,s]}:"
+                f"{pls[i,s,0]},{pls[i,s,1]},{pls[i,s,2]}"
+                for s in range(3))
+            line = (f"1\t{pos[i]}\trs{i}\t{'ACGT'[refs[i]]}\t"
+                    f"{'ACGT'[alts[i]]}\t{float(30 + i % 40)}\tPASS\t"
+                    f"DP={dps[i]};AF={afs[i]}\tGT:DP:PL\t{smp}\n")
+            w.write(BcfRecord.from_vcf(line, hdr))
+    return n_records
+
+
+def bench_mpileup(sam_path, trials=3):
+    """Whole-file pileup columns (native resolve_cigar2 + overlap
+    tweak engine) in MB of column text per second."""
+    from htslib_tpu.pileup import mpileup_text
+    best = None
+    out_len = 0
+    for _ in range(trials):
+        t0 = time.time()
+        hdr, out = mpileup_text(sam_path)
+        dt = time.time() - t0
+        out_len = len(out)
+        best = dt if best is None else min(best, dt)
+    return best, out_len
+
+
+def bench_bcf2vcf(bcf_path, trials=3):
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    best = None
+    out_len = 0
+    for _ in range(trials):
+        t0 = time.time()
+        hdr, out = bcf_file_to_vcf(bcf_path)
+        dt = time.time() - t0
+        out_len = len(out)
+        best = dt if best is None else min(best, dt)
+    return best, out_len
+
+
 def bench_host(bam_path, trials=6):
     from htslib_tpu.sam import BamReader
     from htslib_tpu.sam.batch import bam_file_to_sam
@@ -214,6 +296,37 @@ def main():
             "sam2bam_gbps": bench_sam2bam(bam, usize),
             "cram": bench_cram(bam, n),
         },
+    }
+
+    # mpileup + VCF lanes (VERDICT r2 #6), vs the measured reference
+    # rates when scripts/measure_baseline.py has recorded them
+    deep = os.path.join(tmpdir, "deep.sam")
+    build_deep_sam(deep)
+    mp_dt, mp_out = bench_mpileup(deep)
+    bcf = os.path.join(tmpdir, "bench.bcf")
+    build_test_bcf(bcf)
+    bv_dt, bv_out = bench_bcf2vcf(bcf)
+    mbase = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as fh:
+            mbase = json.load(fh).get("workloads", {})
+    except (OSError, ValueError):
+        pass
+
+    def ratio(ours_mbps, key):
+        ref = mbase.get(key, {}).get("out_mbps")
+        return round(ours_mbps / ref, 2) if ref else None
+
+    result["detail"]["mpileup"] = {
+        "seconds": round(mp_dt, 3),
+        "out_mbps": round(mp_out / mp_dt / 1e6, 1),
+        "vs_htslib_pileup": ratio(mp_out / mp_dt / 1e6, "mpileup@1"),
+    }
+    result["detail"]["bcf2vcf"] = {
+        "seconds": round(bv_dt, 3),
+        "out_mbps": round(bv_out / bv_dt / 1e6, 1),
+        "vs_htslib_htsfile": ratio(bv_out / bv_dt / 1e6, "bcf2vcf@1"),
     }
     print(json.dumps(result))
 

@@ -84,6 +84,16 @@ class _Native:
         lib.htstpu_sam_to_bam.argtypes = [
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int]
+        lib.htstpu_mpileup.restype = ctypes.c_int64
+        lib.htstpu_mpileup.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.htstpu_bcf_to_vcf.restype = ctypes.c_int64
+        lib.htstpu_bcf_to_vcf.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
+            u8p, u64p, u32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_cram_slice_to_sam.restype = ctypes.c_int64
         lib.htstpu_cram_encode_slice.restype = ctypes.c_int64
@@ -363,6 +373,66 @@ class _Native:
                            ctypes.POINTER(ctypes.c_uint8 * r)).contents
         weakref.finalize(cbuf, self._lib.htstpu_buf_free, out_ptr)
         return np.frombuffer(cbuf, np.uint8)
+
+    def mpileup(self, data: np.ndarray, ref_names: List[str],
+                skip_mask: int = 0, overlaps: bool = True) -> bytes:
+        """Pileup text (test/pileup.c format) over a u32-framed BAM
+        record stream — native resolve_cigar2 + overlap tweak engine.
+        Raises BlockingIOError on kBail (caller uses the Python
+        engine)."""
+        data = np.ascontiguousarray(data)
+        names = [n.encode() for n in ref_names]
+        name_buf = np.frombuffer(b"".join(names) + b"\0", np.uint8)
+        name_lens = np.array([len(n) for n in names] or [0], np.uint32)
+        name_offs = np.zeros(max(len(names), 1), np.uint64)
+        if len(names) > 1:
+            np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_mpileup(
+            self._u8(data), len(data),
+            self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
+            self._ptr(name_lens, ctypes.c_uint32), len(names),
+            skip_mask, 1 if overlaps else 0, ctypes.byref(out_ptr))
+        if r == -100:
+            raise BlockingIOError("native mpileup bailed")
+        if r < 0:
+            raise IOError(f"native mpileup failed ({r})")
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
+
+    @staticmethod
+    def _strtab(names: List[str]):
+        bufs = [n.encode() for n in names]
+        buf = np.frombuffer(b"".join(bufs) + b"\0", np.uint8)
+        lens = np.array([len(n) for n in bufs] or [0], np.uint32)
+        offs = np.zeros(max(len(bufs), 1), np.uint64)
+        if len(bufs) > 1:
+            np.cumsum(lens[:-1], dtype=np.uint64, out=offs[1:])
+        return buf, offs, lens
+
+    def bcf_to_vcf(self, data: np.ndarray, ctg_names: List[str],
+                   id_names: List[str], gt_id: int) -> bytes:
+        """Format a BCF record stream as VCF text (vcf_format port,
+        vcf.c:4304)."""
+        data = np.ascontiguousarray(data)
+        cb, co, cl = self._strtab(ctg_names)
+        ib, io_, il = self._strtab(id_names)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_bcf_to_vcf(
+            self._u8(data), len(data),
+            self._u8(cb), self._ptr(co, ctypes.c_uint64),
+            self._ptr(cl, ctypes.c_uint32), len(ctg_names),
+            self._u8(ib), self._ptr(io_, ctypes.c_uint64),
+            self._ptr(il, ctypes.c_uint32), len(id_names),
+            gt_id, ctypes.byref(out_ptr))
+        if r < 0:
+            raise IOError(f"native BCF format failed on record {-(r + 5000)}")
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
 
     def cram_decode_slice(self, comp_hdr: bytes, ref_seq_id: int,
                           ref_seq_start: int, ref_seq_span: int,

@@ -4323,3 +4323,877 @@ int64_t htstpu_cram_encode_slice(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native mpileup: streaming per-position column builder over a u32-framed
+// BAM record stream — the resolve_cigar2 cursor state machine
+// (sam.c:5409), overlap-pair quality tweaking (sam.c:5803) and the
+// test/pileup.c column format, ported from the golden-tested Python
+// engine (htslib_tpu/pileup.py).
+// ---------------------------------------------------------------------------
+
+namespace plp {
+
+enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4,
+       CHARD = 5, CPAD = 6, CEQUAL = 7, CDIFF = 8 };
+enum { FPAIRED = 1, FPROPER = 2, FUNMAP = 4, FMUNMAP = 8, FREVERSE = 16,
+       FSECONDARY = 256, FQCFAIL = 512, FDUP = 1024 };
+
+static inline bool is_mop(int op) {
+  return op == CMATCH || op == CEQUAL || op == CDIFF;
+}
+static inline bool consumes_ref(int op) {
+  return op == CMATCH || op == CDEL || op == CREF_SKIP || op == CEQUAL ||
+         op == CDIFF;
+}
+
+struct PNode {
+  const uint8_t* rec;   // record payload (after block_size)
+  uint32_t size;
+  int32_t tid, flag, l_qseq, mapq;
+  uint32_t n_cigar;
+  int64_t pos;
+  const uint32_t* cigar;
+  const uint8_t* seq4;
+  const uint8_t* qualp;
+  const char* qname;
+  uint32_t qname_len;
+  int32_t mtid;
+  int64_t mpos, isize;
+  int64_t beg, end, s_end;
+  // resolve_cigar2 cursor
+  int64_t k = -1, x = 0, y = 0;
+  std::vector<uint8_t> qual;   // mutable copy for overlap tweaking
+};
+
+// per-column per-read state (bam_pileup1_t)
+struct PRead {
+  PNode* n;
+  int64_t qpos = 0;
+  int is_del = 0, is_refskip = 0, is_head = 0, is_tail = 0;
+  int64_t indel = 0;
+  int64_t cigar_ind = 0;
+};
+
+static bool parse_rec(const uint8_t* p, uint32_t size, PNode* n) {
+  if (size < 32) return false;
+  n->rec = p;
+  n->size = size;
+  n->tid = (int32_t)rd_u32(p + 0);
+  n->pos = (int32_t)rd_u32(p + 4);
+  uint8_t l_qname = p[8];
+  n->mapq = p[9];
+  n->n_cigar = rd_u16(p + 12);
+  n->flag = rd_u16(p + 14);
+  n->l_qseq = (int32_t)rd_u32(p + 16);
+  n->mtid = (int32_t)rd_u32(p + 20);
+  n->mpos = (int32_t)rd_u32(p + 24);
+  n->isize = (int32_t)rd_u32(p + 28);
+  n->qname = (const char*)p + 32;
+  n->qname_len = l_qname ? l_qname - 1 : 0;
+  const uint8_t* cig = p + 32 + l_qname;
+  n->cigar = (const uint32_t*)cig;
+  n->seq4 = cig + 4ull * n->n_cigar;
+  n->qualp = n->seq4 + (n->l_qseq + 1) / 2;
+  if (n->qualp + n->l_qseq > p + size) return false;
+  // CG long-cigar escape shape: handled by the Python path
+  if (n->n_cigar > 0 && n->l_qseq > 0 &&
+      n->cigar[0] == (((uint32_t)n->l_qseq << 4) | CSOFT))
+    return false;
+  int64_t span = 0;
+  for (uint32_t k = 0; k < n->n_cigar; k++)
+    if (consumes_ref((int)(n->cigar[k] & 0xF))) span += n->cigar[k] >> 4;
+  n->beg = n->pos;
+  n->end = n->pos + span;
+  n->s_end = n->end - 1;
+  n->qual.assign(n->qualp, n->qualp + n->l_qseq);
+  return true;
+}
+
+// resolve_cigar2 (sam.c:5409)
+static void resolve_cigar2(PRead* p, int64_t pos, PNode* s) {
+  const uint32_t* cigar = s->cigar;
+  uint32_t n_cigar = s->n_cigar;
+  if (s->k == -1) {
+    p->qpos = 0;
+    if (n_cigar == 1) {
+      if (is_mop((int)(cigar[0] & 0xF))) { s->k = 0; s->x = s->pos; s->y = 0; }
+    } else {
+      s->x = s->pos; s->y = 0;
+      uint32_t k = 0;
+      for (; k < n_cigar; k++) {
+        int op = (int)(cigar[k] & 0xF);
+        uint32_t l = cigar[k] >> 4;
+        if (consumes_ref(op)) break;
+        if (op == CINS || op == CSOFT) s->y += l;
+      }
+      s->k = k;
+    }
+  } else {
+    int64_t l = cigar[s->k] >> 4;
+    if (pos - s->x >= l) {
+      int op_cur = (int)(cigar[s->k] & 0xF);
+      if (is_mop(op_cur)) s->y += l;
+      s->x += l;
+      uint32_t k = (uint32_t)s->k + 1;
+      for (; k < n_cigar; k++) {
+        int op = (int)(cigar[k] & 0xF);
+        uint32_t l2 = cigar[k] >> 4;
+        if (consumes_ref(op)) break;
+        if (op == CINS || op == CSOFT) s->y += l2;
+      }
+      s->k = k;
+    }
+  }
+  int op = (int)(cigar[s->k] & 0xF);
+  int64_t l = cigar[s->k] >> 4;
+  p->is_del = 0; p->indel = 0; p->is_refskip = 0;
+  if (s->x + l - 1 == pos && (uint32_t)s->k + 1 < n_cigar) {
+    int op2 = (int)(cigar[s->k + 1] & 0xF);
+    int64_t l2 = cigar[s->k + 1] >> 4;
+    if (op2 == CDEL && op != CDEL) {
+      p->indel = -l2;
+      for (uint32_t k = (uint32_t)s->k + 2; k < n_cigar; k++) {
+        int o = (int)(cigar[k] & 0xF);
+        int64_t ll = cigar[k] >> 4;
+        if (o == CDEL) p->indel -= ll; else break;
+      }
+    } else if (op2 == CINS) {
+      p->indel = l2;
+      for (uint32_t k = (uint32_t)s->k + 2; k < n_cigar; k++) {
+        int o = (int)(cigar[k] & 0xF);
+        int64_t ll = cigar[k] >> 4;
+        if (o == CINS) p->indel += ll;
+        else if (o != CPAD) break;
+      }
+    } else if (op2 == CPAD && (uint32_t)s->k + 2 < n_cigar) {
+      int64_t l3 = 0;
+      for (uint32_t k = (uint32_t)s->k + 2; k < n_cigar; k++) {
+        int o = (int)(cigar[k] & 0xF);
+        int64_t ll = cigar[k] >> 4;
+        if (o == CINS) l3 += ll;
+        else if (consumes_ref(o)) break;
+      }
+      if (l3 > 0) p->indel = l3;
+    }
+  }
+  if (is_mop(op)) {
+    p->qpos = s->y + (pos - s->x);
+  } else if (op == CDEL || op == CREF_SKIP) {
+    p->is_del = 1;
+    p->qpos = s->y;
+    p->is_refskip = op == CREF_SKIP ? 1 : 0;
+  }
+  p->is_head = pos == s->pos ? 1 : 0;
+  p->is_tail = pos == s->s_end ? 1 : 0;
+  p->cigar_ind = s->k;
+}
+
+// cigar_iref2iseq_set/next cursor (sam.c:5703 region)
+struct CigCur {
+  const uint32_t* cigar;
+  uint32_t n;
+  int64_t ci = 0, icig = 0, iseq = 0, iref = 0;
+
+  int set(int64_t pos) {
+    if (pos < 0) return -1;
+    icig = iseq = iref = 0;
+    while (ci < (int64_t)n) {
+      uint32_t c = cigar[ci];
+      int op = (int)(c & 0xF);
+      int64_t ln = c >> 4;
+      if (op == CSOFT) { ci++; iseq += ln; icig = 0; continue; }
+      if (op == CHARD || op == CPAD) { ci++; icig = 0; continue; }
+      if (is_mop(op)) {
+        pos -= ln;
+        if (pos < 0) {
+          icig = ln + pos;
+          iseq += icig;
+          iref += icig;
+          return CMATCH;
+        }
+        ci++; iseq += ln; icig = 0; iref += ln;
+        continue;
+      }
+      if (op == CINS) { ci++; iseq += ln; icig = 0; continue; }
+      if (op == CDEL || op == CREF_SKIP) {
+        pos -= ln;
+        if (pos < 0) pos = 0;
+        ci++; icig = 0; iref += ln;
+        continue;
+      }
+      return -2;
+    }
+    iseq = -1;
+    return -1;
+  }
+
+  int next() {
+    while (ci < (int64_t)n) {
+      uint32_t c = cigar[ci];
+      int op = (int)(c & 0xF);
+      int64_t ln = c >> 4;
+      if (is_mop(op)) {
+        if (icig >= ln - 1) { icig = -1; ci++; continue; }
+        iseq++; icig++; iref++;
+        return CMATCH;
+      }
+      if (op == CDEL || op == CREF_SKIP) { ci++; iref += ln; icig = -1; continue; }
+      if (op == CINS || op == CSOFT) { ci++; iseq += ln; icig = -1; continue; }
+      if (op == CHARD || op == CPAD) { ci++; icig = -1; continue; }
+      return -2;
+    }
+    iseq = -1; iref = -1;
+    return -1;
+  }
+
+  bool prev_op_is_del() const {
+    return ci > 0 && (int)(cigar[ci - 1] & 0xF) == CDEL;
+  }
+};
+
+static inline uint32_t x31_hash(const char* s, uint32_t n) {
+  uint32_t h = 0;
+  for (uint32_t i = 0; i < n; i++) h = (h << 5) - h + (uint8_t)s[i];
+  return h;
+}
+static inline uint32_t wang_hash(uint32_t key) {
+  key += ~(key << 15);
+  key ^= key >> 10;
+  key += key << 3;
+  key ^= key >> 6;
+  key += ~(key << 11);
+  key ^= key >> 16;
+  return key;
+}
+
+static inline int seq_nib(const uint8_t* s4, int64_t i) {
+  uint8_t b = s4[i >> 1];
+  return (i & 1) == 0 ? (b >> 4) : (b & 0xF);
+}
+
+// tweak_overlap_quality (sam.c:5803)
+static int tweak_overlap(PNode* na, PNode* nb) {
+  CigCur ca{na->cigar, na->n_cigar};
+  CigCur cb{nb->cigar, nb->n_cigar};
+  int64_t iref = nb->pos;
+  int a_ret = ca.set(iref - na->pos);
+  if (a_ret < 0) return a_ret < -1 ? -1 : 0;
+  int b_ret = cb.set(iref - nb->pos);
+  if (b_ret < 0) return b_ret < -1 ? -1 : 0;
+  int amul, bmul;
+  if (wang_hash(x31_hash(na->qname, na->qname_len)) & 1) { amul = 1; bmul = 0; }
+  else { amul = 0; bmul = 1; }
+  while (true) {
+    while (a_ret >= 0 && ca.iref >= 0 && ca.iref < iref - na->pos)
+      a_ret = ca.next();
+    if (a_ret < 0) return a_ret < -1 ? -1 : 0;
+    while (b_ret >= 0 && cb.iref >= 0 && cb.iref < iref - nb->pos)
+      b_ret = cb.next();
+    if (b_ret < 0) return b_ret < -1 ? -1 : 0;
+    if (iref < ca.iref + na->pos) iref = ca.iref + na->pos;
+    if (iref < cb.iref + nb->pos) iref = cb.iref + nb->pos;
+    iref++;
+    if (ca.iref + na->pos != cb.iref + nb->pos) {
+      if (ca.iref + na->pos < cb.iref + nb->pos && cb.prev_op_is_del()) {
+        while (true) {
+          na->qual[ca.iseq] = amul ? (uint8_t)(na->qual[ca.iseq] * 0.8) : 0;
+          a_ret = ca.next();
+          if (a_ret < 0) return a_ret < -1 ? -1 : 0;
+          if (!(ca.iref + na->pos < cb.iref + nb->pos)) break;
+        }
+      } else if (cb.iref + nb->pos < ca.iref + na->pos && ca.prev_op_is_del()) {
+        while (true) {
+          nb->qual[cb.iseq] = bmul ? (uint8_t)(nb->qual[cb.iseq] * 0.8) : 0;
+          b_ret = cb.next();
+          if (b_ret < 0) return b_ret < -1 ? -1 : 0;
+          if (!(cb.iref + nb->pos < ca.iref + na->pos)) break;
+        }
+      } else {
+        continue;
+      }
+    }
+    if (ca.iseq > na->l_qseq || cb.iseq > nb->l_qseq) return -1;
+    if (seq_nib(na->seq4, ca.iseq) == seq_nib(nb->seq4, cb.iseq)) {
+      int q = na->qual[ca.iseq] + nb->qual[cb.iseq];
+      if (q > 200) q = 200;
+      na->qual[ca.iseq] = (uint8_t)(amul * q);
+      nb->qual[cb.iseq] = (uint8_t)(bmul * q);
+    } else {
+      if (na->qual[ca.iseq] > nb->qual[cb.iseq]) {
+        na->qual[ca.iseq] = (uint8_t)(0.8 * na->qual[ca.iseq]);
+        nb->qual[cb.iseq] = 0;
+      } else if (na->qual[ca.iseq] < nb->qual[cb.iseq]) {
+        nb->qual[cb.iseq] = (uint8_t)(0.8 * nb->qual[cb.iseq]);
+        na->qual[ca.iseq] = 0;
+      } else {
+        na->qual[ca.iseq] = (uint8_t)(amul * (int)(0.8 * na->qual[ca.iseq]));
+        nb->qual[cb.iseq] = (uint8_t)(bmul * (int)(0.8 * nb->qual[cb.iseq]));
+      }
+    }
+  }
+}
+
+}  // namespace plp
+
+extern "C" {
+
+// Pileup text (test/pileup.c format) over a u32-framed BAM record
+// stream.  skip_mask records are dropped (readaln, test/pileup.c:62).
+// Returns output bytes via *out_ptr (htstpu_buf_free), -100 = bail
+// (CG-escape record etc.: caller uses the Python engine), -2 = unsorted.
+int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
+                       const uint8_t* name_buf, const uint64_t* name_offs,
+                       const uint32_t* name_lens, int32_t n_ref,
+                       int32_t skip_mask, int32_t enable_overlaps,
+                       uint8_t** out_ptr) {
+  using namespace plp;
+  std::vector<std::unique_ptr<PNode>> pool;
+  std::vector<PNode*> nodes;
+  std::unordered_map<std::string, PNode*> overlaps;
+
+  int32_t cur_tid = -1;
+  int64_t cur_pos = 0;
+  int32_t max_tid = -1;
+  int64_t max_pos = -1;
+  bool eof = false;
+  uint64_t dp = 0;
+  Buf out;
+  std::string ins_tmp;
+
+  auto read_next = [&](PNode** np) -> int {
+    // pull the next kept record from the stream; 0 = got one, 1 = EOF,
+    // -100 = bail
+    while (dp + 4 <= data_len) {
+      uint32_t bs = rd_u32(data + dp);
+      if (dp + 4 + bs > data_len) return -100;
+      const uint8_t* rp = data + dp + 4;
+      dp += 4ull + bs;
+      auto n = std::make_unique<PNode>();
+      if (!parse_rec(rp, bs, n.get())) return -100;
+      if (n->flag & skip_mask) continue;
+      *np = n.get();
+      pool.push_back(std::move(n));
+      return 0;
+    }
+    return 1;
+  };
+
+  auto overlap_remove = [&](PNode* b) {
+    if (!enable_overlaps) return;
+    if (!b) { overlaps.clear(); return; }
+    if (!((b->flag & FUNMAP) || !(b->flag & FPROPER)))
+      overlaps.erase(std::string(b->qname, b->qname_len));
+  };
+
+  auto overlap_push = [&](PNode* node) -> int {
+    if (!enable_overlaps) return 0;
+    PNode* b = node;
+    if ((b->flag & FMUNMAP) || !(b->flag & FPROPER)) return 0;
+    if ((b->mtid >= 0 && b->tid != b->mtid) ||
+        (std::llabs((long long)b->isize) >= 2 * (int64_t)b->l_qseq &&
+         b->mpos >= node->end))
+      return 0;
+    std::string key(b->qname, b->qname_len);
+    auto it = overlaps.find(key);
+    if (it == overlaps.end()) {
+      if (b->mpos >= b->pos || ((b->flag & FPAIRED) && b->mpos == -1))
+        overlaps.emplace(std::move(key), node);
+      return 0;
+    }
+    int err = tweak_overlap(it->second, node);
+    overlaps.erase(it);
+    return err;
+  };
+
+  auto push = [&](PNode* b) -> int {
+    if (!b) { eof = true; return 0; }
+    if (b->tid < 0 || (b->flag & FUNMAP)) { overlap_remove(b); return 0; }
+    if (b->tid < max_tid) return -2;
+    if (b->tid == max_tid && b->beg < max_pos) return -2;
+    max_tid = b->tid;
+    max_pos = b->beg;
+    if (b->end > cur_pos || b->tid > cur_tid) {
+      if (overlap_push(b) < 0) return -2;
+      nodes.push_back(b);
+    }
+    return 0;
+  };
+
+  std::vector<PRead> plp_col;
+  auto next_column = [&](int32_t* otid, int64_t* opos) -> int {
+    // 1 = column in plp_col, 0 = need more input / done, -2 = error
+    if (eof && nodes.empty()) return 0;
+    while (eof || max_tid > cur_tid ||
+           (max_tid == cur_tid && max_pos > cur_pos)) {
+      plp_col.clear();
+      size_t w = 0;
+      for (size_t i = 0; i < nodes.size(); i++) {
+        PNode* node = nodes[i];
+        if (node->tid < cur_tid ||
+            (node->tid == cur_tid && node->end <= cur_pos)) {
+          overlap_remove(node);
+          continue;
+        }
+        if (node->tid == cur_tid && node->beg <= cur_pos) {
+          PRead p;
+          p.n = node;
+          resolve_cigar2(&p, cur_pos, node);
+          plp_col.push_back(p);
+        }
+        nodes[w++] = node;
+      }
+      nodes.resize(w);
+      int32_t tid = cur_tid;
+      int64_t pos = cur_pos;
+      if (!nodes.empty()) {
+        PNode* head = nodes[0];
+        if (cur_tid > head->tid) return -2;
+        if (cur_tid < head->tid) { cur_tid = head->tid; cur_pos = head->beg; }
+        else if (cur_pos < head->beg) cur_pos = head->beg;
+        else cur_pos++;
+      } else {
+        cur_pos++;
+      }
+      if (!plp_col.empty()) { *otid = tid; *opos = pos; return 1; }
+      if (eof && nodes.empty()) break;
+    }
+    return 0;
+  };
+
+  auto emit = [&](int32_t tid, int64_t pos) {
+    if (tid >= 0 && tid < n_ref)
+      out.put(name_buf + name_offs[tid], name_lens[tid]);
+    else
+      out.putc('*');
+    out.putc('\t');
+    out.put_i64(pos + 1);
+    out.putc('\t');
+    out.put_i64((int64_t)plp_col.size());
+    out.putc('\t');
+    for (auto& p : plp_col) {
+      PNode* b = p.n;
+      bool rev = (b->flag & FREVERSE) != 0;
+      if (p.is_head) {
+        out.putc('^');
+        out.putc((char)('!' + (b->mapq < 93 ? b->mapq : 93)));
+      }
+      if (p.is_del) {
+        out.putc(p.is_refskip ? (rev ? '<' : '>') : '*');
+      } else {
+        char c = kNt16[seq_nib(b->seq4, p.qpos)];
+        out.putc(rev ? (char)tolower(c) : (char)toupper(c));
+      }
+      int64_t del_len = 0;
+      if (p.indel > 0) {
+        // bam_plp_insertion (sam.c:5517)
+        ins_tmp.clear();
+        int64_t j = 1;
+        for (int64_t k = p.cigar_ind + 1; k < (int64_t)b->n_cigar; k++) {
+          int op = (int)(b->cigar[k] & 0xF);
+          int64_t ln = b->cigar[k] >> 4;
+          if (op == CPAD) {
+            ins_tmp.append((size_t)ln, '*');
+          } else if (op == CINS) {
+            for (int64_t z = 0; z < ln; z++) {
+              int64_t qp = p.qpos + j - p.is_del;
+              char c = qp < b->l_qseq ? kNt16[seq_nib(b->seq4, qp)] : 'N';
+              ins_tmp.push_back(rev ? (char)tolower(c) : (char)toupper(c));
+              j++;
+            }
+          } else {
+            if (op == CDEL) del_len = ln;
+            break;
+          }
+        }
+        out.putc('+');
+        out.put_i64((int64_t)ins_tmp.size());
+        out.putc('(');
+        out.put(ins_tmp.data(), ins_tmp.size());
+        out.putc(')');
+      } else {
+        del_len = -p.indel;
+      }
+      if (del_len > 0) {
+        out.putc('-');
+        out.put_i64(del_len);
+        out.put("()", 2);
+      }
+      if (p.is_tail) out.putc('$');
+    }
+    out.putc('\t');
+    for (auto& p : plp_col) {
+      char q = '~';
+      if (p.qpos < p.n->l_qseq && p.n->qual[p.qpos] + 33 < (int)'~')
+        q = (char)(p.n->qual[p.qpos] + 33);
+      out.putc(q);
+    }
+    out.putc('\n');
+  };
+
+  while (true) {
+    int32_t tid;
+    int64_t pos;
+    int r = next_column(&tid, &pos);
+    if (r == -2) return -2;
+    if (r == 1) { emit(tid, pos); continue; }
+    if (eof) break;
+    PNode* b = nullptr;
+    int rr = read_next(&b);
+    if (rr == -100) return -100;
+    if (rr == 1) {
+      if (push(nullptr) < 0) return -2;
+    } else if (push(b) < 0) {
+      return -2;
+    }
+  }
+
+  uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
+  if (!res) return -1;
+  memcpy(res, out.data(), out.len());
+  *out_ptr = res;
+  return (int64_t)out.len();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native BCF->VCF formatter: typed-value decode + vcf_format text
+// assembly (vcf.c:4304) over the uncompressed BCF body ([u32 l_shared]
+// [u32 l_indiv][shared][indiv] frames).  Semantics ported from the
+// golden-tested Python model (htslib_tpu/vcf/record.py to_vcf).
+// ---------------------------------------------------------------------------
+
+namespace bcf {
+
+enum { BT_NULL = 0, BT_INT8 = 1, BT_INT16 = 2, BT_INT32 = 3, BT_INT64 = 4,
+       BT_FLOAT = 5, BT_CHAR = 7 };
+static const int32_t I8_MISS = -128, I8_END = -127;
+static const int32_t I16_MISS = -32768, I16_END = -32767;
+static const int32_t I32_MISS = INT32_MIN, I32_END = INT32_MIN + 1;
+static const uint32_t F_MISS = 0x7F800001u, F_END = 0x7F800002u;
+
+static inline int bt_shift(int bt) {
+  switch (bt) {
+    case BT_INT16: return 1;
+    case BT_INT32: case BT_FLOAT: return 2;
+    case BT_INT64: return 3;
+    default: return 0;
+  }
+}
+
+struct Cur {
+  const uint8_t* p;
+  const uint8_t* e;
+  bool fail = false;
+
+  bool dec_size(int64_t* n, int* bt) {
+    if (p >= e) { fail = true; return false; }
+    uint8_t d = *p++;
+    *bt = d & 0xF;
+    int64_t nn = d >> 4;
+    if (nn == 15) {
+      int64_t sn; int sbt;
+      if (!dec_size(&sn, &sbt)) return false;
+      // scalar int follows
+      if (sbt == BT_INT8) { nn = (int8_t)*p; p += 1; }
+      else if (sbt == BT_INT16) { nn = (int16_t)rd_u16(p); p += 2; }
+      else if (sbt == BT_INT32) { nn = (int32_t)rd_u32(p); p += 4; }
+      else { fail = true; return false; }
+    }
+    *n = nn;
+    return true;
+  }
+
+  int64_t scalar_int() {
+    int64_t n; int bt;
+    if (!dec_size(&n, &bt)) return 0;
+    int64_t v = 0;
+    if (bt == BT_INT8) { v = (int8_t)*p; p += 1; }
+    else if (bt == BT_INT16) { v = (int16_t)rd_u16(p); p += 2; }
+    else if (bt == BT_INT32) { v = (int32_t)rd_u32(p); p += 4; }
+    else fail = true;
+    return v;
+  }
+};
+
+static inline int32_t widen(const uint8_t* p, int bt, int64_t i) {
+  if (bt == BT_INT8) {
+    int32_t v = (int8_t)p[i];
+    if (v == I8_MISS) return I32_MISS;
+    if (v == I8_END) return I32_END;
+    return v;
+  }
+  if (bt == BT_INT16) {
+    int32_t v = (int16_t)rd_u16(p + 2 * i);
+    if (v == I16_MISS) return I32_MISS;
+    if (v == I16_END) return I32_END;
+    return v;
+  }
+  return (int32_t)rd_u32(p + 4 * i);
+}
+
+static void put_g(Buf* out, uint32_t bits) {
+  float f;
+  memcpy(&f, &bits, 4);
+  char tmp[40];
+  int n = snprintf(tmp, sizeof tmp, "%g", (double)f);
+  out->put(tmp, n);
+}
+
+// bcf_fmt_array int leg (vcf.c:3036 / record.py _fmt_int_arr)
+static void fmt_int_arr(Buf* out, const uint8_t* p, int bt, int64_t n) {
+  int any = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t v = widen(p, bt, i);
+    if (v == I32_END) break;
+    if (any) out->putc(',');
+    if (v == I32_MISS) out->putc('.');
+    else out->put_i64(v);
+    any++;
+  }
+  if (!any && n == 0) out->putc('.');
+}
+
+static void fmt_float_arr(Buf* out, const uint8_t* p, int64_t n) {
+  int any = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t b = rd_u32(p + 4 * i);
+    if (b == F_END) break;
+    if (any) out->putc(',');
+    if (b == F_MISS) out->putc('.');
+    else put_g(out, b);
+    any++;
+  }
+  if (!any && n == 0) out->putc('.');
+}
+
+static void fmt_char_arr(Buf* out, const uint8_t* p, int64_t n) {
+  if (n == 0) { out->putc('.'); return; }
+  int any = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = p[i];
+    if (c == 0) break;
+    out->putc(c == 0x07 ? '.' : (char)c);
+    any++;
+  }
+  (void)any;
+}
+
+// bcf_format_gt pre-4.4 (vcf.c:6345 / record.py _fmt_gt)
+static void fmt_gt(Buf* out, const uint8_t* p, int bt, int64_t n) {
+  int any = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t v = widen(p, bt, i);
+    if (v == I32_END) break;
+    if (i) out->putc((v & 1) ? '|' : '/');
+    int32_t al = v >> 1;
+    if (al == 0) out->putc('.');
+    else out->put_i64(al - 1);
+    any++;
+  }
+  if (!any) out->putc('.');
+}
+
+}  // namespace bcf
+
+struct VcfTables {
+  const uint8_t* ctg_buf; const uint64_t* ctg_offs;
+  const uint32_t* ctg_lens; int32_t n_ctg;
+  const uint8_t* id_buf; const uint64_t* id_offs;
+  const uint32_t* id_lens; int32_t n_id;
+  int32_t gt_id;
+};
+
+// Format one BCF record (shared+indiv blobs) as one VCF line + \n.
+static bool fmt_record(const uint8_t* sh, uint32_t l_shared,
+                       const uint8_t* iv, uint32_t l_indiv,
+                       const VcfTables& T, Buf& out) {
+  using namespace bcf;
+  auto put_id = [&](int64_t i) {
+    if (i >= 0 && i < T.n_id) out.put(T.id_buf + T.id_offs[i],
+                                      T.id_lens[i]);
+    else out.putc('.');
+  };
+  int32_t n_ctg = T.n_ctg;
+  int32_t gt_id = T.gt_id;
+  {
+    if (l_shared < 24) return false;
+    int32_t rid = (int32_t)rd_u32(sh + 0);
+    int64_t pos = (int32_t)rd_u32(sh + 4);
+    uint32_t qual_bits = rd_u32(sh + 12);
+    uint32_t n_ai = rd_u32(sh + 16);
+    uint32_t n_fs = rd_u32(sh + 20);
+    uint32_t n_info = n_ai & 0xFFFF;
+    uint32_t n_allele = n_ai >> 16;
+    uint32_t n_sample = n_fs & 0xFFFFFF;
+    uint32_t n_fmt = n_fs >> 24;
+
+    // CHROM POS
+    if (rid >= 0 && rid < n_ctg)
+      out.put(T.ctg_buf + T.ctg_offs[rid], T.ctg_lens[rid]);
+    else
+      out.putc('.');
+    out.putc('\t');
+    out.put_i64(pos + 1);
+    out.putc('\t');
+
+    Cur c{sh + 24, sh + l_shared};
+    int64_t n; int bt;
+    // ID
+    if (!c.dec_size(&n, &bt)) return false;
+    if (bt == BT_CHAR && n > 0) out.put(c.p, n);
+    else out.putc('.');
+    c.p += n << bt_shift(bt);
+    // REF / ALT
+    for (uint32_t a = 0; a < n_allele; a++) {
+      if (!c.dec_size(&n, &bt)) return false;
+      if (a == 0) { out.putc('\t'); out.put(c.p, n); out.putc('\t'); }
+      else {
+        if (a > 1) out.putc(',');
+        out.put(c.p, n);
+      }
+      c.p += n << bt_shift(bt);
+    }
+    if (n_allele == 0) out.put("\t.\t.", 4);
+    else if (n_allele == 1) out.putc('.');
+    // QUAL
+    out.putc('\t');
+    if (qual_bits == F_MISS) out.putc('.');
+    else put_g(&out, qual_bits);
+    out.putc('\t');
+    // FILTER
+    if (!c.dec_size(&n, &bt)) return false;
+    if (n == 0) out.putc('.');
+    else {
+      for (int64_t i = 0; i < n; i++) {
+        if (i) out.putc(';');
+        put_id(widen(c.p, bt, i));
+      }
+    }
+    c.p += n << bt_shift(bt);
+    // INFO
+    out.putc('\t');
+    if (n_info == 0) out.putc('.');
+    for (uint32_t i = 0; i < n_info; i++) {
+      if (i) out.putc(';');
+      int64_t key = c.scalar_int();
+      if (!c.dec_size(&n, &bt)) return false;
+      put_id(key);
+      if (bt == BT_NULL) { /* FLAG */ }
+      else if (bt == BT_CHAR) { out.putc('='); out.put(c.p, n); }
+      else if (bt == BT_FLOAT) { out.putc('='); fmt_float_arr(&out, c.p, n); }
+      else { out.putc('='); fmt_int_arr(&out, c.p, bt, n); }
+      c.p += n << bt_shift(bt);
+    }
+    if (c.fail) return false;
+    // FORMAT + samples
+    if (n_fmt) {
+      Cur f{iv, iv + l_indiv};
+      struct FmtDesc { int64_t key; int bt; int64_t nper; const uint8_t* p; };
+      std::vector<FmtDesc> fds;
+      for (uint32_t i = 0; i < n_fmt; i++) {
+        int64_t key = f.scalar_int();
+        int64_t nper; int fbt;
+        if (!f.dec_size(&nper, &fbt)) return false;
+        fds.push_back({key, fbt, nper, f.p});
+        f.p += (nper * n_sample) << bt_shift(fbt);
+      }
+      if (f.fail || f.p > f.e) return false;
+      out.putc('\t');
+      for (uint32_t i = 0; i < n_fmt; i++) {
+        if (i) out.putc(':');
+        put_id(fds[i].key);
+      }
+      for (uint32_t s = 0; s < n_sample; s++) {
+        out.putc('\t');
+        for (uint32_t i = 0; i < n_fmt; i++) {
+          if (i) out.putc(':');
+          const FmtDesc& fd = fds[i];
+          const uint8_t* vp = fd.p + ((fd.nper * s) << bt_shift(fd.bt));
+          if (fd.key == gt_id && fd.bt != BT_FLOAT && fd.bt != BT_CHAR)
+            fmt_gt(&out, vp, fd.bt, fd.nper);
+          else if (fd.bt == BT_FLOAT)
+            fmt_float_arr(&out, vp, fd.nper);
+          else if (fd.bt == BT_CHAR)
+            fmt_char_arr(&out, vp, fd.nper);
+          else
+            fmt_int_arr(&out, vp, fd.bt, fd.nper);
+        }
+        if (n_fmt == 0) out.putc('.');
+      }
+    } else if (n_sample) {
+      for (uint32_t s = 0; s < n_sample + 1; s++) out.put("\t.", 2);
+    }
+    out.putc('\n');
+  }
+  return true;
+}
+
+extern "C" {
+
+// Format BCF records as VCF text, multithreaded by record ranges.
+// Inputs: the uncompressed BCF body (concatenated l_shared/l_indiv-
+// framed records), contig-name and dictionary-id string tables, and the
+// GT key id.  Returns bytes via *out_ptr (htstpu_buf_free),
+// -(5000+i) on malformed record i.
+int64_t htstpu_bcf_to_vcf(const uint8_t* data, uint64_t data_len,
+                          const uint8_t* ctg_buf, const uint64_t* ctg_offs,
+                          const uint32_t* ctg_lens, int32_t n_ctg,
+                          const uint8_t* id_buf, const uint64_t* id_offs,
+                          const uint32_t* id_lens, int32_t n_id,
+                          int32_t gt_id, uint8_t** out_ptr) {
+  VcfTables T{ctg_buf, ctg_offs, ctg_lens, n_ctg,
+              id_buf, id_offs, id_lens, n_id, gt_id};
+  // frame walk (cheap): record offsets
+  std::vector<uint64_t> offs;
+  uint64_t dp = 0;
+  while (dp + 8 <= data_len) {
+    uint32_t l_shared = rd_u32(data + dp);
+    uint32_t l_indiv = rd_u32(data + dp + 4);
+    if (dp + 8ull + l_shared + l_indiv > data_len)
+      return -(5000 + (int64_t)offs.size());
+    offs.push_back(dp);
+    dp += 8ull + l_shared + l_indiv;
+  }
+  if (dp != data_len) return -(5000 + (int64_t)offs.size());
+  int64_t n = (int64_t)offs.size();
+
+  int nthreads = hardware_threads();
+  int shards = nthreads * 4;
+  if (shards > n) shards = n ? (int)n : 1;
+  std::vector<Buf> bufs(shards);
+  std::atomic<int64_t> err(0);
+  int64_t per = (n + shards - 1) / (shards ? shards : 1);
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    int64_t lo = si * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) return;
+    uint64_t end_b = hi < n ? offs[hi] : data_len;
+    bufs[si].reserve((end_b - offs[lo]) * 3 + 4096);
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t* p = data + offs[i];
+      uint32_t l_shared = rd_u32(p);
+      uint32_t l_indiv = rd_u32(p + 4);
+      if (!fmt_record(p + 8, l_shared, p + 8 + l_shared, l_indiv, T,
+                      bufs[si])) {
+        err.store(-(5000 + i), std::memory_order_relaxed);
+        return;
+      }
+    }
+  });
+  if (err.load()) return err.load();
+  int64_t total = 0;
+  for (auto& b : bufs) total += b.len();
+  uint8_t* res = (uint8_t*)malloc(total ? total : 1);
+  if (!res) return -1;
+  std::vector<int64_t> starts(shards);
+  int64_t pos = 0;
+  for (int i = 0; i < shards; i++) { starts[i] = pos; pos += bufs[i].len(); }
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    memcpy(res + starts[si], bufs[si].data(), bufs[si].len());
+  });
+  *out_ptr = res;
+  return total;
+}
+
+}  // extern "C"

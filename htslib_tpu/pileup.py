@@ -21,7 +21,8 @@ from htslib_tpu.sam.cigar import (BAM_CDEL, BAM_CDIFF, BAM_CEQUAL,
                                   BAM_CHARD_CLIP, BAM_CINS, BAM_CMATCH,
                                   BAM_CPAD, BAM_CREF_SKIP, BAM_CSOFT_CLIP,
                                   cigar2rlen)
-from htslib_tpu.sam.record import (FMUNMAP, FPAIRED, FPROPER_PAIR, FUNMAP,
+from htslib_tpu.sam.record import (FDUP, FMUNMAP, FPAIRED, FPROPER_PAIR,
+                                   FQCFAIL, FSECONDARY, FUNMAP,
                                    BamRecord, SEQ_NT16_STR)
 
 _M_OPS = (BAM_CMATCH, BAM_CEQUAL, BAM_CDIFF)
@@ -498,6 +499,92 @@ class Pileup:
             if col is None:
                 return
             yield col
+
+
+def mpileup_text(path: str, overlaps: bool = True,
+                 skip_mask: int = FUNMAP | FSECONDARY | FQCFAIL | FDUP,
+                 ) -> Tuple[object, bytes]:
+    """Whole-file pileup text in the test/pileup.c column format:
+    (header, text).  Uses the native engine (htstpu_mpileup: the
+    resolve_cigar2 + overlap-tweak port) and falls back to the Python
+    engine on exotic records (CG escapes)."""
+    from htslib_tpu.native import native
+    from htslib_tpu.sam import BamReader, SamReader
+
+    is_sam = not path.endswith((".bam",))
+    opener = SamReader if is_sam else BamReader
+    with opener(path) as r:
+        header = r.header
+        if native is not None:
+            try:
+                if is_sam:
+                    import numpy as np
+                    with open(path, "rb") as fh:
+                        text = fh.read()
+                    # skip the @-header block with one scan, no split
+                    p = 0
+                    while p < len(text) and text[p:p + 1] == b"@":
+                        nl = text.find(b"\n", p)
+                        if nl < 0:
+                            p = len(text)
+                            break
+                        p = nl + 1
+                    stream = native.sam_to_bam(
+                        np.frombuffer(text, np.uint8, len(text) - p, p),
+                        header.ref_names)
+                else:
+                    stream, _, _ = r.raw_records()
+                return header, native.mpileup(
+                    stream, header.ref_names, skip_mask, overlaps)
+            except (BlockingIOError, IOError):
+                pass
+        # Python fallback: the reference-ported engine
+        recs = [b for b in iter(r.read1, None) if not (b.flag & skip_mask)]
+
+    from htslib_tpu.pileup import Pileup as _P
+    it = iter(recs + [None])
+    lines: List[str] = []
+    for tid, pos, col in _P(lambda: next(it), overlaps=overlaps):
+        if tid < 0:
+            break
+        lines.append(_format_plp_column(header, tid, pos, col))
+    blob = ("\n".join(lines) + ("\n" if lines else "")).encode()
+    return header, blob
+
+
+def _format_plp_column(header, tid: int, pos: int, plp) -> str:
+    """test/pileup.c:76-133 column format (shared with the native
+    engine's output)."""
+    out = [header.tid2name(tid), str(pos + 1), str(len(plp))]
+    seq_parts = []
+    for p in plp:
+        is_rev = bool(p.b.flag & 0x10)
+        if p.is_head:
+            seq_parts.append("^" + chr(ord("!") + min(p.b.mapq, 93)))
+        if p.is_del:
+            seq_parts.append(("<" if is_rev else ">") if p.is_refskip
+                             else "*")
+        else:
+            c = p.b.seq[p.qpos]
+            seq_parts.append(c.lower() if is_rev else c.upper())
+        ins, del_len = plp_insertion(p)
+        if p.indel > 0:
+            seq_parts.append(f"+{len(ins)}(" +
+                             (ins.lower() if is_rev else ins.upper()) + ")")
+        else:
+            del_len = -p.indel
+        if del_len > 0:
+            seq_parts.append(f"-{del_len}()")
+        if p.is_tail:
+            seq_parts.append("$")
+    quals = []
+    for p in plp:
+        q = "~"
+        if p.qpos < p.b.l_qseq and p.b.qual[p.qpos] + 33 < ord("~"):
+            q = chr(p.b.qual[p.qpos] + 33)
+        quals.append(q)
+    return "\t".join(["\t".join(out[:3]), "".join(seq_parts),
+                      "".join(quals)])
 
 
 class MultiPileup:

@@ -91,6 +91,35 @@ def main():
     record("cram_encode@1", [TV, "-C", "-o", "no_ref=1", bam])
     record("cram_encode@16", [TV, "-C", "-o", "no_ref=1", "-@", "16", bam])
 
+    # mpileup + VCF lanes (VERDICT r2 #6); rates in output MB/s since
+    # the numerator differs per lane
+    def record_out_rate(name, cmd, trials=3):
+        # capture size once, then time with stdout discarded
+        out = subprocess.run(cmd, check=True, capture_output=True).stdout
+        dt = run_timed(cmd, trials)
+        res["workloads"][name] = {
+            "seconds": round(dt, 4),
+            "out_mbps": round(len(out) / dt / 1e6, 1),
+        }
+        print(f"{name}: {dt:.3f}s = {len(out)/dt/1e6:.1f} MB/s out",
+              file=sys.stderr)
+
+    plp = os.path.join(BUILD, "test", "pileup")
+    deep = os.path.join(WORK, "deep.sam")
+    if os.path.exists(plp):
+        if not os.path.exists(deep):
+            from bench import build_deep_sam
+            build_deep_sam(deep)
+        record_out_rate("mpileup@1", [plp, "-m", deep])
+
+    htsfile = os.path.join(BUILD, "htsfile")
+    bcf = os.path.join(WORK, "bench.bcf")
+    if os.path.exists(htsfile):
+        if not os.path.exists(bcf):
+            from bench import build_test_bcf
+            build_test_bcf(bcf)
+        record_out_rate("bcf2vcf@1", [htsfile, "-c", bcf])
+
     out = os.path.join(REPO, "BASELINE_MEASURED.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=2)

@@ -102,71 +102,47 @@ def main():
                 "xla_gather")
 
     # ---- pallas_cmp ----------------------------------------------------
-    def cmp_kernel(cum_ref, freq_ref, x_ref, out_ref):
-        cumv = cum_ref[:, 1:257]          # [G,256] boundaries 1..256
-        fv = freq_ref[:]                  # [G,256]
-        x = x_ref[:]
+    # gatherless: onehot = (m >= cum_lo) & (m < cum_hi), one fused
+    # multiply-reduce against packed (f-1) | c<<12 entries.
+    cum_lo = cum[:, :256].astype(np.int32)
+    cum_hi = cum[:, 1:257].astype(np.int32)
+    packed_fc = ((freqs - 1) | (cum[:, :256] << 12)).astype(np.int32)
 
-        def body(r, x):
-            cols = []
+    def cmp_kernel(lo_ref, hi_ref, fc_ref, x_ref, out_ref):
+        lo = lo_ref[:]
+        hi = hi_ref[:]
+        fc = fc_ref[:]
+
+        def body(r, xs):
+            new = []
             for j in range(NSTATES):
-                m = x[:, j:j + 1] & (TOTFREQ - 1)      # [G,1]
-                ge = (m >= cumv).astype(jnp.int32)      # [G,256]
-                c = jnp.sum(ge * fv, axis=1)            # cum[sym]
-                ge_prev = jnp.concatenate(
-                    [jnp.ones((G, 1), jnp.int32), ge[:, :255]], axis=1)
-                onehot = ge_prev - ge                   # exactly one 1
-                f = jnp.sum(onehot * fv, axis=1)
-                cols.append(f * (x[:, j] >> 12) + m[:, 0] - c)
-            return jnp.stack(cols, axis=1)
+                xj = xs[j]
+                m = xj & (TOTFREQ - 1)                  # [G,1]
+                onehot = ((m >= lo) & (m < hi)).astype(jnp.int32)
+                e = jnp.sum(onehot * fc, axis=1, keepdims=True)
+                f = (e & 0xFFF) + 1
+                c = e >> 12
+                new.append(f * (xj >> 12) + m - c)
+            return tuple(new)
 
-        out_ref[:] = jax.lax.fori_loop(0, ROUNDS, body, x)
+        xs0 = tuple(x_ref[:, j:j + 1] for j in range(NSTATES))
+        xs = jax.lax.fori_loop(0, ROUNDS, body, xs0)
+        for j in range(NSTATES):
+            out_ref[:, j:j + 1] = xs[j]
 
     @jax.jit
-    def pallas_cmp(cum, freq, x):
+    def pallas_cmp(lo, hi, fc, x):
         return pl.pallas_call(
             cmp_kernel,
             out_shape=jax.ShapeDtypeStruct((G, NSTATES), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(cum, freq, x)
+        )(lo, hi, fc, x)
 
-    got = bench(pallas_cmp, (jnp.asarray(cum), jnp.asarray(freqs),
-                             jnp.asarray(x0)), "pallas_cmp")
+    got = bench(pallas_cmp, (jnp.asarray(cum_lo), jnp.asarray(cum_hi),
+                             jnp.asarray(packed_fc), jnp.asarray(x0)),
+                "pallas_cmp")
     out["pallas_cmp_matches_xla"] = bool((got == ref).all())
-
-    # ---- pallas_take ---------------------------------------------------
-    def take_kernel(tbl_ref, x_ref, out_ref):
-        tbl = tbl_ref[:]
-        x = x_ref[:]
-
-        def body(r, x):
-            cols = []
-            for j in range(NSTATES):
-                m = (x[:, j] & (TOTFREQ - 1)).astype(jnp.int32)
-                e = jnp.take_along_axis(tbl, m[:, None], axis=1)[:, 0]
-                f = ((e >> 8) & 0xFFF).astype(jnp.int32) + 1
-                c = (e >> 20).astype(jnp.int32)
-                cols.append(f * (x[:, j] >> 12) + m - c)
-            return jnp.stack(cols, axis=1)
-
-        out_ref[:] = jax.lax.fori_loop(0, ROUNDS, body, x)
-
-    @jax.jit
-    def pallas_take(tbl, x):
-        return pl.pallas_call(
-            take_kernel,
-            out_shape=jax.ShapeDtypeStruct((G, NSTATES), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(jnp.asarray(packed.view(np.int32)), x)
-
-    try:
-        got2 = bench(pallas_take, (jnp.asarray(packed.view(np.int32)),
-                                   jnp.asarray(x0)), "pallas_take")
-        out["pallas_take_matches_xla"] = bool((got2 == ref).all())
-    except Exception as e:  # Mosaic may not lower the gather
-        out["pallas_take_error"] = f"{type(e).__name__}: {str(e)[:160]}"
 
     if "pallas_cmp_Glookups_s" in out and "xla_gather_Glookups_s" in out:
         out["cmp_vs_xla"] = round(out["pallas_cmp_Glookups_s"]

@@ -169,3 +169,34 @@ assert checked >= 5
 print("DEVICE_PILEUP_OK", checked)
 ''')
     assert "DEVICE_PILEUP_OK" in out
+
+
+def test_native_mpileup_matches_goldens():
+    """The native engine (htstpu_mpileup: resolve_cigar2 + overlap
+    tweak + test/pileup.c formatter in C++) must reproduce every
+    reference golden byte-for-byte."""
+    from htslib_tpu.native import native
+    from htslib_tpu.pileup import mpileup_text
+    if native is None:
+        pytest.skip("native library unavailable")
+    if not CASES:
+        pytest.skip("no corpus")
+    for case in CASES:
+        hdr, got = mpileup_text(os.path.join(MP_DIR, case + ".sam"))
+        want = open(os.path.join(MP_DIR, case + ".out"), "rb").read()
+        assert got == want, f"native mpileup mismatch for {case}"
+
+
+def test_native_mpileup_matches_python_engine(tmp_path):
+    """Differential: native vs the Python engine on a dense synthetic
+    paired file (overlap tweaks at every depth)."""
+    from htslib_tpu.native import native
+    from htslib_tpu.pileup import mpileup_text
+    if native is None:
+        pytest.skip("native library unavailable")
+    from tests.test_distributed import _synth_paired_sam
+    sam = str(tmp_path / "dense.sam")
+    _synth_paired_sam(sam, n_pairs=200, seed=11)
+    hdr, got = mpileup_text(sam)
+    want = run_pileup(sam, use_mplp=True).encode()
+    assert got == want

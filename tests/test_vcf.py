@@ -265,3 +265,46 @@ def test_bcf_on_the_fly_index_matches_posthoc(tmp_path):
     otf = open(p + ".csi", "rb").read()
     bcf_index_build(p)
     assert open(p + ".csi", "rb").read() == otf
+
+
+def test_bcf_file_to_vcf_fast_path(tmp_path):
+    """Native whole-file BCF->VCF (htstpu_bcf_to_vcf) must equal the
+    per-record Python to_vcf output on the reference corpus."""
+    from htslib_tpu.vcf import BcfWriter, VcfReader
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    src = "/root/reference/test/index.vcf"
+    with VcfReader(src) as r:
+        hdr = r.header.copy()
+        recs = list(r)
+    p = str(tmp_path / "c.bcf")
+    with BcfWriter(p, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    hdr2, got = bcf_file_to_vcf(p)
+    want = "".join(rec.to_vcf(hdr) + "\n" for rec in recs).encode()
+    assert got == want
+
+
+def test_bcf_file_to_vcf_vs_htslib(tmp_path):
+    import os
+    import subprocess
+    htsfile = os.path.join(os.environ.get("HTSLIB_BUILD",
+                                          "/tmp/htslib-build"), "htsfile")
+    if not os.path.exists(htsfile):
+        import pytest
+        pytest.skip("reference htslib not built")
+    from htslib_tpu.vcf import BcfWriter, VcfReader
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    with VcfReader("/root/reference/test/index.vcf") as r:
+        hdr = r.header.copy()
+        recs = list(r)
+    p = str(tmp_path / "c.bcf")
+    with BcfWriter(p, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    hdr2, got = bcf_file_to_vcf(p)
+    out = subprocess.run([htsfile, "-c", p], capture_output=True,
+                         check=True).stdout
+    want = b"".join(l + b"\n" for l in out.splitlines()
+                    if not l.startswith(b"#"))
+    assert got == want
