@@ -328,6 +328,18 @@ def main():
         "out_mbps": round(bv_out / bv_dt / 1e6, 1),
         "vs_htslib_htsfile": ratio(bv_out / bv_dt / 1e6, "bcf2vcf@1"),
     }
+
+    # device section (VERDICT r2 #2): merge the chip measurements taken
+    # by scripts/bench_device.py (DEVICE_BENCH.json).  Not re-measured
+    # inline: kernel compiles through the axon tunnel take minutes and
+    # a wedged tunnel would sink the whole bench run.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "DEVICE_BENCH.json")) as fh:
+            result["device"] = json.load(fh)
+            result["device"]["source"] = "scripts/bench_device.py"
+    except (OSError, ValueError):
+        pass
     print(json.dumps(result))
 
 
