@@ -242,21 +242,14 @@ def bench_sam2bam(bam_path, usize, trials=3):
 
 
 def bench_cram(bam_path, n_records, trials=3):
-    """CRAM encode (no_ref, as the measured htslib baseline config) and
-    slice-parallel decode rates over the same records."""
-    from htslib_tpu.cram import CramWriter
-    from htslib_tpu.cram.batch import cram_file_to_sam
-    from htslib_tpu.sam import BamReader
-    with BamReader(bam_path) as r:
-        hdr = r.header
-        recs = list(r)
+    """CRAM encode (no_ref, file->file like the measured htslib
+    test_view -C baseline) and slice-parallel decode rates."""
+    from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
     cram = bam_path + ".cram"
     best_enc = None
     for _ in range(trials):
         t0 = time.time()
-        with CramWriter(cram, hdr) as cw:
-            for rec in recs:
-                cw.write(rec)
+        bam_to_cram_file(bam_path, cram, nthreads=4)
         dt = time.time() - t0
         best_enc = dt if best_enc is None else min(best_enc, dt)
     best_dec = None

@@ -149,6 +149,52 @@ def _arith_compress(data: bytes, order: int) -> bytes:
     return arith.compress(data, order)
 
 
+class RawRun:
+    """Zero-parse run of records for the file-level encode fast path
+    (cram/batch.py bam_to_cram_file): a contiguous u32-framed BAM byte
+    range plus vectorised tid/pos/endpos columns — exactly what the
+    container planner and the native slice encoder need, with no
+    per-record Python objects.  Materialises full BamRecords only when
+    the native encoder bails to the Python builder."""
+
+    __slots__ = ("data", "offs", "sizes", "tids", "poss", "ends")
+
+    def __init__(self, data, offs, sizes, tids, poss, ends):
+        self.data = data          # the WHOLE record stream (shared)
+        self.offs = offs          # np.int64 absolute frame offsets
+        self.sizes = sizes
+        self.tids = tids
+        self.poss = poss
+        self.ends = ends
+
+    def __len__(self):
+        return len(self.offs)
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            raise TypeError("RawRun supports slicing only")
+        return RawRun(self.data, self.offs[key], self.sizes[key],
+                      self.tids[key], self.poss[key], self.ends[key])
+
+    @property
+    def blob(self) -> bytes:
+        """The run's u32-framed record bytes, verbatim from the BAM
+        stream (BAM block_size framing == the native encoder's input
+        framing)."""
+        lo = int(self.offs[0])
+        hi = int(self.offs[-1] + self.sizes[-1])
+        return self.data[lo:hi]
+
+    def materialize(self):
+        from htslib_tpu.sam.record import BamRecord
+        out = []
+        for i in range(len(self.offs)):
+            o = int(self.offs[i])
+            out.append(BamRecord.from_bam_buffer(
+                self.data[o + 4:o + int(self.sizes[i])]))
+        return out
+
+
 class CodecMetrics:
     """Online per-data-series codec selection (the cram_metrics model,
     cram/cram_structs.h:284-305 + cram_compress_block3 trials,
@@ -522,10 +568,16 @@ class CramEncoder:
                 if p["multiref"]:
                     # per-refid extents (cram_index_build_multiref)
                     by_ref: Dict[int, Tuple[int, int]] = {}
-                    for rec in g:
-                        lo, hi = by_ref.get(rec.tid, (1 << 62, -1))
-                        by_ref[rec.tid] = (min(lo, rec.pos + 1),
-                                           max(hi, rec.endpos()))
+                    if isinstance(g, RawRun):
+                        for tid, pos, end in zip(g.tids, g.poss, g.ends):
+                            lo, hi = by_ref.get(int(tid), (1 << 62, -1))
+                            by_ref[int(tid)] = (min(lo, int(pos) + 1),
+                                                max(hi, int(end)))
+                    else:
+                        for rec in g:
+                            lo, hi = by_ref.get(rec.tid, (1 << 62, -1))
+                            by_ref[rec.tid] = (min(lo, rec.pos + 1),
+                                               max(hi, rec.endpos()))
                     for tid, (lo, hi) in by_ref.items():
                         if tid < 0:
                             entries.append((-1, 0, 0, lm, ssize))
@@ -555,10 +607,17 @@ class CramEncoder:
         """Per-slice reference window decision (the front of
         cram_encode_container): single- vs multi-ref, fetched window or
         generated consensus, MD5."""
-        ref_ids = {r.tid for r in recs}
+        if isinstance(recs, RawRun):
+            import numpy as _np
+            ref_ids = set(int(t) for t in _np.unique(recs.tids))
+            mapped = recs.tids >= 0
+            mapped_pos = (recs.poss[mapped] + 1).tolist() \
+                if mapped.any() else []
+        else:
+            ref_ids = {r.tid for r in recs}
+            mapped_pos = [r.pos + 1 for r in recs if r.tid >= 0]
         multiref = len(ref_ids) > 1
         slice_ref = -2 if multiref else next(iter(ref_ids))
-        mapped_pos = [r.pos + 1 for r in recs if r.tid >= 0]
         start = min(mapped_pos) if (not multiref and slice_ref >= 0) else 0
         plan = {"multiref": multiref, "slice_ref": slice_ref,
                 "start": start, "span": 0, "ref_seq": None,
@@ -567,8 +626,12 @@ class CramEncoder:
         use_ref = (self.refs is not None and (multiref or slice_ref >= 0))
         if use_ref and not multiref:
             start = max(start, 1)
-            wend = max((r.endpos() for r in recs if r.tid >= 0),
-                       default=start)
+            if isinstance(recs, RawRun):
+                m = recs.tids >= 0
+                wend = int(recs.ends[m].max()) if m.any() else start
+            else:
+                wend = max((r.endpos() for r in recs if r.tid >= 0),
+                           default=start)
             wend = max(wend, start)
             try:
                 with self._refs_lock:
@@ -636,6 +699,11 @@ class CramEncoder:
                                             record_counter)
             if res is not None:
                 return res
+
+        # the Python builder needs full records: materialise any
+        # zero-parse RawRun views from the file-level fast path
+        if isinstance(recs, RawRun):
+            recs = recs.materialize()
 
         # mate linkage pre-pass: pair primary paired reads by qname and
         # keep the link only when the decoder xref reproduces them
@@ -838,11 +906,14 @@ class CramEncoder:
         from htslib_tpu.native import native
         if native is None:
             return None
-        parts = []
-        for rec in recs:
-            buf = rec.to_bam_buffer()
-            parts.append(struct.pack("<I", len(buf)) + buf)
-        blob = b"".join(parts)
+        if isinstance(recs, RawRun):
+            blob = recs.blob       # BAM framing == encoder framing
+        else:
+            parts = []
+            for rec in recs:
+                buf = rec.to_bam_buffer()
+                parts.append(struct.pack("<I", len(buf)) + buf)
+            blob = b"".join(parts)
         res = native.cram_encode_slice(
             blob, plan["slice_ref"], plan["start"], plan["ref_seq"],
             plan["start"], plan["use_ref"] and plan["ref_seq"] is not None)

@@ -121,3 +121,66 @@ def test_direct_formatter_edge_records(tmp_path):
             cw.write(r)
     h, sam = cram_file_to_sam(out)
     assert bytes(sam.tobytes()) == record_path_sam(out)
+
+
+def test_bam_to_cram_file_fast_path(tmp_path):
+    """The zero-parse RawRun encode path must produce CRAM that decodes
+    back to the same records as the per-record CramWriter path."""
+    from htslib_tpu.cram.batch import bam_to_cram_file
+    from htslib_tpu.sam import BamWriter
+    src = os.path.join(REF_TEST, "ce#1000.sam")
+    with SamReader(src) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    bam = str(tmp_path / "x.bam")
+    with BamWriter(bam, hdr) as bw:
+        for r in recs:
+            bw.write(r)
+    out = str(tmp_path / "fast.cram")
+    n = bam_to_cram_file(bam, out, nthreads=2)
+    assert n == len(recs)
+    h, sam = cram_file_to_sam(out)
+    exp = b"".join(r.to_sam(hdr).encode() + b"\n" for r in recs)
+    assert bytes(sam.tobytes()) == exp
+    # and via the per-record writer: same decoded records
+    out2 = str(tmp_path / "slow.cram")
+    with CramWriter(out2, hdr) as cw:
+        for r in recs:
+            cw.write(r)
+    h2, sam2 = cram_file_to_sam(out2)
+    assert bytes(sam2.tobytes()) == exp
+
+
+def test_bam_to_cram_file_multichrom(tmp_path):
+    """Multi-chromosome input exercises RawRun slicing across tid
+    boundaries and the vectorised endpos extraction."""
+    from htslib_tpu.cram.batch import bam_to_cram_file
+    from htslib_tpu.sam import BamWriter
+    sam_text = "\n".join([
+        "@HD\tVN:1.6\tSO:coordinate",
+        "@SQ\tSN:c1\tLN:10000", "@SQ\tSN:c2\tLN:10000",
+        "r1\t0\tc1\t100\t30\t4M2I4M\tc2\t500\t0\tACGTACGTAC\tIIIIIIIIII",
+        "r2\t0\tc1\t200\t30\t5M100N5M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII",
+        "r3\t4\t*\t0\t0\t*\t*\t0\t0\tGGGG\tJJJJ",
+        "r4\t0\tc2\t50\t30\t10M\t*\t0\t0\tACGTACGTAC\t*",
+    ]) + "\n"
+    srcp = tmp_path / "mc.sam"
+    srcp.write_text(sam_text)
+    with SamReader(str(srcp)) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    bam = str(tmp_path / "mc.bam")
+    with BamWriter(bam, hdr) as bw:
+        for r in recs:
+            bw.write(r)
+    out = str(tmp_path / "mc.cram")
+    assert bam_to_cram_file(bam, out) == len(recs)
+    h, sam = cram_file_to_sam(out)
+    # CRAM stores mate fields only for FPAIRED records, so compare
+    # against the per-record writer's decode, not the original SAM
+    out2 = str(tmp_path / "mc2.cram")
+    with CramWriter(out2, hdr) as cw:
+        for r in recs:
+            cw.write(r)
+    h2, sam2 = cram_file_to_sam(out2)
+    assert bytes(sam.tobytes()) == bytes(sam2.tobytes())
