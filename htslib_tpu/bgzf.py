@@ -331,6 +331,10 @@ class BGZFReader:
             self._block, self._next_address = self._cache[caddr]
             self._block_address = caddr
             self._block_offset = 0
+            # keep the file cursor in sync so a sequential read that
+            # exhausts the cached block continues at the right offset
+            # (bgzf.c block cache + bgzf_read_block interplay)
+            self._fp.seek(self._next_address)
             return True
         self._fp.seek(caddr)
         return self._read_next_block()

@@ -77,3 +77,117 @@ def chunked_bgzf_batches(path: str, blocks_per_batch: int = 256,
         return out.tobytes()
 
     return pipeline_map(inflate, spans, window=window)
+
+
+class QueueFull(Exception):
+    """Non-blocking dispatch refused: the input side is at its limit
+    (hts_tpool_dispatch3's nonblock path returning EAGAIN)."""
+
+
+class ProcessQueue:
+    """hts_tpool_process equivalent (thread_pool.c:725-956): a
+    per-stream queue attached to the shared pool with bounded input and
+    output sides, non-blocking dispatch, and serial-number-ordered
+    result draining.  Many queues can share one pool
+    (hts_tpool_attach model)."""
+
+    def __init__(self, pool: Optional[_fut.ThreadPoolExecutor] = None,
+                 in_limit: int = 8, out_limit: int = 8):
+        import threading
+        self._pool = pool or shared_pool()
+        self._in_limit = max(1, in_limit)
+        self._out_limit = max(1, out_limit)
+        self._lock = threading.Condition()
+        self._next_serial = 0        # next serial to assign
+        self._next_out = 0           # next serial to hand to the consumer
+        self._in_flight = 0
+        self._results: dict = {}
+        self._shutdown = False
+
+    # -- producer side --------------------------------------------------
+    def _submit(self, fn, args, kwargs) -> None:
+        serial = self._next_serial
+        self._next_serial += 1
+        self._in_flight += 1
+
+        def run():
+            try:
+                res = fn(*args, **kwargs)
+                err = None
+            except Exception as e:      # propagated to the consumer
+                res, err = None, e
+            with self._lock:
+                # block while the output side is full, unless this
+                # result is the one the consumer is waiting for
+                while (len(self._results) >= self._out_limit
+                       and serial != self._next_out
+                       and not self._shutdown):
+                    self._lock.wait(1.0)
+                self._results[serial] = (res, err)
+                self._in_flight -= 1
+                self._lock.notify_all()
+
+        self._pool.submit(run)
+
+    def dispatch(self, fn, *args, **kwargs) -> None:
+        """Blocking dispatch: waits while the input side is full
+        (hts_tpool_dispatch)."""
+        with self._lock:
+            while self._in_flight >= self._in_limit and not self._shutdown:
+                self._lock.wait(1.0)
+            if self._shutdown:
+                raise RuntimeError("queue is shut down")
+            self._submit(fn, args, kwargs)
+
+    def try_dispatch(self, fn, *args, **kwargs) -> bool:
+        """Non-blocking dispatch (hts_tpool_dispatch3 nonblock):
+        returns False instead of waiting when the input side is full."""
+        with self._lock:
+            if self._shutdown:
+                raise RuntimeError("queue is shut down")
+            if self._in_flight >= self._in_limit:
+                return False
+            self._submit(fn, args, kwargs)
+            return True
+
+    # -- consumer side --------------------------------------------------
+    def next_result(self, wait: bool = True):
+        """The next result in dispatch order (hts_tpool_next_result
+        / _wait).  Returns None when nothing is pending and wait is
+        False; raises the task's exception if it failed."""
+        with self._lock:
+            while True:
+                if self._next_out in self._results:
+                    res, err = self._results.pop(self._next_out)
+                    self._next_out += 1
+                    self._lock.notify_all()
+                    if err is not None:
+                        raise err
+                    return res
+                if not wait:
+                    return None
+                if (self._next_out >= self._next_serial
+                        and self._in_flight == 0):
+                    return None          # fully drained
+                self._lock.wait(1.0)
+
+    def flush(self):
+        """Drain every outstanding result in order (hts_tpool_process_
+        flush + drain)."""
+        out = []
+        while True:
+            with self._lock:
+                done = (self._next_out >= self._next_serial
+                        and self._in_flight == 0
+                        and not self._results)
+            if done:
+                return out
+            r = self.next_result(wait=True)
+            if r is None and self._next_out >= self._next_serial:
+                return out
+            out.append(r)
+
+    def shutdown(self):
+        with self._lock:
+            self._shutdown = True
+            self._lock.notify_all()
