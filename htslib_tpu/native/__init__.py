@@ -48,6 +48,7 @@ class _Native:
         self._lib = lib
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.htstpu_bgzf_scan.restype = ctypes.c_int64
         lib.htstpu_bgzf_scan.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64,
@@ -88,6 +89,14 @@ class _Native:
         lib.htstpu_mpileup.argtypes = [
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.htstpu_vcf_parse.restype = ctypes.c_int64
+        lib.htstpu_vcf_parse.argtypes = [
+            u8p, ctypes.c_uint64,
+            u8p, u64p, u32p, i32p, i32p, i32p, ctypes.c_int32,
+            u8p, u64p, u32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.htstpu_bcf_to_vcf.restype = ctypes.c_int64
         lib.htstpu_bcf_to_vcf.argtypes = [
@@ -142,7 +151,6 @@ class _Native:
         lib.htstpu_rans4x8_compress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
-        i32p = ctypes.POINTER(ctypes.c_int32)
         lib.htstpu_cram_decode_slice.restype = ctypes.c_int64
         lib.htstpu_cram_decode_slice.argtypes = [
             u8p, ctypes.c_uint64,                       # comp_hdr
@@ -431,6 +439,40 @@ class _Native:
             raise IOError(f"native BCF format failed on record {-(r + 5000)}")
         try:
             return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
+
+    def vcf_parse(self, body: np.ndarray, id_names: List[str],
+                  flt_def: np.ndarray, info_type: np.ndarray,
+                  fmt_type: np.ndarray, ctg_names: List[str],
+                  gt_id: int, end_id: int, n_samples: int,
+                  n_lines: int) -> Tuple[bytes, np.ndarray]:
+        """Parse VCF body text into BCF frames (vcf_parse port,
+        vcf.c:3987).  Returns (frames, bails): frames holds the encoded
+        records of non-bailing lines in order; bails[i]=1 marks lines
+        Python must re-parse (unknown names etc.)."""
+        body = np.ascontiguousarray(body)
+        ib, io_, il = self._strtab(id_names)
+        cb, co, cl = self._strtab(ctg_names)
+        fd = np.ascontiguousarray(flt_def, np.int32)
+        it = np.ascontiguousarray(info_type, np.int32)
+        ft = np.ascontiguousarray(fmt_type, np.int32)
+        bails = np.zeros(max(n_lines, 1), np.uint8)
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_vcf_parse(
+            self._u8(body), len(body),
+            self._u8(ib), self._ptr(io_, ctypes.c_uint64),
+            self._ptr(il, ctypes.c_uint32),
+            self._ptr(fd, ctypes.c_int32), self._ptr(it, ctypes.c_int32),
+            self._ptr(ft, ctypes.c_int32), len(id_names),
+            self._u8(cb), self._ptr(co, ctypes.c_uint64),
+            self._ptr(cl, ctypes.c_uint32), len(ctg_names),
+            gt_id, end_id, n_samples, self._u8(bails), n_lines,
+            ctypes.byref(out_ptr))
+        if r < 0:
+            raise IOError(f"native VCF parse failed ({r})")
+        try:
+            return ctypes.string_at(out_ptr, r), bails
         finally:
             self._lib.htstpu_buf_free(out_ptr)
 

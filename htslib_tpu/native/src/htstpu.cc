@@ -5197,3 +5197,485 @@ int64_t htstpu_bcf_to_vcf(const uint8_t* data, uint64_t data_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native VCF text parser: VCF body lines -> BCF record frames
+// (vcf_parse, vcf.c:3987; typed encode vcf.c:2834 bcf_enc_*).  Byte-
+// identical to the Python model (vcf/record.py from_vcf + to_bcf).
+// Records that need header mutation or exotic handling set a bail flag
+// and are re-parsed by Python, spliced back in order.
+// ---------------------------------------------------------------------------
+
+namespace vcfp {
+
+enum { BT_NULL = 0, BT_INT8 = 1, BT_INT16 = 2, BT_INT32 = 3,
+       BT_FLOAT = 5, BT_CHAR = 7 };
+enum { HT_FLAG = 0, HT_INT = 1, HT_REAL = 2, HT_STR = 3 };
+static const int32_t I32_MISS = INT32_MIN, I32_END = INT32_MIN + 1;
+static const uint32_t F_MISS = 0x7F800001u, F_END = 0x7F800002u;
+
+struct Tables {
+  // id dictionary: name -> id, with per-context HT types
+  std::unordered_map<std::string, int32_t> ids;
+  std::vector<int32_t> flt_def, info_type, fmt_type;  // -1 = undefined
+  std::unordered_map<std::string, int32_t> ctgs;
+  int32_t gt_id = -1, end_id = -1;
+};
+
+static inline void enc_typed_int(Buf& out, int64_t x) {
+  if (x == I32_END) { out.putc((char)(1 << 4 | BT_INT8)); out.putc((char)-127); }
+  else if (x == I32_MISS) { out.putc((char)(1 << 4 | BT_INT8)); out.putc((char)-128); }
+  else if (x >= -120 && x <= 127) {
+    out.putc((char)(1 << 4 | BT_INT8)); out.putc((char)(int8_t)x);
+  } else if (x >= -32760 && x <= 32767) {
+    out.putc((char)(1 << 4 | BT_INT16));
+    uint16_t v = (uint16_t)(int16_t)x; out.put(&v, 2);
+  } else {
+    out.putc((char)(1 << 4 | BT_INT32));
+    uint32_t v = (uint32_t)(int32_t)x; out.put(&v, 4);
+  }
+}
+
+static inline void enc_size(Buf& out, int64_t size, int bt) {
+  if (size >= 15) {
+    out.putc((char)(15 << 4 | bt));
+    enc_typed_int(out, size);
+  } else {
+    out.putc((char)(size << 4 | bt));
+  }
+}
+
+static void enc_vint(Buf& out, const std::vector<int64_t>& a,
+                     int64_t wsize = -1) {
+  int64_t n = (int64_t)a.size();
+  if (n <= 0) { enc_size(out, 0, BT_NULL); return; }
+  if (n == 1) { enc_typed_int(out, a[0]); return; }
+  if (wsize <= 0) wsize = n;
+  int64_t mx = INT64_MIN, mn = (1LL << 31) - 1;
+  bool any = false;
+  for (int64_t v : a) {
+    if (v > mx) mx = v;
+    if (v > I32_END && v < mn) { mn = v; any = true; }
+  }
+  (void)any;
+  if (mx <= 127 && mn >= -120) {
+    enc_size(out, wsize, BT_INT8);
+    for (int64_t v : a)
+      out.putc((char)(int8_t)(v == I32_END ? -127 : v == I32_MISS ? -128 : v));
+  } else if (mx <= 32767 && mn >= -32760) {
+    enc_size(out, wsize, BT_INT16);
+    for (int64_t v : a) {
+      int16_t w = (int16_t)(v == I32_END ? -32767 : v == I32_MISS ? -32768 : v);
+      out.put(&w, 2);
+    }
+  } else {
+    enc_size(out, wsize, BT_INT32);
+    for (int64_t v : a) { int32_t w = (int32_t)v; out.put(&w, 4); }
+  }
+}
+
+struct Field { const char* p; size_t n; };
+
+static inline bool feq(const Field& f, const char* s) {
+  return strlen(s) == f.n && memcmp(f.p, s, f.n) == 0;
+}
+
+// split [p,e) on sep into out; returns count
+static size_t split(const char* p, const char* e, char sep,
+                    std::vector<Field>* out) {
+  out->clear();
+  const char* s = p;
+  for (const char* q = p; q <= e; q++) {
+    if (q == e || *q == sep) {
+      out->push_back({s, (size_t)(q - s)});
+      s = q + 1;
+    }
+  }
+  return out->size();
+}
+
+static inline bool parse_i64(const Field& f, int64_t* v) {
+  if (f.n == 0) return false;
+  const char* p = f.p;
+  const char* e = f.p + f.n;
+  bool neg = false;
+  if (*p == '-') { neg = true; p++; } else if (*p == '+') p++;
+  if (p == e) return false;
+  int64_t x = 0;
+  for (; p < e; p++) {
+    if (*p < '0' || *p > '9') return false;
+    x = x * 10 + (*p - '0');
+  }
+  *v = neg ? -x : x;
+  return true;
+}
+
+static inline bool parse_f32(const Field& f, uint32_t* bits) {
+  char tmp[64];
+  if (f.n == 0 || f.n >= sizeof(tmp)) return false;
+  memcpy(tmp, f.p, f.n);
+  tmp[f.n] = 0;
+  char* endp = nullptr;
+  float v = strtof(tmp, &endp);
+  if (endp != tmp + f.n) return false;
+  memcpy(bits, &v, 4);
+  return true;
+}
+
+// vcf_parse_format_gt (vcf.c:3263 / record.py _parse_gt)
+static bool parse_gt(const Field& f, std::vector<int64_t>* vals) {
+  vals->clear();
+  if (f.n == 0 || (f.n == 1 && f.p[0] == '.')) return true;
+  int64_t phased = 0;
+  size_t i = 0;
+  while (i < f.n) {
+    char c = f.p[i];
+    if (c == '|') { phased = 1; i++; continue; }
+    if (c == '/') { phased = 0; i++; continue; }
+    if (c == '.') { vals->push_back(phased); i++; continue; }
+    if (c < '0' || c > '9') return false;
+    int64_t al = 0;
+    while (i < f.n && f.p[i] >= '0' && f.p[i] <= '9') {
+      al = al * 10 + (f.p[i] - '0');
+      i++;
+    }
+    vals->push_back(((al + 1) << 1) | phased);
+  }
+  return true;
+}
+
+}  // namespace vcfp
+
+extern "C" {
+
+// Parse VCF body text into BCF frames.  Tables come in as string/int
+// arrays; bails[] gets 1 for lines Python must re-parse.  Returns the
+// output byte length via *out_ptr, or -1 OOM.  out stream layout: per
+// line either a frame [u32 l_shared][u32 l_indiv][shared][indiv] (bail
+// 0) or nothing (bail 1).
+int64_t htstpu_vcf_parse(
+    const uint8_t* text, uint64_t text_len,
+    const uint8_t* id_buf, const uint64_t* id_offs, const uint32_t* id_lens,
+    const int32_t* flt_def, const int32_t* info_type,
+    const int32_t* fmt_type, int32_t n_id,
+    const uint8_t* ctg_buf, const uint64_t* ctg_offs,
+    const uint32_t* ctg_lens, int32_t n_ctg,
+    int32_t gt_id, int32_t end_id, int32_t n_samples,
+    uint8_t* bails, int64_t max_lines, uint8_t** out_ptr) {
+  using namespace vcfp;
+  Tables T;
+  for (int32_t i = 0; i < n_id; i++)
+    T.ids.emplace(std::string((const char*)id_buf + id_offs[i], id_lens[i]),
+                  i);
+  for (int32_t i = 0; i < n_ctg; i++)
+    T.ctgs.emplace(std::string((const char*)ctg_buf + ctg_offs[i],
+                               ctg_lens[i]), i);
+
+  Buf out;
+  std::vector<Field> cols, items, parts, keys, samples, svals;
+  std::vector<int64_t> ivals;
+  std::vector<uint32_t> fvals;
+  int64_t line_i = 0;
+  const char* p = (const char*)text;
+  const char* end = p + text_len;
+  Buf shared, indiv;
+
+  while (p < end && line_i < max_lines) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) nl = end;
+    const char* le = nl;
+    if (le > p && le[-1] == '\r') le--;
+    bool bail = false;
+    shared.clear();
+    indiv.clear();
+    do {
+      if (le == p) { bail = true; break; }    // blank: let Python skip
+      split(p, le, '\t', &cols);
+      if (cols.size() < 8) { bail = true; break; }
+      // CHROM -> rid
+      auto ci = T.ctgs.find(std::string(cols[0].p, cols[0].n));
+      if (ci == T.ctgs.end()) { bail = true; break; }
+      int32_t rid = ci->second;
+      int64_t pos1;
+      if (!parse_i64(cols[1], &pos1)) { bail = true; break; }
+      int64_t pos = pos1 - 1;
+      // alleles
+      int64_t n_allele = 1;
+      int64_t rlen = (int64_t)cols[3].n;
+      // QUAL
+      uint32_t qual_bits = F_MISS;
+      if (!(cols[5].n == 1 && cols[5].p[0] == '.')) {
+        if (!parse_f32(cols[5], &qual_bits)) { bail = true; break; }
+      }
+      // FILTER ids
+      ivals.clear();
+      if (!(cols[6].n == 1 && cols[6].p[0] == '.')) {
+        split(cols[6].p, cols[6].p + cols[6].n, ';', &items);
+        for (auto& it : items) {
+          auto f = T.ids.find(std::string(it.p, it.n));
+          if (f == T.ids.end() || flt_def[f->second] < 0) {
+            bail = true;
+            break;
+          }
+          ivals.push_back(f->second);
+        }
+        if (bail) break;
+      }
+      std::vector<int64_t> filters = ivals;
+
+      // INFO into a scratch buffer
+      Buf info_enc;
+      uint32_t n_info = 0;
+      int64_t end_val = INT64_MIN;
+      if (!(cols[7].n == 1 && cols[7].p[0] == '.')) {
+        split(cols[7].p, cols[7].p + cols[7].n, ';', &items);
+        for (auto& it : items) {
+          if (it.n == 0) continue;
+          const char* eq = (const char*)memchr(it.p, '=', it.n);
+          Field key{it.p, eq ? (size_t)(eq - it.p) : it.n};
+          auto f = T.ids.find(std::string(key.p, key.n));
+          if (f == T.ids.end() || info_type[f->second] < 0) {
+            bail = true;
+            break;
+          }
+          int32_t kid = f->second;
+          int ht = info_type[kid];
+          enc_typed_int(info_enc, kid);
+          n_info++;
+          if (!eq || ht == HT_FLAG) {
+            enc_size(info_enc, 0, BT_NULL);
+            continue;
+          }
+          Field val{eq + 1, (size_t)(it.p + it.n - (eq + 1))};
+          split(val.p, val.p + val.n, ',', &parts);
+          if (ht == HT_INT) {
+            ivals.clear();
+            for (auto& pv : parts) {
+              int64_t v;
+              if (pv.n == 1 && pv.p[0] == '.') v = I32_MISS;
+              else if (!parse_i64(pv, &v)) { bail = true; break; }
+              ivals.push_back(v);
+            }
+            if (bail) break;
+            enc_vint(info_enc, ivals);
+            if (kid == end_id && !ivals.empty() && ivals[0] != I32_MISS)
+              end_val = ivals[0];
+          } else if (ht == HT_REAL) {
+            enc_size(info_enc, (int64_t)parts.size(), BT_FLOAT);
+            for (auto& pv : parts) {
+              uint32_t b;
+              if (pv.n == 1 && pv.p[0] == '.') b = F_MISS;
+              else if (!parse_f32(pv, &b)) { bail = true; break; }
+              info_enc.put(&b, 4);
+            }
+            if (bail) break;
+          } else {                      // HT_STR
+            enc_size(info_enc, (int64_t)val.n, BT_CHAR);
+            info_enc.put(val.p, val.n);
+          }
+        }
+        if (bail) break;
+      }
+      if (end_val != INT64_MIN && end_val > pos) rlen = end_val - pos;
+
+      // FORMAT + samples
+      uint32_t n_fmt = 0;
+      if (cols.size() > 8 && n_samples > 0) {
+        if ((int64_t)cols.size() < 9 + n_samples) { bail = true; break; }
+        split(cols[8].p, cols[8].p + cols[8].n, ':', &keys);
+        // per-sample splits
+        samples.assign(cols.begin() + 9, cols.begin() + 9 + n_samples);
+        std::vector<std::vector<Field>> scols(n_samples);
+        for (int32_t s = 0; s < n_samples; s++)
+          split(samples[s].p, samples[s].p + samples[s].n, ':', &scols[s]);
+        std::vector<int32_t> seen;
+        for (size_t ki = 0; ki < keys.size(); ki++) {
+          auto f = T.ids.find(std::string(keys[ki].p, keys[ki].n));
+          if (f == T.ids.end() || fmt_type[f->second] < 0) {
+            bail = true;
+            break;
+          }
+          int32_t kid = f->second;
+          bool dup = false;
+          for (int32_t sk : seen) if (sk == kid) { dup = true; break; }
+          if (dup) { bail = true; break; }   // Python logs the warning
+          seen.push_back(kid);
+          bool is_gt = kid == gt_id;
+          int ht = is_gt ? HT_INT : fmt_type[kid];
+          // gather per-sample raw fields (missing when index past end)
+          std::vector<std::vector<int64_t>> ints;
+          std::vector<std::vector<uint32_t>> flts;
+          std::vector<Field> strs;
+          size_t width = 1;
+          if (is_gt) {
+            ints.resize(n_samples);
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (ki < scols[s].size()) {
+                if (!parse_gt(scols[s][ki], &ints[s])) { bail = true; break; }
+              }
+              if (ints[s].size() > width) width = ints[s].size();
+            }
+            if (bail) break;
+            enc_typed_int(indiv, kid);
+            n_fmt++;
+            // GT ints padded with VECTOR_END; empty -> [0]
+            std::vector<int64_t> flat;
+            flat.reserve(n_samples * width);
+            for (int32_t s = 0; s < n_samples; s++) {
+              auto& v = ints[s];
+              for (size_t j = 0; j < width; j++)
+                flat.push_back(j < v.size() ? v[j]
+                               : (j == 0 && v.empty()) ? 0 : I32_END);
+            }
+            enc_vint(indiv, flat, (int64_t)width);
+          } else if (ht == HT_INT) {
+            ints.resize(n_samples);
+            std::vector<bool> missing(n_samples, false);
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (ki >= scols[s].size()) { missing[s] = true; continue; }
+              split(scols[s][ki].p, scols[s][ki].p + scols[s][ki].n, ',',
+                    &parts);
+              for (auto& pv : parts) {
+                int64_t v;
+                if (pv.n == 0 || (pv.n == 1 && pv.p[0] == '.')) v = I32_MISS;
+                else if (!parse_i64(pv, &v)) { bail = true; break; }
+                ints[s].push_back(v);
+              }
+              if (bail) break;
+              if (ints[s].size() > width) width = ints[s].size();
+            }
+            if (bail) break;
+            enc_typed_int(indiv, kid);
+            n_fmt++;
+            std::vector<int64_t> flat;
+            flat.reserve(n_samples * width);
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (missing[s]) {
+                flat.push_back(I32_MISS);
+                for (size_t j = 1; j < width; j++) flat.push_back(I32_END);
+              } else {
+                auto& v = ints[s];
+                for (size_t j = 0; j < width; j++)
+                  flat.push_back(j < v.size() ? v[j] : I32_END);
+              }
+            }
+            enc_vint(indiv, flat, (int64_t)width);
+          } else if (ht == HT_REAL) {
+            flts.resize(n_samples);
+            std::vector<bool> missing(n_samples, false);
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (ki >= scols[s].size()) { missing[s] = true; continue; }
+              split(scols[s][ki].p, scols[s][ki].p + scols[s][ki].n, ',',
+                    &parts);
+              for (auto& pv : parts) {
+                uint32_t b;
+                if (pv.n == 0 || (pv.n == 1 && pv.p[0] == '.')) b = F_MISS;
+                else if (!parse_f32(pv, &b)) { bail = true; break; }
+                flts[s].push_back(b);
+              }
+              if (bail) break;
+              if (flts[s].size() > width) width = flts[s].size();
+            }
+            if (bail) break;
+            enc_typed_int(indiv, kid);
+            n_fmt++;
+            enc_size(indiv, (int64_t)width, BT_FLOAT);
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (missing[s]) {
+                uint32_t b = F_MISS;
+                indiv.put(&b, 4);
+                b = F_END;
+                for (size_t j = 1; j < width; j++) indiv.put(&b, 4);
+              } else {
+                auto& v = flts[s];
+                for (size_t j = 0; j < width; j++) {
+                  uint32_t b = j < v.size() ? v[j] : F_END;
+                  indiv.put(&b, 4);
+                }
+              }
+            }
+          } else {                       // HT_STR
+            strs.assign(n_samples, Field{nullptr, 0});
+            width = 1;
+            for (int32_t s = 0; s < n_samples; s++) {
+              if (ki < scols[s].size()) strs[s] = scols[s][ki];
+              size_t ln = strs[s].p ? strs[s].n : 1;   // "." for missing
+              if (ln > width) width = ln;
+            }
+            enc_typed_int(indiv, kid);
+            n_fmt++;
+            enc_size(indiv, (int64_t)width, BT_CHAR);
+            for (int32_t s = 0; s < n_samples; s++) {
+              size_t ln = 0;
+              if (!strs[s].p) {
+                indiv.putc((char)0x07);   // STR_MISSING
+                ln = 1;
+              } else if (strs[s].n == 1 && strs[s].p[0] == '.') {
+                indiv.putc((char)0x07);
+                ln = 1;
+              } else {
+                indiv.put(strs[s].p, strs[s].n);
+                ln = strs[s].n;
+              }
+              for (size_t j = ln; j < width; j++) indiv.putc((char)0);
+            }
+          }
+        }
+        if (bail) break;
+      }
+
+      // assemble shared
+      int32_t v;
+      v = rid; shared.put(&v, 4);
+      v = (int32_t)pos; shared.put(&v, 4);
+      v = (int32_t)rlen; shared.put(&v, 4);
+      shared.put(&qual_bits, 4);
+      split(cols[4].p, cols[4].p + cols[4].n, ',', &parts);
+      bool alt_dot = cols[4].n == 0 || (cols[4].n == 1 && cols[4].p[0] == '.');
+      n_allele = 1 + (alt_dot ? 0 : (int64_t)parts.size());
+      uint32_t u = (uint32_t)((n_allele << 16) | n_info);
+      shared.put(&u, 4);
+      u = (uint32_t)((((uint32_t)n_fmt) << 24) | (uint32_t)n_samples);
+      shared.put(&u, 4);
+      // ID
+      if (cols[2].n == 1 && cols[2].p[0] == '.') {
+        enc_size(shared, 0, BT_CHAR);
+      } else {
+        enc_size(shared, (int64_t)cols[2].n, BT_CHAR);
+        shared.put(cols[2].p, cols[2].n);
+      }
+      // REF + ALTs
+      enc_size(shared, (int64_t)cols[3].n, BT_CHAR);
+      shared.put(cols[3].p, cols[3].n);
+      if (!alt_dot) {
+        for (auto& a : parts) {
+          enc_size(shared, (int64_t)a.n, BT_CHAR);
+          shared.put(a.p, a.n);
+        }
+      }
+      enc_vint(shared, filters);
+      shared.put(info_enc.data(), info_enc.len());
+    } while (0);
+
+    bails[line_i] = bail ? 1 : 0;
+    if (!bail) {
+      uint32_t ls = (uint32_t)shared.len(), li = (uint32_t)indiv.len();
+      out.put(&ls, 4);
+      out.put(&li, 4);
+      out.put(shared.data(), shared.len());
+      out.put(indiv.data(), indiv.len());
+    }
+    line_i++;
+    p = nl < end ? nl + 1 : end;
+  }
+  // remaining unparsed lines (max_lines undercount) -> bail
+  for (; line_i < max_lines; line_i++) bails[line_i] = 1;
+
+  uint8_t* res = (uint8_t*)malloc(out.len() ? out.len() : 1);
+  if (!res) return -1;
+  memcpy(res, out.data(), out.len());
+  *out_ptr = res;
+  return (int64_t)out.len();
+}
+
+}  // extern "C"

@@ -336,3 +336,108 @@ def bcf_file_to_vcf(src: Union[str, HFile]) -> "tuple":
         return header, ("\n".join(lines) + ("\n" if lines else "")).encode()
     finally:
         r.close()
+
+
+def _header_parse_tables(header: BcfHeader):
+    """Marshal the header dictionaries for the native VCF parser."""
+    import numpy as np
+
+    from htslib_tpu.vcf.header import BCF_HL_FLT, BCF_HL_FMT, BCF_HL_INFO
+    n = len(header.id_names)
+    flt_def = np.full(n, -1, np.int32)
+    info_type = np.full(n, -1, np.int32)
+    fmt_type = np.full(n, -1, np.int32)
+    for i, info in enumerate(header.id_info):
+        flt_def[i] = info.type[BCF_HL_FLT]
+        info_type[i] = info.type[BCF_HL_INFO]
+        fmt_type[i] = info.type[BCF_HL_FMT]
+    return flt_def, info_type, fmt_type
+
+
+def vcf_body_to_bcf_frames(body: bytes, header: BcfHeader) -> bytes:
+    """VCF body text -> concatenated BCF record frames, native fast
+    path with per-line Python fallback for records that need header
+    mutation (unknown contigs/keys) or exotic values."""
+    import numpy as np
+
+    from htslib_tpu.native import native
+
+    n_lines = body.count(b"\n") + (0 if body.endswith(b"\n") or not body
+                                   else 1)
+    if n_lines == 0:
+        return b""
+    if native is None:
+        frames = bytearray()
+        for line in body.splitlines():
+            if not line.strip():
+                continue
+            rec = BcfRecord.from_vcf(line.decode("utf-8"), header)
+            shared, indiv = rec.to_bcf()
+            frames += struct.pack("<II", len(shared), len(indiv))
+            frames += shared + indiv
+        return bytes(frames)
+
+    flt_def, info_type, fmt_type = _header_parse_tables(header)
+    frames, bails = native.vcf_parse(
+        np.frombuffer(body, np.uint8), header.id_names, flt_def,
+        info_type, fmt_type, header.ctg_names, header.id2int("GT"),
+        header.id2int("END"), header.n_samples, n_lines)
+    if not bails.any():
+        return frames
+    # splice Python-parsed frames for the bailing lines, in order
+    # (split exactly like the native walker: '\n' only)
+    lines = body.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    lines = [l[:-1] if l.endswith(b"\r") else l for l in lines]
+    out = bytearray()
+    fpos = 0
+    mv = memoryview(frames)
+    for i, line in enumerate(lines):
+        if i < len(bails) and not bails[i]:
+            l_shared, l_indiv = struct.unpack_from("<II", mv, fpos)
+            sz = 8 + l_shared + l_indiv
+            out += mv[fpos:fpos + sz]
+            fpos += sz
+        else:
+            if not line.strip():
+                continue
+            rec = BcfRecord.from_vcf(line.decode("utf-8"), header)
+            shared, indiv = rec.to_bcf()
+            out += struct.pack("<II", len(shared), len(indiv))
+            out += shared + indiv
+    return bytes(out)
+
+
+def vcf_file_to_bcf(src: str, dst: str) -> int:
+    """Whole-file VCF -> BCF fast path: header parse + native body
+    parse + BGZF write.  Returns the record count."""
+    with hopen(src, "rb") as f:
+        raw = f.read(-1)
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+        raw = gzip.decompress(bytes(raw))
+    raw = bytes(raw)
+    # split header from body
+    pos = 0
+    while pos < len(raw) and raw[pos:pos + 1] == b"#":
+        nl = raw.find(b"\n", pos)
+        if nl < 0:
+            pos = len(raw)
+            break
+        pos = nl + 1
+    header = BcfHeader(raw[:pos].decode("utf-8", "replace"))
+    body = raw[pos:]
+    frames = vcf_body_to_bcf_frames(body, header)
+    n = 0
+    p = 0
+    while p < len(frames):
+        l_shared, l_indiv = struct.unpack_from("<II", frames, p)
+        p += 8 + l_shared + l_indiv
+        n += 1
+    w = BcfWriter(dst, header)
+    try:
+        w.fp.write(frames)
+    finally:
+        w.close()
+    return n

@@ -308,3 +308,69 @@ def test_bcf_file_to_vcf_vs_htslib(tmp_path):
     want = b"".join(l + b"\n" for l in out.splitlines()
                     if not l.startswith(b"#"))
     assert got == want
+
+
+def test_native_vcf_parse_byte_identity(tmp_path):
+    """The native VCF parser (htstpu_vcf_parse) must produce frames
+    byte-identical to the Python from_vcf+to_bcf path, including the
+    bail-splice for lines that need header mutation."""
+    import struct
+
+    from htslib_tpu.vcf import VcfReader
+    from htslib_tpu.vcf.io import vcf_body_to_bcf_frames
+    src = "/root/reference/test/index.vcf"
+    with VcfReader(src) as r:
+        hdr = r.header.copy()
+        recs = list(r)
+    raw = open(src, "rb").read()
+    body = b"".join(l for l in raw.splitlines(keepends=True)
+                    if not l.startswith(b"#"))
+    frames = vcf_body_to_bcf_frames(body, hdr)
+    want = bytearray()
+    for rec in recs:
+        s, i = rec.to_bcf()
+        want += struct.pack("<II", len(s), len(i)) + s + i
+    assert frames == bytes(want)
+
+
+def test_native_vcf_parse_bail_splice(tmp_path):
+    """Lines with unknown contigs bail to Python (which interns the
+    contig) and splice back in order."""
+    import struct
+
+    from htslib_tpu.vcf import BcfHeader, BcfRecord
+    from htslib_tpu.vcf.io import vcf_body_to_bcf_frames
+    hdr_text = ("##fileformat=VCFv4.2\n##contig=<ID=1>\n"
+                '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    body = (b"1\t100\t.\tA\tT\t.\t.\tDP=5\n"
+            b"chrNEW\t7\t.\tC\tG\t.\t.\t.\n"     # unknown contig -> bail
+            b"1\t200\t.\tG\tC\t.\t.\tDP=9\n")
+    hdr = BcfHeader(hdr_text)
+    frames = vcf_body_to_bcf_frames(body, hdr)
+    hdr2 = BcfHeader(hdr_text)
+    want = bytearray()
+    for line in body.decode().splitlines():
+        rec = BcfRecord.from_vcf(line, hdr2)
+        s, i = rec.to_bcf()
+        want += struct.pack("<II", len(s), len(i)) + s + i
+    assert frames == bytes(want)
+    assert "chrNEW" in hdr.ctg_names      # python path interned it
+
+
+def test_vcf_file_to_bcf_vs_htslib(tmp_path):
+    import os
+    import subprocess
+
+    from htslib_tpu.vcf.io import vcf_file_to_bcf
+    htsfile = os.path.join(os.environ.get("HTSLIB_BUILD",
+                                          "/tmp/htslib-build"), "htsfile")
+    if not os.path.exists(htsfile):
+        import pytest
+        pytest.skip("reference htslib not built")
+    out = str(tmp_path / "f.bcf")
+    n = vcf_file_to_bcf("/root/reference/test/index.vcf", out)
+    got = subprocess.run([htsfile, "-c", out], capture_output=True,
+                         check=True).stdout
+    body = [l for l in got.splitlines() if not l.startswith(b"#")]
+    assert len(body) == n == 621
