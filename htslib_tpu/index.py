@@ -71,6 +71,31 @@ def bin_maxpos(min_shift: int, n_lvls: int) -> int:
     return 1 << (min_shift + 3 * n_lvls)
 
 
+def adjust_csi_settings(max_len: int, min_shift: int,
+                        n_lvls: int) -> "Tuple[int, int]":
+    """hts_adjust_csi_settings (hts.c:2372): grow the CSI depth (or,
+    past 9 levels, min_shift) until the longest reference fits.
+    Returns (min_shift, n_lvls)."""
+    max_n_lvls = 9
+    need = max_len + 256
+    if need <= bin_maxpos(min_shift, max_n_lvls):
+        maxpos = bin_maxpos(min_shift, n_lvls)
+        while need > maxpos:
+            n_lvls += 1
+            maxpos *= 8
+    else:
+        from htslib_tpu.util.log import log_warning
+        old = min_shift
+        n_lvls = max_n_lvls
+        maxpos = bin_maxpos(min_shift, n_lvls)
+        while need > maxpos:
+            min_shift += 1
+            maxpos *= 2
+        log_warning("Adjusted min_shift from %d to %d due to longest "
+                    "reference of %d bases.", old, min_shift, max_len)
+    return min_shift, n_lvls
+
+
 def reg2bin(beg: int, end: int, min_shift: int = 14, n_lvls: int = 5) -> int:
     end -= 1
     l, s = n_lvls, min_shift

@@ -168,3 +168,19 @@ def test_hts_features():
     import htslib_tpu
     assert htslib_tpu.hts_features() & 32  # libdeflate path present
     assert "libdeflate=yes" in htslib_tpu.hts_feature_string()
+
+
+def test_adjust_csi_settings():
+    """hts_adjust_csi_settings port: depth grows with reference length,
+    min_shift only as a last resort."""
+    from htslib_tpu.index import adjust_csi_settings, bin_maxpos
+    # default 14/5 covers ~2^29: a 2Gb chromosome needs more levels
+    ms, nl = adjust_csi_settings(2_000_000_000, 14, 5)
+    assert ms == 14 and nl == 6
+    assert bin_maxpos(ms, nl) >= 2_000_000_000 + 256
+    # small refs: unchanged
+    assert adjust_csi_settings(100_000, 14, 5) == (14, 5)
+    # beyond 9 levels: min_shift gives way
+    ms, nl = adjust_csi_settings(1 << 43, 14, 5)
+    assert nl == 9 and ms > 14
+    assert bin_maxpos(ms, nl) >= (1 << 43) + 256
