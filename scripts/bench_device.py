@@ -90,6 +90,44 @@ def main():
     out["xla_gather_Glookups_s"] = round(xla_rate, 4)
     out["pallas_vs_xla_lookups"] = round(pallas_rate / xla_rate, 1)
 
+    # ---- 1b. DEFLATE canonical-Huffman resolve ----------------------
+    if left() > 300:
+        from htslib_tpu.ops.huffman_pallas import (MAXBITS,
+                                                   make_huffman_resolve_bench)
+        fnh, argsh, _, v0h = make_huffman_resolve_bench(L=128, rounds=R,
+                                                        unroll=4)
+        r = fnh(*argsh)
+        sync(r)
+        t0 = time.time()
+        for _ in range(reps):
+            r = fnh(*argsh)
+        sync(r)
+        dth = (time.time() - t0) / reps
+        hp = 128 * R / dth / 1e9
+        out["pallas_huffman_Gresolves_s"] = round(hp, 4)
+
+        flat = jnp.asarray(rng.randint(0, 1 << 24,
+                                       (128, 1 << MAXBITS)).astype(np.int32))
+        vx = jnp.asarray(v0h[0])
+
+        @jax.jit
+        def xla_huff(tbl, v):
+            def body(_, v):
+                e = jnp.take_along_axis(tbl, v[:, None] & 0x7FFF,
+                                        axis=1)[:, 0]
+                return ((v * 5 + (e & 0x1FF) * 40503) >> 7) & 0x7FFF
+            return jax.lax.fori_loop(0, R, body, v)
+
+        r2 = xla_huff(flat, vx)
+        sync(r2)
+        t0 = time.time()
+        for _ in range(reps):
+            r2 = xla_huff(flat, vx)
+        sync(r2)
+        hx = 128 * R / ((time.time() - t0) / reps) / 1e9
+        out["xla_huffman_Gresolves_s"] = round(hx, 4)
+        out["pallas_vs_xla_huffman"] = round(hp / hx, 1)
+
     # ---- 2. rANS Nx16 O0 decode: pallas vs the XLA lowering ----------
     if left() > 240:
         from htslib_tpu.codecs.rans4x16 import compress

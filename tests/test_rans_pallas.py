@@ -57,3 +57,23 @@ for b in range(2):
 print("OK")
 ''')
     assert "OK" in out
+
+
+def test_huffman_resolve_interpret():
+    """Canonical-Huffman gatherless resolve: dependent chain matches
+    the numpy model (interpret mode)."""
+    out = clean_jax_run(r'''
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+from htslib_tpu.ops.huffman_pallas import make_huffman_resolve_bench
+fn, args, ref_step, v0 = make_huffman_resolve_bench(L=128, rounds=8,
+                                                    unroll=4)
+v = v0[0].copy()
+for _ in range(8):
+    v, sym = ref_step(v)
+with pltpu.force_tpu_interpret_mode():
+    r = fn(*args)
+assert np.array_equal(np.asarray(r)[0], v)
+print("OK")
+''')
+    assert "OK" in out
