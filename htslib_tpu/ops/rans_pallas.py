@@ -12,9 +12,11 @@ VMEM plus ONE masked delta-table reduction:
 
 The sum runs as a manual binary tree over the sublane axis (jnp.sum
 along sublanes lowers sequentially in Mosaic — the tree is ~30 vector
-adds).  Measured on the attached v5e: ~6.8 G lookups/s on the dependent
-4x8-shaped chain, ~80x the XLA wall (scripts/bench_device.py records
-it in BENCH's device section).
+adds).  Measured on the attached v5e (scripts/bench_device.py, recorded
+in BENCH's device section / DEVICE_BENCH.json): ~0.35 G lookups/s on
+the dependent resolve chain, ~5.7x the XLA gather lowering on the same
+shape.  (An earlier draft quoted 6.8 G/s from a mis-scaled element
+count; the DEVICE_BENCH numbers are the authoritative measurement.)
 
 Layout: symbols on sublanes [256, lanes]; rANS states on lanes.  The
 full Nx16 order-0 decoder packs BLOCKS=4 independent streams x 32

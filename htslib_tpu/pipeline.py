@@ -89,7 +89,29 @@ class ProcessQueue:
     per-stream queue attached to the shared pool with bounded input and
     output sides, non-blocking dispatch, and serial-number-ordered
     result draining.  Many queues can share one pool
-    (hts_tpool_attach model)."""
+    (hts_tpool_attach model).
+
+    Semantics follow the reference worker loop (thread_pool.c:518-723):
+
+    * jobs sit on a bounded *input* deque; blocking dispatch waits while
+      the input side is at its limit (hts_tpool_dispatch3,
+      thread_pool.c:878);
+    * a worker gates on output room *before pulling* a job
+      (``qsize - n_output > n_processing``, thread_pool.c:536) — never
+      after computing it — and pulling frees input space immediately
+      (``n_input--`` at thread_pool.c:599), so dispatchers unblock as
+      soon as work starts, and a stored result never holds a lock the
+      consumer is waiting behind;
+    * once pulled, the result slot is reserved, so storage is
+      unconditional.
+
+    One deliberate extension: when the input side is full and nothing is
+    processing (a producer blocked in dispatch with undrained results),
+    a worker may pull one job past the output limit.  The reference has
+    the same wedge and escapes it by growing qsize on the fly
+    (thread_pool.c:956-960); we apply the equivalent pressure release
+    eagerly so a dispatch-then-poll producer always makes progress.
+    """
 
     def __init__(self, pool: Optional[_fut.ThreadPoolExecutor] = None,
                  in_limit: int = 8, out_limit: int = 8):
@@ -98,46 +120,71 @@ class ProcessQueue:
         self._in_limit = max(1, in_limit)
         self._out_limit = max(1, out_limit)
         self._lock = threading.Condition()
+        self._input: deque = deque()  # (serial, fn, args, kwargs)
         self._next_serial = 0        # next serial to assign
         self._next_out = 0           # next serial to hand to the consumer
-        self._in_flight = 0
+        self._n_processing = 0       # pulled but not yet stored
         self._results: dict = {}
+        self._runners = 0            # pool tasks alive for this queue
         self._shutdown = False
 
-    # -- producer side --------------------------------------------------
-    def _submit(self, fn, args, kwargs) -> None:
-        serial = self._next_serial
-        self._next_serial += 1
-        self._in_flight += 1
+    # -- worker side ----------------------------------------------------
+    def _pullable(self) -> bool:
+        # caller holds the lock
+        if self._shutdown or not self._input:
+            return False
+        if self._n_processing + len(self._results) < self._out_limit:
+            return True
+        # pressure release (thread_pool.c:956 qsize bump): input full,
+        # nothing in flight => the producer may be wedged in dispatch
+        # with the consumer unable to run; allow one over-limit pull.
+        return (self._n_processing == 0
+                and len(self._input) >= self._in_limit)
 
-        def run():
-            try:
-                res = fn(*args, **kwargs)
-                err = None
-            except Exception as e:      # propagated to the consumer
-                res, err = None, e
+    def _maybe_spawn(self) -> None:
+        # caller holds the lock
+        if self._pullable() and self._runners < self._in_limit:
+            self._runners += 1
+            self._pool.submit(self._run_loop)
+
+    def _run_loop(self) -> None:
+        try:
+            while True:
+                with self._lock:
+                    if not self._pullable():
+                        return
+                    serial, fn, args, kwargs = self._input.popleft()
+                    self._n_processing += 1
+                    self._lock.notify_all()   # input space freed
+                try:
+                    res, err = fn(*args, **kwargs), None
+                except Exception as e:        # propagated to the consumer
+                    res, err = None, e
+                with self._lock:
+                    self._results[serial] = (res, err)
+                    self._n_processing -= 1
+                    self._lock.notify_all()
+        finally:
             with self._lock:
-                # block while the output side is full, unless this
-                # result is the one the consumer is waiting for
-                while (len(self._results) >= self._out_limit
-                       and serial != self._next_out
-                       and not self._shutdown):
-                    self._lock.wait(1.0)
-                self._results[serial] = (res, err)
-                self._in_flight -= 1
-                self._lock.notify_all()
+                self._runners -= 1
+                # work may have become pullable between our last check
+                # and this decrement
+                self._maybe_spawn()
 
-        self._pool.submit(run)
-
+    # -- producer side --------------------------------------------------
     def dispatch(self, fn, *args, **kwargs) -> None:
         """Blocking dispatch: waits while the input side is full
         (hts_tpool_dispatch)."""
         with self._lock:
-            while self._in_flight >= self._in_limit and not self._shutdown:
+            while (len(self._input) >= self._in_limit
+                   and not self._shutdown):
+                self._maybe_spawn()
                 self._lock.wait(1.0)
             if self._shutdown:
                 raise RuntimeError("queue is shut down")
-            self._submit(fn, args, kwargs)
+            self._input.append((self._next_serial, fn, args, kwargs))
+            self._next_serial += 1
+            self._maybe_spawn()
 
     def try_dispatch(self, fn, *args, **kwargs) -> bool:
         """Non-blocking dispatch (hts_tpool_dispatch3 nonblock):
@@ -145,9 +192,12 @@ class ProcessQueue:
         with self._lock:
             if self._shutdown:
                 raise RuntimeError("queue is shut down")
-            if self._in_flight >= self._in_limit:
+            if len(self._input) >= self._in_limit:
+                self._maybe_spawn()
                 return False
-            self._submit(fn, args, kwargs)
+            self._input.append((self._next_serial, fn, args, kwargs))
+            self._next_serial += 1
+            self._maybe_spawn()
             return True
 
     # -- consumer side --------------------------------------------------
@@ -160,6 +210,7 @@ class ProcessQueue:
                 if self._next_out in self._results:
                     res, err = self._results.pop(self._next_out)
                     self._next_out += 1
+                    self._maybe_spawn()       # output space freed
                     self._lock.notify_all()
                     if err is not None:
                         raise err
@@ -167,8 +218,10 @@ class ProcessQueue:
                 if not wait:
                     return None
                 if (self._next_out >= self._next_serial
-                        and self._in_flight == 0):
+                        and self._n_processing == 0
+                        and not self._input):
                     return None          # fully drained
+                self._maybe_spawn()
                 self._lock.wait(1.0)
 
     def flush(self):
@@ -178,7 +231,8 @@ class ProcessQueue:
         while True:
             with self._lock:
                 done = (self._next_out >= self._next_serial
-                        and self._in_flight == 0
+                        and self._n_processing == 0
+                        and not self._input
                         and not self._results)
             if done:
                 return out

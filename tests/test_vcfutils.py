@@ -184,3 +184,137 @@ def test_vcf_sweep_streaming_constant_memory(tmp_path):
         assert sw.bwd() is not None
         r = sw.fwd()
         assert r is not None and r.pos == 0
+
+
+# ---------------------------------------------------------------------------
+# bcf_calc_ac / bcf_gt_type / bcf_remove_allele_set parity vs the built
+# reference htslib (vcfutils.c:32,134,659) via tests/vcfutils_golden.c
+# ---------------------------------------------------------------------------
+
+import subprocess
+
+import numpy as np
+
+from htslib_tpu.vcfutils import (BCF_UN_FMT, BCF_UN_INFO, GT_UNKN, calc_ac,
+                                 gt_type, remove_alleles)
+
+BUILD = os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build")
+
+GOLDEN_HDR = """##fileformat=VCFv4.2
+##INFO=<ID=AF,Number=A,Type=Float,Description="d">
+##INFO=<ID=IR,Number=R,Type=Integer,Description="d">
+##INFO=<ID=IG,Number=G,Type=Integer,Description="d">
+##INFO=<ID=SA,Number=A,Type=String,Description="d">
+##INFO=<ID=SG,Number=G,Type=String,Description="d">
+##INFO=<ID=AN,Number=1,Type=Integer,Description="d">
+##INFO=<ID=AC,Number=A,Type=Integer,Description="d">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="d">
+##FORMAT=<ID=AD,Number=R,Type=Integer,Description="d">
+##FORMAT=<ID=PL,Number=G,Type=Integer,Description="d">
+##FORMAT=<ID=GL,Number=G,Type=Float,Description="d">
+##FORMAT=<ID=FA,Number=A,Type=Float,Description="d">
+##FORMAT=<ID=RS,Number=R,Type=String,Description="d">
+##FORMAT=<ID=GS,Number=G,Type=String,Description="d">
+##contig=<ID=1,length=1000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3
+"""
+
+GOLDEN_LINES = [
+    # triallelic, diploid everywhere, full A/R/G INFO+FORMAT
+    "1\t10\t.\tA\tC,G\t50\t.\tAF=0.5,0.25;IR=7,8,9;IG=1,2,3,4,5,6;"
+    "SA=x,y;SG=aa,bb,cc,dd,ee,ff"
+    "\tGT:AD:PL:GL:FA:RS:GS"
+    "\t0/1:10,5,0:0,10,100,20,120,200:-0.1,-1,-10,-2,-12,-20:0.5,0.25:r,a,b:g1,g2,g3,g4,g5,g6"
+    "\t1/2:0,3,4:90,50,60,10,5,0:-9,-5,-6,-1,-0.5,0:0.9,0.8:u,v,w:h1,h2,h3,h4,h5,h6"
+    "\t0/0:9,0,0:0,30,300,40,340,400:0,-3,-30,-4,-34,-40:0.1,0.2:p,q,s:i1,i2,i3,i4,i5,i6",
+    # haploid + missing samples
+    "1\t20\t.\tT\tA,C\t.\t.\tIR=1,2,3"
+    "\tGT:AD:PL"
+    "\t1:4,5,6:10,20,30"
+    "\t./.:.:."
+    "\t2:7,8,9:5,6,7",
+    # quad-allelic with AN/AC INFO
+    "1\t30\t.\tG\tA,C,T\t9\t.\tAN=6;AC=2,1,0;AF=0.3,0.2,0.1"
+    "\tGT:AD"
+    "\t0/1:5,2,0,0"
+    "\t1/2:1,2,3,0"
+    "\t0|0:6,0,0,0",
+]
+
+
+def _golden_bin(tmp_path_factory=None):
+    exe = "/tmp/vcfutils_golden_t"
+    src = os.path.join(os.path.dirname(__file__), "vcfutils_golden.c")
+    if not os.path.exists(os.path.join(BUILD, "libhts.a")):
+        return None
+    if not os.path.exists(exe) or (
+            os.path.getmtime(exe) < os.path.getmtime(src)):
+        r = subprocess.run(
+            ["gcc", "-I" + BUILD, "-o", exe, src,
+             os.path.join(BUILD, "libhts.a"),
+             "-ldeflate", "-lz", "-llzma", "-lm", "-lpthread"],
+            capture_output=True)
+        if r.returncode != 0:
+            return None
+    return exe
+
+
+def _run_golden(exe, vcf_path, rm=""):
+    out = subprocess.run([exe, vcf_path, rm], capture_output=True,
+                         timeout=60)
+    assert out.returncode == 0, out.stderr.decode()
+    return out.stdout.decode().splitlines()
+
+
+@pytest.mark.parametrize("rm", ["1", "2", "1,2"])
+def test_vcfutils_parity_vs_htslib(tmp_path, rm):
+    exe = _golden_bin()
+    if exe is None:
+        pytest.skip("reference htslib not built")
+    vcf = str(tmp_path / "in.vcf")
+    with open(vcf, "w") as f:
+        f.write(GOLDEN_HDR)
+        for ln in GOLDEN_LINES:
+            f.write(ln + "\n")
+    lines = _run_golden(exe, vcf, rm)
+
+    h = BcfHeader(GOLDEN_HDR)
+    li = 0
+    for src in GOLDEN_LINES:
+        v = BcfRecord.from_vcf(src, h)
+        # AC parity
+        want = lines[li]; li += 1
+        ac = calc_ac(h, v, BCF_UN_FMT)
+        if ac is None:
+            assert want == "AC ret=0"
+        else:
+            assert want == "AC ret=1 " + " ".join(str(x) for x in ac)
+        # GT type parity
+        gt = v.get_fmt(h, "GT")
+        if gt is not None:
+            for s in range(v.n_sample):
+                want = lines[li]; li += 1
+                t, ial, jal = gt_type(gt, s)
+                ref_t, ref_i, ref_j = (int(x) for x in want.split()[1:])
+                assert t == ref_t, (src, s, want)
+                if t != GT_UNKN:
+                    assert (ial, jal) == (ref_i, ref_j), (src, s, want)
+        # remove_allele_set parity
+        want = lines[li]; li += 1
+        if int(rm.split(",")[0]) >= v.n_allele:
+            continue
+        mask = np.zeros(v.n_allele, bool)
+        for tok in rm.split(","):
+            if int(tok) < v.n_allele:
+                mask[int(tok)] = True
+        remove_alleles(h, v, mask)
+        got = "RM " + v.to_vcf(h)
+        assert got.rstrip("\n") == want.rstrip("\n"), (src, rm)
+
+
+def test_calc_ac_from_info():
+    h = BcfHeader(GOLDEN_HDR)
+    v = BcfRecord.from_vcf(GOLDEN_LINES[2], h)
+    assert calc_ac(h, v, BCF_UN_INFO) == [3, 2, 1, 0]
+    # FMT split of the same record counts the GTs instead
+    assert calc_ac(h, v, BCF_UN_FMT) == [3, 2, 1, 0]
