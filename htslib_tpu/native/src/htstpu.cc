@@ -401,7 +401,42 @@ class Buf {
     memcpy(data_ + len_, tmp + i, 20 - i);
     len_ += 20 - i;
   }
+  // unchecked writes: caller must have reserve()d the worst case.
+  // write_i64 is the raw-pointer put_i64 used by both.
+  static inline uint8_t* write_i64(uint8_t* w, int64_t v) {
+    if (v < 0) *w++ = '-';
+    uint64_t x = v < 0 ? (uint64_t)(-v) : (uint64_t)v;
+    // 1-2 digit fast path: the bulk of VCF/SAM numeric values
+    if (x < 10) { *w++ = (char)('0' + x); return w; }
+    const char* dp = digit_pairs();
+    if (x < 100) { memcpy(w, dp + 2 * x, 2); return w + 2; }
+    char tmp[20];
+    int i = 20;
+    while (x >= 100) {
+      uint64_t r = x % 100;
+      x /= 100;
+      i -= 2;
+      memcpy(tmp + i, dp + 2 * r, 2);
+    }
+    if (x >= 10) {
+      i -= 2;
+      memcpy(tmp + i, dp + 2 * x, 2);
+    } else {
+      tmp[--i] = '0' + (char)x;
+    }
+    memcpy(w, tmp + i, 20 - i);
+    return w + (20 - i);
+  }
+  inline void putc_u(char c) { data_[len_++] = c; }
+  inline void put_u(const void* p, size_t n) {
+    memcpy(data_ + len_, p, n);
+    len_ += n;
+  }
+  inline void put_i64_u(int64_t v) {
+    len_ = (size_t)(write_i64(data_ + len_, v) - data_);
+  }
   uint8_t* data() { return data_; }
+  uint8_t* end_ptr() { return data_ + len_; }
   size_t len() const { return len_; }
   inline void bump(size_t n) { len_ += n; }
   inline void clear() { len_ = 0; }
@@ -4364,6 +4399,8 @@ struct PNode {
   // resolve_cigar2 cursor
   int64_t k = -1, x = 0, y = 0;
   std::vector<uint8_t> qual;   // mutable copy for overlap tweaking
+  std::vector<char> disp;      // per-base display char (case by strand)
+  bool m_only = false;         // single pure-match CIGAR op fast path
 };
 
 // per-column per-read state (bam_pileup1_t)
@@ -4407,6 +4444,17 @@ static bool parse_rec(const uint8_t* p, uint32_t size, PNode* n) {
   n->end = n->pos + span;
   n->s_end = n->end - 1;
   n->qual.assign(n->qualp, n->qualp + n->l_qseq);
+  n->m_only = (n->n_cigar == 1 && is_mop((int)(n->cigar[0] & 0xF)));
+  // precompute per-base display chars once per read (emit touches each
+  // base once per covered column — ~depth times)
+  n->disp.resize(n->l_qseq);
+  const char* nt16 = "=ACMGRSVTWYHKDBN";
+  uint8_t case_bit = (n->flag & FREVERSE) ? 0x20 : 0;
+  for (int32_t i = 0; i < n->l_qseq; i++) {
+    uint8_t b4 = n->seq4[i >> 1];
+    int nib = (i & 1) == 0 ? (b4 >> 4) : (b4 & 0xF);
+    n->disp[i] = (char)(nt16[nib] | case_bit);
+  }
   return true;
 }
 
@@ -4706,6 +4754,7 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
     return err;
   };
 
+  int64_t n_complex = 0;   // active nodes needing the resolve cursor
   auto push = [&](PNode* b) -> int {
     if (!b) { eof = true; return 0; }
     if (b->tid < 0 || (b->flag & FUNMAP)) { overlap_remove(b); return 0; }
@@ -4716,16 +4765,92 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
     if (b->end > cur_pos || b->tid > cur_tid) {
       if (overlap_push(b) < 0) return -2;
       nodes.push_back(b);
+      if (!b->m_only) n_complex++;
     }
     return 0;
   };
 
   std::vector<PRead> plp_col;
+  std::string base_tmp, qual_tmp;
+  auto advance_cursor = [&]() -> int {
+    if (!nodes.empty()) {
+      PNode* head = nodes[0];
+      if (cur_tid > head->tid) return -2;
+      if (cur_tid < head->tid) { cur_tid = head->tid; cur_pos = head->beg; }
+      else if (cur_pos < head->beg) cur_pos = head->beg;
+      else cur_pos++;
+    } else {
+      cur_pos++;
+    }
+    return 0;
+  };
   auto next_column = [&](int32_t* otid, int64_t* opos) -> int {
-    // 1 = column in plp_col, 0 = need more input / done, -2 = error
+    // 1 = column in plp_col, 0 = need more input / done, -2 = error;
+    // columns of pure-match reads are scanned AND written in one pass
+    // (no per-column PRead materialisation) and never returned
     if (eof && nodes.empty()) return 0;
     while (eof || max_tid > cur_tid ||
            (max_tid == cur_tid && max_pos > cur_pos)) {
+      if (n_complex == 0) {
+        // fused scan+emit: every active read is a single pure-match
+        // op, so qpos/is_head/is_tail are arithmetic and the display
+        // char is precomputed — build the base and qual rows directly
+        base_tmp.clear();
+        qual_tmp.clear();
+        size_t w = 0;
+        for (size_t i = 0; i < nodes.size(); i++) {
+          PNode* node = nodes[i];
+          if (node->tid < cur_tid ||
+              (node->tid == cur_tid && node->end <= cur_pos)) {
+            overlap_remove(node);
+            continue;
+          }
+          if (node->tid == cur_tid && node->beg <= cur_pos) {
+            int64_t qpos = cur_pos - node->pos;
+            if (cur_pos == node->pos) {
+              base_tmp.push_back('^');
+              base_tmp.push_back(
+                  (char)('!' + (node->mapq < 93 ? node->mapq : 93)));
+            }
+            base_tmp.push_back(node->disp[qpos]);
+            if (cur_pos == node->s_end) base_tmp.push_back('$');
+            int q = node->qual[qpos] + 33;
+            qual_tmp.push_back(q < (int)'~' ? (char)q : '~');
+          }
+          nodes[w++] = node;
+        }
+        nodes.resize(w);
+        int32_t tid = cur_tid;
+        int64_t pos = cur_pos;
+        if (advance_cursor() < 0) return -2;
+        if (!qual_tmp.empty()) {
+          uint32_t nml = (tid >= 0 && tid < n_ref) ? name_lens[tid] : 1;
+          out.reserve((size_t)nml + 48 + base_tmp.size() +
+                      qual_tmp.size());
+          uint8_t* w0 = out.end_ptr();
+          uint8_t* wp = w0;
+          if (tid >= 0 && tid < n_ref) {
+            memcpy(wp, name_buf + name_offs[tid], nml);
+            wp += nml;
+          } else {
+            *wp++ = '*';
+          }
+          *wp++ = '\t';
+          wp = Buf::write_i64(wp, pos + 1);
+          *wp++ = '\t';
+          wp = Buf::write_i64(wp, (int64_t)qual_tmp.size());
+          *wp++ = '\t';
+          memcpy(wp, base_tmp.data(), base_tmp.size());
+          wp += base_tmp.size();
+          *wp++ = '\t';
+          memcpy(wp, qual_tmp.data(), qual_tmp.size());
+          wp += qual_tmp.size();
+          *wp++ = '\n';
+          out.bump((size_t)(wp - w0));
+        }
+        if (eof && nodes.empty()) break;
+        continue;
+      }
       plp_col.clear();
       size_t w = 0;
       for (size_t i = 0; i < nodes.size(); i++) {
@@ -4733,12 +4858,20 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
         if (node->tid < cur_tid ||
             (node->tid == cur_tid && node->end <= cur_pos)) {
           overlap_remove(node);
+          if (!node->m_only) n_complex--;
           continue;
         }
         if (node->tid == cur_tid && node->beg <= cur_pos) {
           PRead p;
           p.n = node;
-          resolve_cigar2(&p, cur_pos, node);
+          if (node->m_only) {
+            // single pure-match op: resolve_cigar2 degenerates to this
+            p.qpos = cur_pos - node->pos;
+            p.is_head = cur_pos == node->pos ? 1 : 0;
+            p.is_tail = cur_pos == node->s_end ? 1 : 0;
+          } else {
+            resolve_cigar2(&p, cur_pos, node);
+          }
           plp_col.push_back(p);
         }
         nodes[w++] = node;
@@ -4746,15 +4879,7 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
       nodes.resize(w);
       int32_t tid = cur_tid;
       int64_t pos = cur_pos;
-      if (!nodes.empty()) {
-        PNode* head = nodes[0];
-        if (cur_tid > head->tid) return -2;
-        if (cur_tid < head->tid) { cur_tid = head->tid; cur_pos = head->beg; }
-        else if (cur_pos < head->beg) cur_pos = head->beg;
-        else cur_pos++;
-      } else {
-        cur_pos++;
-      }
+      if (advance_cursor() < 0) return -2;
       if (!plp_col.empty()) { *otid = tid; *opos = pos; return 1; }
       if (eof && nodes.empty()) break;
     }
@@ -4762,6 +4887,51 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
   };
 
   auto emit = [&](int32_t tid, int64_t pos) {
+    // fast writer for indel-free columns (the overwhelmingly common
+    // case): one reservation, raw-pointer writes, precomputed base
+    // chars.  Indel columns use the general putc path below.
+    bool has_indel = false;
+    for (auto& p : plp_col)
+      if (p.indel != 0) { has_indel = true; break; }
+    if (!has_indel) {
+      uint32_t nml = (tid >= 0 && tid < n_ref) ? name_lens[tid] : 1;
+      out.reserve((size_t)nml + 48 + plp_col.size() * 5);
+      uint8_t* w0 = out.end_ptr();
+      uint8_t* w = w0;
+      if (tid >= 0 && tid < n_ref) {
+        memcpy(w, name_buf + name_offs[tid], nml);
+        w += nml;
+      } else {
+        *w++ = '*';
+      }
+      *w++ = '\t';
+      w = Buf::write_i64(w, pos + 1);
+      *w++ = '\t';
+      w = Buf::write_i64(w, (int64_t)plp_col.size());
+      *w++ = '\t';
+      for (auto& p : plp_col) {
+        PNode* b = p.n;
+        if (p.is_head) {
+          *w++ = '^';
+          *w++ = (char)('!' + (b->mapq < 93 ? b->mapq : 93));
+        }
+        if (p.is_del)
+          *w++ = p.is_refskip ? ((b->flag & FREVERSE) ? '<' : '>') : '*';
+        else
+          *w++ = b->disp[p.qpos];
+        if (p.is_tail) *w++ = '$';
+      }
+      *w++ = '\t';
+      for (auto& p : plp_col) {
+        char q = '~';
+        if (p.qpos < p.n->l_qseq && p.n->qual[p.qpos] + 33 < (int)'~')
+          q = (char)(p.n->qual[p.qpos] + 33);
+        *w++ = q;
+      }
+      *w++ = '\n';
+      out.bump((size_t)(w - w0));
+      return;
+    }
     if (tid >= 0 && tid < n_ref)
       out.put(name_buf + name_offs[tid], name_lens[tid]);
     else
@@ -4781,8 +4951,7 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
       if (p.is_del) {
         out.putc(p.is_refskip ? (rev ? '<' : '>') : '*');
       } else {
-        char c = kNt16[seq_nib(b->seq4, p.qpos)];
-        out.putc(rev ? (char)tolower(c) : (char)toupper(c));
+        out.putc(b->disp[p.qpos]);
       }
       int64_t del_len = 0;
       if (p.indel > 0) {
@@ -4933,66 +5102,77 @@ static inline int32_t widen(const uint8_t* p, int bt, int64_t i) {
   return (int32_t)rd_u32(p + 4 * i);
 }
 
-static void put_g(Buf* out, uint32_t bits) {
+// NOTE: every fmt_* helper below writes through a raw cursor; the
+// caller (fmt_record) reserves the record's worst-case text up front
+// and commits the final length once.
+static uint8_t* put_g(uint8_t* w, uint32_t bits) {
   float f;
   memcpy(&f, &bits, 4);
-  char tmp[40];
-  int n = snprintf(tmp, sizeof tmp, "%g", (double)f);
-  out->put(tmp, n);
+  // fast path for integral values in %g's plain-notation range (the
+  // common QUAL/PL case): avoids snprintf.  %g flips to exponent
+  // notation at 1e6, and -0.0 prints "-0", so both are excluded; the
+  // range check also rejects NaN/inf before the cast.
+  if (f > -1e6f && f < 1e6f && bits != 0x80000000u) {
+    int64_t iv = (int64_t)f;
+    if ((float)iv == f) return Buf::write_i64(w, iv);
+  }
+  return w + snprintf((char*)w, 40, "%g", (double)f);
 }
 
 // bcf_fmt_array int leg (vcf.c:3036 / record.py _fmt_int_arr)
-static void fmt_int_arr(Buf* out, const uint8_t* p, int bt, int64_t n) {
+static uint8_t* fmt_int_arr(uint8_t* w, const uint8_t* p, int bt,
+                            int64_t n) {
   int any = 0;
   for (int64_t i = 0; i < n; i++) {
     int32_t v = widen(p, bt, i);
     if (v == I32_END) break;
-    if (any) out->putc(',');
-    if (v == I32_MISS) out->putc('.');
-    else out->put_i64(v);
+    if (any) *w++ = ',';
+    if (v == I32_MISS) *w++ = '.';
+    else w = Buf::write_i64(w, v);
     any++;
   }
-  if (!any && n == 0) out->putc('.');
+  if (!any && n == 0) *w++ = '.';
+  return w;
 }
 
-static void fmt_float_arr(Buf* out, const uint8_t* p, int64_t n) {
+static uint8_t* fmt_float_arr(uint8_t* w, const uint8_t* p, int64_t n) {
   int any = 0;
   for (int64_t i = 0; i < n; i++) {
     uint32_t b = rd_u32(p + 4 * i);
     if (b == F_END) break;
-    if (any) out->putc(',');
-    if (b == F_MISS) out->putc('.');
-    else put_g(out, b);
+    if (any) *w++ = ',';
+    if (b == F_MISS) *w++ = '.';
+    else w = put_g(w, b);
     any++;
   }
-  if (!any && n == 0) out->putc('.');
+  if (!any && n == 0) *w++ = '.';
+  return w;
 }
 
-static void fmt_char_arr(Buf* out, const uint8_t* p, int64_t n) {
-  if (n == 0) { out->putc('.'); return; }
-  int any = 0;
+static uint8_t* fmt_char_arr(uint8_t* w, const uint8_t* p, int64_t n) {
+  if (n == 0) { *w++ = '.'; return w; }
   for (int64_t i = 0; i < n; i++) {
     uint8_t c = p[i];
     if (c == 0) break;
-    out->putc(c == 0x07 ? '.' : (char)c);
-    any++;
+    *w++ = (c == 0x07 ? '.' : (char)c);
   }
-  (void)any;
+  return w;
 }
 
 // bcf_format_gt pre-4.4 (vcf.c:6345 / record.py _fmt_gt)
-static void fmt_gt(Buf* out, const uint8_t* p, int bt, int64_t n) {
+static uint8_t* fmt_gt(uint8_t* w, const uint8_t* p, int bt, int64_t n) {
   int any = 0;
   for (int64_t i = 0; i < n; i++) {
     int32_t v = widen(p, bt, i);
     if (v == I32_END) break;
-    if (i) out->putc((v & 1) ? '|' : '/');
+    if (i) *w++ = (v & 1) ? '|' : '/';
     int32_t al = v >> 1;
-    if (al == 0) out->putc('.');
-    else out->put_i64(al - 1);
+    if (al == 0) *w++ = '.';
+    else w = Buf::write_i64(w, al - 1);
     any++;
   }
-  if (!any) out->putc('.');
+  if (!any) *w++ = '.';
+  return w;
 }
 
 }  // namespace bcf
@@ -5003,18 +5183,23 @@ struct VcfTables {
   const uint8_t* id_buf; const uint64_t* id_offs;
   const uint32_t* id_lens; int32_t n_id;
   int32_t gt_id;
+  // worst-case per-wire-byte text expansion: the densest cases are an
+  // int8 value ("-120," = 5 chars/byte) and a FILTER id (one int8 byte
+  // -> longest dictionary name + ';').  Floats are bounded by put_g's
+  // 40-char tmp over 4 wire bytes.
+  uint32_t max_id_len = 0, max_ctg_len = 0, per_byte = 12;
 };
 
+struct FmtDesc { int64_t key; int bt; int64_t nper; const uint8_t* p; };
+
 // Format one BCF record (shared+indiv blobs) as one VCF line + \n.
+// `fds` is caller-owned scratch (reused across records, no per-record
+// allocation).
 static bool fmt_record(const uint8_t* sh, uint32_t l_shared,
                        const uint8_t* iv, uint32_t l_indiv,
-                       const VcfTables& T, Buf& out) {
+                       const VcfTables& T, Buf& out,
+                       std::vector<FmtDesc>& fds) {
   using namespace bcf;
-  auto put_id = [&](int64_t i) {
-    if (i >= 0 && i < T.n_id) out.put(T.id_buf + T.id_offs[i],
-                                      T.id_lens[i]);
-    else out.putc('.');
-  };
   int32_t n_ctg = T.n_ctg;
   int32_t gt_id = T.gt_id;
   {
@@ -5029,69 +5214,91 @@ static bool fmt_record(const uint8_t* sh, uint32_t l_shared,
     uint32_t n_sample = n_fs & 0xFFFFFF;
     uint32_t n_fmt = n_fs >> 24;
 
+    // one reservation for the whole line, then raw-cursor writes: the
+    // bound covers typed values (per_byte per wire byte), zero-width
+    // fields (".:" per sample/field), FORMAT keys and fixed columns
+    out.reserve((uint64_t)(l_shared + l_indiv) * T.per_byte +
+                T.max_ctg_len +
+                (uint64_t)n_sample * (2ull * n_fmt + 4) +
+                (uint64_t)n_fmt * (T.max_id_len + 2) + 128);
+    uint8_t* w0 = out.end_ptr();
+    uint8_t* w = w0;
+    auto put_id = [&](int64_t i) {
+      if (i >= 0 && i < T.n_id) {
+        memcpy(w, T.id_buf + T.id_offs[i], T.id_lens[i]);
+        w += T.id_lens[i];
+      } else {
+        *w++ = '.';
+      }
+    };
+
     // CHROM POS
-    if (rid >= 0 && rid < n_ctg)
-      out.put(T.ctg_buf + T.ctg_offs[rid], T.ctg_lens[rid]);
-    else
-      out.putc('.');
-    out.putc('\t');
-    out.put_i64(pos + 1);
-    out.putc('\t');
+    if (rid >= 0 && rid < n_ctg) {
+      memcpy(w, T.ctg_buf + T.ctg_offs[rid], T.ctg_lens[rid]);
+      w += T.ctg_lens[rid];
+    } else {
+      *w++ = '.';
+    }
+    *w++ = '\t';
+    w = Buf::write_i64(w, pos + 1);
+    *w++ = '\t';
 
     Cur c{sh + 24, sh + l_shared};
     int64_t n; int bt;
     // ID
     if (!c.dec_size(&n, &bt)) return false;
-    if (bt == BT_CHAR && n > 0) out.put(c.p, n);
-    else out.putc('.');
+    if (bt == BT_CHAR && n > 0) { memcpy(w, c.p, n); w += n; }
+    else *w++ = '.';
     c.p += n << bt_shift(bt);
     // REF / ALT
     for (uint32_t a = 0; a < n_allele; a++) {
       if (!c.dec_size(&n, &bt)) return false;
-      if (a == 0) { out.putc('\t'); out.put(c.p, n); out.putc('\t'); }
-      else {
-        if (a > 1) out.putc(',');
-        out.put(c.p, n);
+      if (a == 0) {
+        *w++ = '\t';
+        memcpy(w, c.p, n); w += n;
+        *w++ = '\t';
+      } else {
+        if (a > 1) *w++ = ',';
+        memcpy(w, c.p, n); w += n;
       }
       c.p += n << bt_shift(bt);
     }
-    if (n_allele == 0) out.put("\t.\t.", 4);
-    else if (n_allele == 1) out.putc('.');
+    if (n_allele == 0) { memcpy(w, "\t.\t.", 4); w += 4; }
+    else if (n_allele == 1) *w++ = '.';
     // QUAL
-    out.putc('\t');
-    if (qual_bits == F_MISS) out.putc('.');
-    else put_g(&out, qual_bits);
-    out.putc('\t');
+    *w++ = '\t';
+    if (qual_bits == F_MISS) *w++ = '.';
+    else w = put_g(w, qual_bits);
+    *w++ = '\t';
     // FILTER
     if (!c.dec_size(&n, &bt)) return false;
-    if (n == 0) out.putc('.');
+    if (n == 0) *w++ = '.';
     else {
       for (int64_t i = 0; i < n; i++) {
-        if (i) out.putc(';');
+        if (i) *w++ = ';';
         put_id(widen(c.p, bt, i));
       }
     }
     c.p += n << bt_shift(bt);
     // INFO
-    out.putc('\t');
-    if (n_info == 0) out.putc('.');
+    *w++ = '\t';
+    if (n_info == 0) *w++ = '.';
     for (uint32_t i = 0; i < n_info; i++) {
-      if (i) out.putc(';');
+      if (i) *w++ = ';';
       int64_t key = c.scalar_int();
       if (!c.dec_size(&n, &bt)) return false;
       put_id(key);
       if (bt == BT_NULL) { /* FLAG */ }
-      else if (bt == BT_CHAR) { out.putc('='); out.put(c.p, n); }
-      else if (bt == BT_FLOAT) { out.putc('='); fmt_float_arr(&out, c.p, n); }
-      else { out.putc('='); fmt_int_arr(&out, c.p, bt, n); }
+      else if (bt == BT_CHAR) { *w++ = '='; memcpy(w, c.p, n); w += n; }
+      else if (bt == BT_FLOAT) { *w++ = '='; w = fmt_float_arr(w, c.p, n); }
+      else { *w++ = '='; w = fmt_int_arr(w, c.p, bt, n); }
       c.p += n << bt_shift(bt);
     }
     if (c.fail) return false;
     // FORMAT + samples
     if (n_fmt) {
       Cur f{iv, iv + l_indiv};
-      struct FmtDesc { int64_t key; int bt; int64_t nper; const uint8_t* p; };
-      std::vector<FmtDesc> fds;
+      fds.clear();
       for (uint32_t i = 0; i < n_fmt; i++) {
         int64_t key = f.scalar_int();
         int64_t nper; int fbt;
@@ -5100,32 +5307,35 @@ static bool fmt_record(const uint8_t* sh, uint32_t l_shared,
         f.p += (nper * n_sample) << bt_shift(fbt);
       }
       if (f.fail || f.p > f.e) return false;
-      out.putc('\t');
+      *w++ = '\t';
       for (uint32_t i = 0; i < n_fmt; i++) {
-        if (i) out.putc(':');
+        if (i) *w++ = ':';
         put_id(fds[i].key);
       }
       for (uint32_t s = 0; s < n_sample; s++) {
-        out.putc('\t');
+        *w++ = '\t';
         for (uint32_t i = 0; i < n_fmt; i++) {
-          if (i) out.putc(':');
+          if (i) *w++ = ':';
           const FmtDesc& fd = fds[i];
           const uint8_t* vp = fd.p + ((fd.nper * s) << bt_shift(fd.bt));
           if (fd.key == gt_id && fd.bt != BT_FLOAT && fd.bt != BT_CHAR)
-            fmt_gt(&out, vp, fd.bt, fd.nper);
+            w = fmt_gt(w, vp, fd.bt, fd.nper);
           else if (fd.bt == BT_FLOAT)
-            fmt_float_arr(&out, vp, fd.nper);
+            w = fmt_float_arr(w, vp, fd.nper);
           else if (fd.bt == BT_CHAR)
-            fmt_char_arr(&out, vp, fd.nper);
+            w = fmt_char_arr(w, vp, fd.nper);
           else
-            fmt_int_arr(&out, vp, fd.bt, fd.nper);
+            w = fmt_int_arr(w, vp, fd.bt, fd.nper);
         }
-        if (n_fmt == 0) out.putc('.');
+        if (n_fmt == 0) *w++ = '.';
       }
     } else if (n_sample) {
-      for (uint32_t s = 0; s < n_sample + 1; s++) out.put("\t.", 2);
+      for (uint32_t s = 0; s < n_sample + 1; s++) {
+        memcpy(w, "\t.", 2); w += 2;
+      }
     }
-    out.putc('\n');
+    *w++ = '\n';
+    out.bump((size_t)(w - w0));
   }
   return true;
 }
@@ -5145,6 +5355,12 @@ int64_t htstpu_bcf_to_vcf(const uint8_t* data, uint64_t data_len,
                           int32_t gt_id, uint8_t** out_ptr) {
   VcfTables T{ctg_buf, ctg_offs, ctg_lens, n_ctg,
               id_buf, id_offs, id_lens, n_id, gt_id};
+  for (int32_t i = 0; i < n_id; i++)
+    if (id_lens[i] > T.max_id_len) T.max_id_len = id_lens[i];
+  for (int32_t i = 0; i < n_ctg; i++)
+    if (ctg_lens[i] > T.max_ctg_len) T.max_ctg_len = ctg_lens[i];
+  // a FILTER entry is one int8 wire byte expanding to a full id + ';'
+  if (T.max_id_len + 2 > T.per_byte) T.per_byte = T.max_id_len + 2;
   // frame walk (cheap): record offsets
   std::vector<uint64_t> offs;
   uint64_t dp = 0;
@@ -5170,12 +5386,13 @@ int64_t htstpu_bcf_to_vcf(const uint8_t* data, uint64_t data_len,
     if (lo >= hi) return;
     uint64_t end_b = hi < n ? offs[hi] : data_len;
     bufs[si].reserve((end_b - offs[lo]) * 3 + 4096);
+    std::vector<FmtDesc> fds;
     for (int64_t i = lo; i < hi; i++) {
       const uint8_t* p = data + offs[i];
       uint32_t l_shared = rd_u32(p);
       uint32_t l_indiv = rd_u32(p + 4);
       if (!fmt_record(p + 8, l_shared, p + 8 + l_shared, l_indiv, T,
-                      bufs[si])) {
+                      bufs[si], fds)) {
         err.store(-(5000 + i), std::memory_order_relaxed);
         return;
       }

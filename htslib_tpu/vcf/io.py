@@ -303,12 +303,12 @@ def bcf_file_to_vcf(src: Union[str, HFile]) -> "tuple":
         raw = np.fromfile(src, np.uint8)
         co, cs, us = native.bgzf_scan(raw)
         stream = native.inflate_batch(raw, co, cs, us)
-        buf = stream.tobytes()
-        if buf[:3] != b"BCF" or buf[3] != 2:
+        head = stream[:9].tobytes()
+        if head[:3] != b"BCF" or head[3] != 2:
             raise IOError("invalid BCF2 magic")
-        (l_text,) = struct.unpack_from("<I", buf, 5)
-        header = BcfHeader(
-            buf[9:9 + l_text].rstrip(b"\0").decode("utf-8", "replace"))
+        (l_text,) = struct.unpack_from("<I", head, 5)
+        header = BcfHeader(stream[9:9 + l_text].tobytes()
+                           .rstrip(b"\0").decode("utf-8", "replace"))
         body = stream[9 + l_text:]
         return header, native.bcf_to_vcf(
             body, header.ctg_names, header.id_names, header.id2int("GT"))
