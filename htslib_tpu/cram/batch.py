@@ -182,7 +182,10 @@ def bam_to_cram_file(bam_path: str, cram_path: str, ref=None,
     if native is not None:
         # whole-file batch path: one scan + one parallel inflate (the
         # BGZFReader.read_all streaming path costs ~2.4 s on a 92 MB
-        # stream; this is ~0.25 s)
+        # stream; this is ~0.25 s).  The record stream stays a numpy
+        # view end to end — no whole-stream copy — and the planner
+        # columns (tid/pos/endpos/flag) come from one native MT pass
+        # instead of ragged numpy gathers.
         raw = np.fromfile(bam_path, np.uint8)
         co, cs, us = native.bgzf_scan(raw)
         stream = native.inflate_batch(raw, co, cs, us)
@@ -190,57 +193,60 @@ def bam_to_cram_file(bam_path: str, cram_path: str, ref=None,
         np.cumsum(np.asarray(us[:-1], np.int64), out=ustarts[1:])
         bi = int(np.searchsorted(np.asarray(co, np.int64), voff >> 16))
         u_hdr = int(ustarts[bi]) + (voff & 0xFFFF)
-        buf = stream[u_hdr:].tobytes()
-        offs, sizes = native.bam_scan(np.frombuffer(buf, np.uint8), 0)
+        buf = np.ascontiguousarray(stream[u_hdr:])
+        offs, sizes = native.bam_scan(buf, 0)
+        offs = np.asarray(offs, np.int64)
+        sizes = np.asarray(sizes, np.int64)
+        tids, poss, ends, _flags = native.bam_fields(buf, offs)
+        run = RawRun(buf, offs, sizes, tids, poss, ends)
+        n = len(offs)
     else:
         with BamReader(bam_path) as r:
             data, offs, sizes = r.raw_records()
         buf = data.tobytes() if hasattr(data, "tobytes") else bytes(data)
+        n = len(offs)
+        arr = np.frombuffer(buf, np.uint8)
+        offs = np.asarray(offs, np.int64)
+        sizes = np.asarray(sizes, np.int64)
 
-    n = len(offs)
-    arr = np.frombuffer(buf, np.uint8)
-    offs = np.asarray(offs, np.int64)
-    sizes = np.asarray(sizes, np.int64)
+        def u32(field_off):
+            cols = np.add.outer(offs + field_off,
+                                np.arange(4, dtype=np.int64))
+            b = arr[cols].astype(np.uint32)
+            return (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                    | (b[:, 3] << 24))
 
-    def u32(field_off):
-        cols = np.add.outer(offs + field_off,
-                            np.arange(4, dtype=np.int64))
-        b = arr[cols].astype(np.uint32)
-        return (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-                | (b[:, 3] << 24))
+        tids = u32(4).astype(np.int32)
+        poss = u32(8).astype(np.int32)
+        l_qname = arr[offs + 12].astype(np.int64)
+        n_cigar = (arr[offs + 16].astype(np.int64)
+                   | (arr[offs + 17].astype(np.int64) << 8))
+        flags = (arr[offs + 18].astype(np.int64)
+                 | (arr[offs + 19].astype(np.int64) << 8))
 
-    tids = u32(4).astype(np.int32)
-    poss = u32(8).astype(np.int32)
-    l_qname = arr[offs + 12].astype(np.int64)
-    n_cigar = (arr[offs + 16].astype(np.int64)
-               | (arr[offs + 17].astype(np.int64) << 8))
-    flags = (arr[offs + 18].astype(np.int64)
-             | (arr[offs + 19].astype(np.int64) << 8))
-
-    # ragged cigar gather: reference span per record (bam_endpos)
-    cig_start = offs + 4 + 32 + l_qname
-    total = int(n_cigar.sum())
-    if total:
-        rec_of = np.repeat(np.arange(n), n_cigar)
-        within = np.arange(total) - np.repeat(
-            np.cumsum(n_cigar) - n_cigar, n_cigar)
-        wpos = np.repeat(cig_start, n_cigar) + 4 * within
-        cw_ = (arr[wpos].astype(np.uint32)
-               | (arr[wpos + 1].astype(np.uint32) << 8)
-               | (arr[wpos + 2].astype(np.uint32) << 16)
-               | (arr[wpos + 3].astype(np.uint32) << 24))
-        op = cw_ & 0xF
-        ln = (cw_ >> 4).astype(np.int64)
-        consumes = ((op == 0) | (op == 2) | (op == 3) | (op == 7)
-                    | (op == 8))
-        span = np.zeros(n, np.int64)
-        np.add.at(span, rec_of, np.where(consumes, ln, 0))
-    else:
-        span = np.zeros(n, np.int64)
-    span = np.where((flags & 4) != 0, 0, span)
-    ends = poss + np.where(span > 0, span, 1)
-
-    run = RawRun(buf, offs, sizes, tids, poss, ends)
+        # ragged cigar gather: reference span per record (bam_endpos)
+        cig_start = offs + 4 + 32 + l_qname
+        total = int(n_cigar.sum())
+        if total:
+            rec_of = np.repeat(np.arange(n), n_cigar)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(n_cigar) - n_cigar, n_cigar)
+            wpos = np.repeat(cig_start, n_cigar) + 4 * within
+            cw_ = (arr[wpos].astype(np.uint32)
+                   | (arr[wpos + 1].astype(np.uint32) << 8)
+                   | (arr[wpos + 2].astype(np.uint32) << 16)
+                   | (arr[wpos + 3].astype(np.uint32) << 24))
+            op = cw_ & 0xF
+            ln = (cw_ >> 4).astype(np.int64)
+            consumes = ((op == 0) | (op == 2) | (op == 3) | (op == 7)
+                        | (op == 8))
+            span = np.zeros(n, np.int64)
+            np.add.at(span, rec_of, np.where(consumes, ln, 0))
+        else:
+            span = np.zeros(n, np.int64)
+        span = np.where((flags & 4) != 0, 0, span)
+        ends = poss + np.where(span > 0, span, 1)
+        run = RawRun(buf, offs, sizes, tids, poss, ends)
     with CramWriter(cram_path, header, ref=ref, nthreads=nthreads,
                     **opts) as w:
         enc = w._enc

@@ -149,6 +149,19 @@ def _arith_compress(data: bytes, order: int) -> bytes:
     return arith.compress(data, order)
 
 
+def _gzip_compress(data: bytes) -> bytes:
+    """GZIP block method (cram/cram_io.c:1604): native libdeflate when
+    available (~2-3x zlib), zlib wbits-31 fallback."""
+    from htslib_tpu.native import native
+    if native is not None:
+        try:
+            return native.gzip_compress(data, 6)
+        except (ValueError, AttributeError):
+            pass
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
 class RawRun:
     """Zero-parse run of records for the file-level encode fast path
     (cram/batch.py bam_to_cram_file): a contiguous u32-framed BAM byte
@@ -216,6 +229,8 @@ class CodecMetrics:
         # metrics_lock)
         self._lock = threading.Lock()
 
+    TRIAL_SAMPLE = 1 << 18   # trial candidates on at most 256 KiB
+
     def choose(self, cid: int, data: bytes) -> Tuple[int, bytes]:
         with self._lock:
             n = self.count[cid]
@@ -224,10 +239,17 @@ class CodecMetrics:
             return RAW, data
         if cid in self.best and n % self.TRIAL_EVERY:
             return self._apply(self.best[cid], data)
+        # candidate trial round.  Large blocks are sampled: every
+        # candidate runs on a prefix and only the cost-weighted winner
+        # compresses the full series (bounds the 8-candidate trial cost
+        # that cram_compress_block3 pays on whole blocks,
+        # cram_io.c:1912-2160)
+        sampled = len(data) > self.TRIAL_SAMPLE
+        probe = bytes(data[:self.TRIAL_SAMPLE]) if sampled else data
         sizes = {}
         outs = {}
         for cand in self.candidates:
-            m, comp = self._apply(cand, data)
+            m, comp = self._apply(cand, probe)
             # mild cost weighting: raw is free, rans cheap, gzip slower
             weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.03,
                       "gzip": 1.05, "r16o0": 1.0, "r16o1": 1.03,
@@ -236,6 +258,8 @@ class CodecMetrics:
             outs[cand] = (m, comp)
         winner = min(sizes, key=sizes.get)
         self.best[cid] = winner
+        if sampled:
+            return self._apply(winner, data)
         return outs[winner]
 
     @staticmethod
@@ -243,8 +267,7 @@ class CodecMetrics:
         if cand == "raw":
             return RAW, data
         if cand == "gzip":
-            co = zlib.compressobj(6, zlib.DEFLATED, 31)
-            return GZIP, co.compress(data) + co.flush()
+            return GZIP, _gzip_compress(data)
         if cand.startswith("r16"):
             from htslib_tpu.cram.structs import RANSPR
             fl = {"r16o0": 0, "r16o1": 1, "r16pack": 0x81}[cand]
@@ -276,8 +299,7 @@ def _write_block(out: bytearray, method: int, content_type: int,
     if precompressed is not None:
         comp = precompressed
     elif method == GZIP:
-        co = zlib.compressobj(6, zlib.DEFLATED, 31)
-        comp = co.compress(data) + co.flush()
+        comp = _gzip_compress(data)
     else:
         comp = data
     hdr = bytes([method, content_type]) + vv.put32(content_id) \

@@ -151,6 +151,16 @@ class _Native:
         lib.htstpu_rans4x8_compress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.htstpu_gzip_compress.restype = ctypes.c_int64
+        lib.htstpu_gzip_compress.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.htstpu_bam_fields.restype = ctypes.c_int64
+        lib.htstpu_bam_fields.argtypes = [
+            u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.htstpu_cram_decode_slice.restype = ctypes.c_int64
         lib.htstpu_cram_decode_slice.argtypes = [
             u8p, ctypes.c_uint64,                       # comp_hdr
@@ -537,6 +547,39 @@ class _Native:
             raise ValueError("malformed rANS 4x8 stream")
         return out[:r].tobytes()
 
+    def bam_fields(self, data: np.ndarray, offs: np.ndarray):
+        """Planner columns for a u32-framed BAM stream: (tids, poss,
+        ends, flags) with bam_endpos CIGAR spans (unmapped -> pos+1)."""
+        data = np.ascontiguousarray(data)
+        offs = np.ascontiguousarray(offs, np.int64)
+        n = len(offs)
+        tids = np.empty(n, np.int32)
+        poss = np.empty(n, np.int32)
+        ends = np.empty(n, np.int64)
+        flags = np.empty(n, np.int32)
+        r = self._lib.htstpu_bam_fields(
+            self._u8(data), len(data), self._ptr(offs, ctypes.c_int64), n,
+            self._ptr(tids, ctypes.c_int32), self._ptr(poss, ctypes.c_int32),
+            self._ptr(ends, ctypes.c_int64), self._ptr(flags, ctypes.c_int32))
+        if r < 0:
+            raise IOError(f"bam_fields failed at record {-r - 1}")
+        return tids, poss, ends, flags
+
+    def gzip_compress(self, data: bytes, level: int = 6) -> bytes:
+        """Plain gzip-container deflate via libdeflate (the CRAM GZIP
+        block method, cram/cram_io.c:1604) — ~2-3x zlib."""
+        buf = np.frombuffer(data, np.uint8) if not isinstance(
+            data, np.ndarray) else data
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        r = self._lib.htstpu_gzip_compress(self._u8(buf), len(buf), level,
+                                           ctypes.byref(out_ptr))
+        if r < 0:
+            raise ValueError("gzip compress failed")
+        try:
+            return ctypes.string_at(out_ptr, r)
+        finally:
+            self._lib.htstpu_buf_free(out_ptr)
+
     def rans4x8_compress(self, data: bytes, order: int) -> bytes:
         buf = np.frombuffer(data, np.uint8)
         out_ptr = ctypes.POINTER(ctypes.c_uint8)()
@@ -624,7 +667,9 @@ class _Native:
         (n_records, nbases, end_pos, {cid: stream bytes}, td_lines,
         rec_tl uint32 array, qs_lens uint32 array) or None when the
         native path bails."""
-        buf = np.frombuffer(blob, np.uint8)
+        buf = blob if isinstance(blob, np.ndarray) \
+            else np.frombuffer(blob, np.uint8)
+        buf = np.ascontiguousarray(buf)
         if ref is None:
             ref_arr = np.zeros(1, np.uint8)
             ref_len = 0

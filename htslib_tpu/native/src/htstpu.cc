@@ -1039,6 +1039,70 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
 
 void htstpu_buf_free(uint8_t* p) { free(p); }
 
+// Container-planner column extraction over a u32-framed BAM record
+// stream: tid/pos/flag plus bam_endpos's CIGAR reference span
+// (htslib/sam.h bam_endpos) — the vectorised prologue of the CRAM
+// file-level encode fast path, multithreaded by record ranges.
+int64_t htstpu_bam_fields(const uint8_t* data, uint64_t data_len,
+                          const int64_t* offs, int64_t n,
+                          int32_t* tids, int32_t* poss, int64_t* ends,
+                          int32_t* flags) {
+  std::atomic<int64_t> err(0);
+  int nthreads = hardware_threads();
+  int shards = nthreads * 2;
+  if (shards > n) shards = n ? (int)n : 1;
+  int64_t per = (n + shards - 1) / (shards ? shards : 1);
+  parallel_for(shards, nthreads, [&](int64_t si) {
+    int64_t lo = si * per, hi = std::min<int64_t>(n, lo + per);
+    for (int64_t i = lo; i < hi; i++) {
+      uint64_t o = (uint64_t)offs[i];
+      if (o + 36 > data_len) { err.store(i + 1); return; }
+      const uint8_t* p = data + o + 4;
+      int32_t tid = (int32_t)rd_u32(p + 0);
+      int32_t pos = (int32_t)rd_u32(p + 4);
+      uint32_t l_qname = p[8];
+      uint32_t n_cigar = rd_u16(p + 12);
+      uint32_t flag = rd_u16(p + 14);
+      int64_t span = 0;
+      if (!(flag & 4) && n_cigar) {
+        const uint8_t* cp = p + 32 + l_qname;
+        for (uint32_t k = 0; k < n_cigar; k++) {
+          uint32_t c = rd_u32(cp + 4ull * k);
+          uint32_t op = c & 0xF;
+          // M/D/N/=/X consume reference
+          if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            span += c >> 4;
+        }
+      }
+      tids[i] = tid;
+      poss[i] = pos;
+      flags[i] = (int32_t)flag;
+      ends[i] = (int64_t)pos + (span > 0 ? span : 1);
+    }
+  });
+  return err.load() ? -err.load() : 0;
+}
+
+// Plain gzip-container compress/decompress for CRAM block methods
+// (cram_compress_block GZIP leg, cram/cram_io.c:1604: zlib wbits 31) —
+// libdeflate, ~2-3x zlib at the same levels.  Returns compressed size
+// via return value, buffer via *out_ptr (htstpu_buf_free).
+int64_t htstpu_gzip_compress(const uint8_t* in, uint64_t n, int32_t level,
+                             uint8_t** out_ptr) {
+  if (level < 1) level = 6;
+  if (level > 12) level = 12;
+  struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  if (!c) return -1;
+  size_t bound = libdeflate_gzip_compress_bound(c, (size_t)n);
+  uint8_t* buf = (uint8_t*)malloc(bound ? bound : 1);
+  if (!buf) { libdeflate_free_compressor(c); return -1; }
+  size_t sz = libdeflate_gzip_compress(c, in, (size_t)n, buf, bound);
+  libdeflate_free_compressor(c);
+  if (sz == 0) { free(buf); return -2; }
+  *out_ptr = buf;
+  return (int64_t)sz;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1887,6 +1951,43 @@ inline void rans_renorm_enc(uint32_t* x, uint32_t f, Buf* rev) {
   }
 }
 
+// Division-free encode symbol: q = x/f via a fixed-point reciprocal
+// multiply and x' = x + bias + q*(4096-f) (== (x/f)<<12 + x%f + cum),
+// exact for the renormalised state range x < 2^31.
+struct RansEncSym {
+  uint64_t rcp;
+  uint32_t bias, cmpl, shift, x_max;
+};
+
+inline void rans_enc_sym_init(RansEncSym* s, uint32_t f, uint32_t cm) {
+  s->x_max = ((kRansL >> kTfShift) << 8) * f;
+  s->cmpl = kTotFreq - f;
+  if (f < 2) {
+    // f==1: q must degenerate to x-1, i.e. rcp = 2^32-1 so that
+    // (x*(2^32-1))>>32 == x-1 for 1 <= x < 2^32; bias absorbs the
+    // correction.  (f==0 symbols are never encoded; the init is safe.)
+    s->rcp = 0xFFFFFFFFull;
+    s->shift = 0;
+    s->bias = cm + kTotFreq - 1;
+  } else {
+    uint32_t shift = 0;
+    while (f > (1u << shift)) shift++;
+    s->rcp = (uint64_t)((((unsigned __int128)1 << (shift + 31)) + f - 1) / f);
+    s->shift = shift - 1;
+    s->bias = cm;
+  }
+}
+
+inline void rans_enc_put(uint32_t* xp, const RansEncSym* s, Buf* rev) {
+  uint32_t x = *xp;
+  while (x >= s->x_max) {
+    rev->putc((char)(x & 0xFF));
+    x >>= 8;
+  }
+  uint32_t q = (uint32_t)((((unsigned __int128)x * s->rcp) >> 32) >> s->shift);
+  *xp = x + s->bias + q * s->cmpl;
+}
+
 }  // namespace
 
 extern "C" {
@@ -2079,17 +2180,21 @@ int64_t htstpu_rans4x8_compress(const uint8_t* in, uint64_t n, int order,
     uint32_t cum[257] = {0};
     for (int s = 0; s < 256; s++) cum[s + 1] = cum[s] + freqs[s];
     rans_write_freqs(&body, freqs);
+    RansEncSym esym[256];
+    for (int s = 0; s < 256; s++)
+      rans_enc_sym_init(&esym[s], freqs[s], cum[s]);
     uint32_t x[4] = {kRansL, kRansL, kRansL, kRansL};
     Buf rev;
-    for (int64_t i = (int64_t)n - 1; i >= 0; i--) {
-      int j = (int)(i & 3);
-      uint8_t s = in[i];
-      rans_renorm_enc(&x[j], freqs[s], &rev);
-      x[j] = ((x[j] / freqs[s]) << kTfShift) + (x[j] % freqs[s]) + cum[s];
-    }
+    for (int64_t i = (int64_t)n - 1; i >= 0; i--)
+      rans_enc_put(&x[i & 3], &esym[in[i]], &rev);
     body.put(x, 16);
-    for (int64_t i = (int64_t)rev.len() - 1; i >= 0; i--)
-      body.putc((char)rev.data()[i]);
+    body.reserve(rev.len());
+    {
+      uint8_t* w = body.end_ptr();
+      const uint8_t* rd = rev.data() + rev.len();
+      for (size_t i2 = 0; i2 < rev.len(); i2++) *w++ = *--rd;
+      body.bump(rev.len());
+    }
   } else {
     uint64_t isz4 = n >> 2;
     // context histograms (ctx = previous byte; 0 at each quarter start)
@@ -2131,6 +2236,17 @@ int64_t htstpu_rans4x8_compress(const uint8_t* in, uint64_t n, int order,
       }
     }
     body.putc('\0');
+    // division-free symbol tables, densely packed over used contexts
+    int ctx_idx[256];
+    for (int c = 0; c < 256; c++) ctx_idx[c] = -1;
+    for (int u = 0; u < nused; u++) ctx_idx[used[u]] = u;
+    std::vector<RansEncSym> esym((size_t)nused * 256);
+    for (int u = 0; u < nused; u++) {
+      int c = used[u];
+      for (int s = 0; s < 256; s++)
+        rans_enc_sym_init(&esym[(size_t)u * 256 + s], freqs[c * 256 + s],
+                          cum[c * 257 + s]);
+    }
     // encode in exact reverse of the decoder's (round, state) consumption
     uint32_t x[4] = {kRansL, kRansL, kRansL, kRansL};
     uint64_t starts[4] = {0, isz4, 2 * isz4, 3 * isz4};
@@ -2138,18 +2254,20 @@ int64_t htstpu_rans4x8_compress(const uint8_t* in, uint64_t n, int order,
     auto enc1 = [&](int j, uint64_t pos) {
       uint8_t s = in[pos];
       uint8_t c = pos == starts[j] ? 0 : in[pos - 1];
-      uint32_t f = freqs[(uint64_t)c * 256 + s];
-      uint32_t cm = cum[(uint64_t)c * 257 + s];
-      rans_renorm_enc(&x[j], f, &rev);
-      x[j] = ((x[j] / f) << kTfShift) + (x[j] % f) + cm;
+      rans_enc_put(&x[j], &esym[(size_t)ctx_idx[c] * 256 + s], &rev);
     };
     for (int64_t k = (int64_t)n - 1; k >= (int64_t)(4 * isz4); k--)
       enc1(3, (uint64_t)k);
     for (int64_t i2 = (int64_t)isz4 - 1; i2 >= 0; i2--)
       for (int j = 3; j >= 0; j--) enc1(j, starts[j] + (uint64_t)i2);
     body.put(x, 16);
-    for (int64_t i2 = (int64_t)rev.len() - 1; i2 >= 0; i2--)
-      body.putc((char)rev.data()[i2]);
+    body.reserve(rev.len());
+    {
+      uint8_t* w = body.end_ptr();
+      const uint8_t* rd = rev.data() + rev.len();
+      for (size_t i2 = 0; i2 < rev.len(); i2++) *w++ = *--rd;
+      body.bump(rev.len());
+    }
   }
   uint64_t blen = body.len();
   uint8_t* out = (uint8_t*)malloc(9 + blen);
