@@ -25,11 +25,16 @@ from htslib_tpu.pipeline import pipeline_map
 from htslib_tpu.sam.header import SamHeader
 
 
-def _slice_jobs(r: CramReader) -> Iterator[Tuple[object, object, list]]:
+def _slice_jobs(r: CramReader, end_offset: Optional[int] = None,
+                ) -> Iterator[Tuple[object, object, list]]:
     """Serial walk of containers -> (comp_hdr, slice_hdr, blocks).
     Block payloads are read (not uncompressed) on the main thread; the
-    expensive work happens in the pipeline stage."""
+    expensive work happens in the pipeline stage.  `end_offset` bounds
+    the walk to containers starting before it (the shard-plan range
+    decode, parallel/distributed.py)."""
     while True:
+        if end_offset is not None and r.fp.tell() >= end_offset:
+            return
         c = r.io.read_container_header()
         if c is None:
             return
@@ -139,11 +144,26 @@ def cram_file_to_sam(path: str, ref: Optional[str] = None,
     cram_to_bam + sam_format1): slice-parallel decode-ahead, each slice
     running the fused native decompress+decode+format call.  Returns
     (header, uint8 text)."""
+    return cram_range_to_sam(path, None, None, ref=ref,
+                             decode_md=decode_md, window=window)
+
+
+def cram_range_to_sam(path: str, offset: Optional[int],
+                      end_offset: Optional[int], ref: Optional[str] = None,
+                      decode_md: bool = True, window: int = 8,
+                      ) -> Tuple[SamHeader, np.ndarray]:
+    """CRAM container byte range -> SAM text: seeks to `offset` (a
+    container boundary, e.g. from a CRAI entry or a shard plan) and
+    decodes containers starting before `end_offset`.  None bounds mean
+    start-of-data / EOF — the whole-file case."""
     import threading
     with CramReader(path, ref=ref, decode_md=decode_md) as r:
         hdr = r.header
+        if offset is not None:
+            r.fp.seek(offset)
         stage = _slice_to_sam_stage(r, threading.Lock(), decode_md)
-        parts = [p for p in pipeline_map(stage, _slice_jobs(r),
+        parts = [p for p in pipeline_map(stage,
+                                         _slice_jobs(r, end_offset),
                                          window=window) if len(p)]
         if not parts:
             return hdr, np.frombuffer(b"", np.uint8)

@@ -10,7 +10,9 @@
 // Exposed via a C ABI for ctypes.  All functions return 0 on success or a
 // negative error code.
 
+#include <dlfcn.h>
 #include <libdeflate.h>
+#include <lzma.h>
 #include <sys/mman.h>
 
 #include <atomic>
@@ -3659,6 +3661,23 @@ extern "C" {
 namespace {
 
 // returns 0 ok, -1 corrupt, -2 unsupported-method (caller bails to python)
+// BZ2_bzBuffToBuffDecompress via dlopen: the image ships libbz2.so.1
+// without dev headers or a .so symlink; the ABI is stable so the
+// prototype is declared locally (bzlib.h signature).
+typedef int (*bz2_d_fn)(char*, unsigned*, char*, unsigned, int, int);
+static int bz2_buff_decompress(const uint8_t* in, uint64_t in_len,
+                               uint8_t* out, uint64_t raw_size) {
+  static bz2_d_fn fn = [] {
+    void* h = dlopen("libbz2.so.1", RTLD_NOW);
+    return h ? (bz2_d_fn)dlsym(h, "BZ2_bzBuffToBuffDecompress") : nullptr;
+  }();
+  if (!fn || raw_size > 0xFFFFFFFFull || in_len > 0xFFFFFFFFull)
+    return -2;                       // python path decodes instead
+  unsigned dl = (unsigned)raw_size;
+  int r = fn((char*)out, &dl, (char*)in, (unsigned)in_len, 0, 0);
+  return (r == 0 && dl == raw_size) ? 0 : -1;
+}
+
 int cram_block_uncompress(int method, const uint8_t* in, uint64_t in_len,
                           uint8_t* out, uint64_t raw_size) {
   if (raw_size == 0 && in_len == 0) return 0;
@@ -3712,7 +3731,17 @@ int cram_block_uncompress(int method, const uint8_t* in, uint64_t in_len,
       free(r);
       return 0;
     }
-    default:   // BZIP2 / LZMA / unknown: python path handles these
+    case 2:    // BZIP2 (cram/cram_io.c:1593): runtime-loaded libbz2.so.1
+      return bz2_buff_decompress(in, in_len, out, raw_size);
+    case 3: {  // LZMA (cram/cram_io.c:1633): xz stream container
+      uint64_t memlimit = UINT64_MAX;
+      size_t in_pos = 0, out_pos = 0;
+      lzma_ret r = lzma_stream_buffer_decode(
+          &memlimit, 0, nullptr, in, &in_pos, in_len, out, &out_pos,
+          raw_size);
+      return (r == LZMA_OK && out_pos == raw_size) ? 0 : -1;
+    }
+    default:   // unknown: python path handles these
       return -2;
   }
 }

@@ -379,3 +379,88 @@ def test_external_encoding_introspection(tmp_path):
     with CramReader(sub, ref=ref_path("ce.fa")) as cr:
         got = sum(1 for _ in cr)
     assert got == 250
+
+
+def test_native_decode_bzip2_lzma_blocks(tmp_path):
+    """Native fused path handles BZIP2/LZMA block methods (VERDICT r3
+    #10; cram/cram_io.c:1593,1633).  The locally built reference htslib
+    was compiled without bz2 headers so it cannot emit these methods;
+    instead the writer's codec chooser is pinned to bzip2/lzma and the
+    native decoder (runtime-loaded libbz2.so.1 + liblzma) is checked
+    record-identical against the Python path (CPython's independent bz2/
+    lzma modules)."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import htslib_tpu.cram.decode as D
+    import htslib_tpu.cram.encode as E
+    from htslib_tpu.native import native
+    from htslib_tpu.cram import CramReader, CramWriter
+    from htslib_tpu.sam import SamReader
+    if native is None:
+        pytest.skip("native library unavailable")
+    src = ref_path("ce#1000.sam")
+    if not os.path.exists(src):
+        pytest.skip("no corpus")
+    path = str(tmp_path / "bzlz.cram")
+
+    # pin external data series alternately to BZIP2 (2) / LZMA (3)
+    orig_choose = E.CodecMetrics.choose
+    def forced(self, cid, data):
+        if len(data) < 64:
+            return 0, data          # RAW
+        if cid % 2:
+            return 2, _bz2.compress(bytes(data), 9)
+        return 3, _lzma.compress(bytes(data), format=_lzma.FORMAT_XZ)
+    E.CodecMetrics.choose = forced
+    try:
+        with SamReader(src) as r:
+            hdr = r.header
+            recs = list(r)
+        w = CramWriter(path, hdr, seqs_per_slice=300)
+        for rec in recs:
+            w.write(rec)
+        w.close()
+    finally:
+        E.CodecMetrics.choose = orig_choose
+
+    # the file must actually contain BZIP2 (2) / LZMA (3) blocks
+    from htslib_tpu.cram.io import CramIO
+    methods = set()
+    orig_rb = CramIO.read_block
+    def counting_rb(self):
+        blk = orig_rb(self)
+        methods.add(blk.method)
+        return blk
+    CramIO.read_block = counting_rb
+    try:
+        with CramReader(path) as rr:
+            for _ in rr:
+                pass
+    finally:
+        CramIO.read_block = orig_rb
+    assert {2, 3} <= methods, f"writer did not emit bzip2+lzma ({methods})"
+
+    def read_all(force_python):
+        orig = D._native_decode_slice
+        hits = [0]
+        def counting(*a):
+            if force_python:
+                return None
+            res = orig(*a)
+            hits[0] += res is not None
+            return res
+        D._native_decode_slice = counting
+        try:
+            with CramReader(path) as rr:
+                out = [(rec.qname, rec.flag, rec.tid, rec.pos,
+                        rec.cigar.tolist(), rec.seq, bytes(rec.qual),
+                        bytes(rec.aux)) for rec in rr]
+        finally:
+            D._native_decode_slice = orig
+        return out, hits[0]
+
+    native_out, native_hits = read_all(False)
+    python_out, _ = read_all(True)
+    assert native_hits > 0, "native decoder never engaged on bzip2/lzma"
+    assert native_out == python_out
+    assert len(native_out) == len(recs)

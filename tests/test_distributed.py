@@ -196,3 +196,36 @@ def test_two_process_jax_distributed(tmp_path):
     g0 = open(str(tmp_path / "gather0.txt")).read()
     g1 = open(str(tmp_path / "gather1.txt")).read()
     assert g0 == g1 and len(g0.split(",")) == 4
+
+
+def test_cram_container_shard_plan(tmp_path):
+    """CRAM container-offset sharding (SURVEY §2.5 last row): N-shard
+    decode concatenates byte-identically to the single-host output, and
+    the N==1 plan is the whole file."""
+    from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
+    from htslib_tpu.parallel.distributed import (decode_cram_shard_to_sam,
+                                                 plan_cram_shards)
+    from htslib_tpu.sam import BamWriter, SamReader
+    src = ref_path("ce#1000.sam")
+    if not os.path.exists(src):
+        pytest.skip("no corpus")
+    bam = str(tmp_path / "t.bam")
+    with SamReader(src) as r:
+        hdr = r.header
+        recs = list(r)
+    with BamWriter(bam, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    cram = str(tmp_path / "t.cram")
+    bam_to_cram_file(bam, cram, seqs_per_slice=100, slices_per_container=1)
+    _, single = cram_file_to_sam(cram)
+
+    for n in (1, 2, 3, 5):
+        plan = plan_cram_shards(cram, n)
+        assert sum(s.n_records for s in plan.shards) == len(recs)
+        parts = [decode_cram_shard_to_sam(plan, s) for s in plan.shards]
+        assert b"".join(parts) == single.tobytes(), f"n={n} mismatch"
+    # the plan covers every container exactly once, in order
+    plan = plan_cram_shards(cram, 3)
+    assert plan.shards[0].offset == int(plan.offsets[0])
+    assert plan.shards[-1].end == int(plan.ends[-1])
