@@ -1,3 +1,5 @@
-/* Placeholder translation unit (rANS_static32x16pr_neon): entry points live in stubs.c or
- * rANS_static.c until the real implementation lands. */
-typedef int htstpu_hc_rANS_static32x16pr_neon_unused;
+/* NEON tier alias: non-x86 targets take the scalar core in
+ * rANS_static4x16pr.c (the AVX2 TU compiles to stubs there).  This TU
+ * exists to satisfy the htscodecs_bundled.mk per-ISA file list. */
+#include "rANS_static16_int.h"
+int rans32x16_have_neon_tier(void) { return 0; }

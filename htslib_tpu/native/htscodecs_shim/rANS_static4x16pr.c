@@ -29,6 +29,7 @@
 #include <string.h>
 
 #include "rANS_static4x16.h"
+#include "rANS_static16_int.h"
 #include "varint.h"
 
 #define TF_SHIFT 12
@@ -562,7 +563,24 @@ static int compress_rec(const uint8_t *in, uint64_t in_size, int flags,
         int s;
         for (s = 0; s < 256; s++) cum[s + 1] = cum[s] + f[s];
         wr_freq_table(out, f);
-        r = enc_core_o0(payload, (int64_t)paylen, f, cum, nway, out);
+        int done = 0;
+        if (nway == 32 && paylen >= 512) {
+            /* AVX2 32-state tier (rANS_static32x16pr_avx2.c) */
+            uint8_t *seg = NULL;
+            size_t slen = 0;
+            int r2 = rans32x16_enc_o0_avx2(payload, (int64_t)paylen, f,
+                                           cum, &seg, &slen);
+            if (r2 == 0) {
+                r = rb_put(out, seg, slen);
+                free(seg);
+                done = 1;
+            } else if (r2 == -1) {
+                r = -1;
+                done = 1;
+            }
+        }
+        if (!done)
+            r = enc_core_o0(payload, (int64_t)paylen, f, cum, nway, out);
     }
 done:
     free(pack_buf);
@@ -693,7 +711,19 @@ static int uncompress_rec(const uint8_t *buf, uint64_t len, uint64_t *p,
                         cum += F[ctx][s];
                     }
                 }
-                r = dec_core_o1(buf, len, p, n_core, F, C, nway, core);
+                uint64_t p0 = *p;
+                int r2 = 1;
+                if (nway == 32 && n_core >= 512)
+                    r2 = rans32x16_dec_o1_avx2(
+                        buf, len, p, n_core,
+                        (const int64_t (*)[256])F,
+                        (const int64_t (*)[256])C, core);
+                if (r2 == 1) {
+                    *p = p0;
+                    r = dec_core_o1(buf, len, p, n_core, F, C, nway, core);
+                } else {
+                    r = r2;
+                }
             }
             free(F); free(C);
         } else {
@@ -703,7 +733,18 @@ static int uncompress_rec(const uint8_t *buf, uint64_t len, uint64_t *p,
                 int64_t c = 0;
                 int s;
                 for (s = 0; s < 256; s++) { cum[s] = c; c += f[s]; }
-                r = dec_core_o0(buf, len, p, n_core, f, cum, nway, core);
+                uint64_t p0 = *p;
+                int r2 = 1;
+                if (nway == 32 && n_core >= 512)
+                    r2 = rans32x16_dec_o0_avx2(buf, len, p, n_core, f,
+                                               cum, core);
+                if (r2 == 1) {
+                    *p = p0;
+                    r = dec_core_o0(buf, len, p, n_core, f, cum, nway,
+                                    core);
+                } else {
+                    r = r2;
+                }
             }
         }
     }
