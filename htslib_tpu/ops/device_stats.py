@@ -1,0 +1,194 @@
+"""On-device end-to-end workload: compressed rANS Nx16 streams ->
+wire-exact Pallas decode -> on-device statistics reduction, with only
+the compressed input crossing host->device (once) and a few-KB result
+coming back.  This is the decode->reduce->small-output shape the
+33 MB/s axon tunnel cannot cap (VERDICT r3 task #2): the samtools
+stats-style per-quality histogram over CRAM quality data series
+(reference analogue: the QUAL distribution pass of samtools stats over
+cram_decode.c output).
+
+Pipeline (one jitted step per SEG rounds, all device-resident):
+  rANS Nx16 O0 32-way decode (`ops/rans_pallas._seg_kernel`, the
+  gatherless VMEM-table kernel, byte-exact vs codecs/rans4x16.py)
+  -> masked per-lane one-hot histogram accumulate ([QBINS, 128] i32)
+The decoded symbols never leave the device; the final histogram
+(QBINS x 4 streams, ~1 KB) is the only download.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+QBINS = 64        # quality alphabet (phred 0..63)
+
+
+def _prepare_group(group: List[bytes]):
+    """Parse headers of up to BLOCKS streams -> device-ready arrays
+    (mirrors ops/rans_pallas.decode_nx16_o0_batch's front end)."""
+    from htslib_tpu.codecs.rans4x16 import _read_freq_table, u7_get
+    from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TOTFREQ,
+                                            _WIN, pack_tables)
+
+    freqs = np.zeros((BLOCKS, 256), np.int64)
+    states = np.zeros((BLOCKS, NWAY), np.int64)
+    payloads: List[np.ndarray] = []
+    out_szs = [0] * BLOCKS
+    for gi, data in enumerate(group):
+        flags = data[0]
+        if flags & ~0x04 or not (flags & 0x04):
+            raise ValueError("device qualstats: plain 32-way O0 only")
+        p = 1
+        ulen, p = u7_get(data, p)
+        out_szs[gi] = ulen
+        f, p = _read_freq_table(data, p)
+        if f.sum() != TOTFREQ:
+            raise ValueError("unnormalised frequency table")
+        freqs[gi] = f
+        for j in range(NWAY):
+            states[gi, j] = int.from_bytes(data[p:p + 4], "little")
+            p += 4
+        payloads.append(np.frombuffer(data, np.uint8, len(data) - p, p))
+    for gi in range(len(group), BLOCKS):
+        freqs[gi, 0] = TOTFREQ
+        states[gi, :] = RANS16_L
+        payloads.append(np.zeros(0, np.uint8))
+
+    a_max = max(int((freqs[gi] > 0).sum()) for gi in range(BLOCKS))
+    a_pad = 8
+    while a_pad < a_max:
+        a_pad <<= 1
+    lo_b, dfc_b = pack_tables(freqs, a_pad)
+    L = BLOCKS * NWAY
+    lo = np.repeat(lo_b, NWAY, axis=1)
+    dfc = np.repeat(dfc_b, NWAY, axis=1)
+    x = np.broadcast_to(states.reshape(1, L), (8, L)) \
+        .astype(np.uint32).view(np.int32).copy()
+    max_words = max((len(pl_) + 1) // 2 for pl_ in payloads)
+    W = max_words + 2 * _WIN
+    data_w = np.zeros((W, BLOCKS), np.int32)
+    for gi, pl_ in enumerate(payloads):
+        pad = np.zeros(((len(pl_) + 1) // 2) * 2, np.uint8)
+        pad[:len(pl_)] = pl_
+        data_w[:len(pad) // 2, gi] = pad.view("<u2").astype(np.int32)
+    return data_w, lo, dfc, x, out_szs, a_pad, W
+
+
+@functools.lru_cache(maxsize=None)
+def _stats_run(a_pad: int, interpret: bool = False):
+    """Jitted whole-stream run: fori_loop over SEG-round Pallas decode
+    segments + on-device masked histogram accumulate.  One dispatch per
+    stream group (the ~5 ms tunnel dispatch floor amortises over every
+    segment); decoded symbols never leave the device."""
+    import jax
+    import jax.numpy as jnp
+
+    from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, SEG, _WIN,
+                                            _compiled_seg)
+    L = BLOCKS * NWAY
+    # per-seg window: the kernel's VMEM input is lane-padded [.,4]->128,
+    # so the full stream cannot live in VMEM — each iteration slices a
+    # bounded window per block out of HBM instead.  Typical consumption
+    # is <= 1 word/state/round; 1.25x slack covers refill bursts (the
+    # exactness check in callers guards the pathological 2x case).
+    S = SEG * NWAY + SEG * 8 + 2 * _WIN
+    run_seg = _compiled_seg(S, a_pad, interpret)
+
+    @jax.jit
+    def run(data, lo, dfc, x, cur, ulen_lane, n_segs):
+        r = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 0)
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) % NWAY
+        bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
+        zero_cur = jnp.zeros((1, BLOCKS), jnp.int32)
+
+        # while_loop, not fori_loop: a static trip count lets XLA unroll
+        # the kernel calls and multiply their VMEM input allocations
+        def cond(carry):
+            return carry[0] < n_segs
+
+        def body(carry):
+            si, x_c, cur_abs, hist = carry
+            cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b), (S, 1))
+                    for b in range(BLOCKS)]
+            win = jnp.concatenate(cols, axis=1)
+            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur)
+            pos = (si * SEG + r) * NWAY + gpos
+            valid = pos < ulen_lane
+            q = jnp.clip(syms, 0, QBINS - 1)
+            onehot = (q[None, :, :] == bins) & valid[None, :, :]
+            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
+            return si + 1, x2, cur_abs + cur_rel, hist
+
+        hist0 = jnp.zeros((QBINS, L), jnp.int32)
+        carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, cur, hist0))
+        return carry[3]
+
+    return run
+
+
+def qualstats_device(blocks: List[bytes], interpret: bool = False,
+                     reps: int = 1) -> Tuple[np.ndarray, dict]:
+    """Per-stream quality histograms for rANS Nx16 O0 32-way streams,
+    decoded AND reduced on device.  Returns (hist [n_blocks, QBINS],
+    timing dict with resident-input steady-state rates)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from htslib_tpu.ops.rans_pallas import BLOCKS, NWAY, SEG
+
+    L = BLOCKS * NWAY
+    hists = []
+    timing = {"uncompressed_bytes": 0, "compressed_bytes": 0,
+              "decode_s": 0.0}
+    for gbase in range(0, len(blocks), BLOCKS):
+        group = blocks[gbase:gbase + BLOCKS]
+        data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group(group)
+        from htslib_tpu.ops.rans_pallas import _WIN
+        S = SEG * NWAY + SEG * 8 + 2 * _WIN
+        data_w = np.concatenate(
+            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
+        ulen_lane = np.zeros((SEG, L), np.int32)
+        for b in range(BLOCKS):
+            ulen_lane[:, b * NWAY:(b + 1) * NWAY] = out_szs[b]
+        rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
+        n_segs = (rounds_needed + SEG - 1) // SEG
+        run = _stats_run(a_pad, interpret)
+
+        data_j = jnp.asarray(data_w)
+        lo_j = jnp.asarray(lo)
+        dfc_j = jnp.asarray(dfc)
+        ulen_j = jnp.asarray(ulen_lane)
+        x_init = jnp.asarray(x0)
+        cur_init = jnp.asarray(np.zeros((1, BLOCKS), np.int32))
+
+        def run_once():
+            return run(data_j, lo_j, dfc_j, x_init, cur_init, ulen_j,
+                       jnp.int32(n_segs))
+
+        hist = run_once()
+        np_h = np.asarray(hist)          # sync (tiny download)
+        # steady-state with resident inputs
+        t0 = time.time()
+        for _ in range(reps):
+            np_h = np.asarray(run_once())
+        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
+        timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
+        timing["compressed_bytes"] += sum(len(b) for b in group)
+        for b in range(len(group)):
+            hists.append(np_h[:, b * NWAY:(b + 1) * NWAY].sum(axis=1))
+    if timing["decode_s"] > 0:
+        timing["MBps_uncompressed_resident"] = round(
+            timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)
+    return np.stack(hists), timing
+
+
+def qualstats_host(datas: List[bytes]) -> np.ndarray:
+    """Reference histograms (numpy) with the same QBINS clipping."""
+    out = []
+    for d in datas:
+        a = np.minimum(np.frombuffer(d, np.uint8), QBINS - 1)
+        out.append(np.bincount(a, minlength=QBINS)[:QBINS])
+    return np.stack(out).astype(np.int64)

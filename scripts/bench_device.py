@@ -154,6 +154,40 @@ def main():
             out["xla_rans_nx16_MBps_e2e"] = round(tot / dtx / 1e6, 2)
             out["pallas_vs_xla_rans"] = round(dtx / dt, 2)
 
+    # ---- 2b. end-to-end on-chip workload: decode -> reduce ----------
+    # (VERDICT r3 task #2: a real workload through the chip whose
+    # output is small — compressed qual streams up once, decoded and
+    # histogram-reduced on device, ~1 KB of counts back)
+    if left() > 240:
+        from htslib_tpu.codecs.rans4x16 import compress
+        from htslib_tpu.ops.device_stats import (qualstats_device,
+                                                 qualstats_host)
+        qdatas = [rng.randint(0, 45, 4 * 1024 * 1024).astype(np.uint8)
+                  .tobytes() for _ in range(4)]
+        qencs = [compress(d, 0x04) for d in qdatas]
+        hist, t = qualstats_device(qencs, reps=3)
+        want = qualstats_host(qdatas)
+        out["e2e_qualstats_exact"] = bool((hist == want).all())
+        out["e2e_qualstats_MBps_uncompressed_onchip"] = \
+            t["MBps_uncompressed_resident"]
+        out["e2e_qualstats_MBps_input_bytes_onchip"] = round(
+            t["compressed_bytes"] / t["decode_s"] / 1e6, 2)
+        out["e2e_qualstats_GBps_onchip"] = round(
+            t["uncompressed_bytes"] / t["decode_s"] / 1e9, 4)
+
+    # ---- 2c. device BGZF stored-block write (CRC32 on chip) ----------
+    # (VERDICT r3 task #6: the reference's level-0 fast path,
+    # bgzf.c:1345; output validated by the reference's bgzip -t)
+    if left() > 180:
+        from htslib_tpu.ops.bgzf_device import crc_device_rate
+        try:
+            r = crc_device_rate(n_blocks=128, reps=3)
+            out["bgzf_stored_crc_exact"] = r["exact"]
+            out["bgzf_stored_blocks_per_s"] = r["blocks_per_s"]
+            out["bgzf_stored_MBps"] = r["MBps"]
+        except Exception as e:
+            out["bgzf_stored_error"] = f"{type(e).__name__}: {e}"[:120]
+
     # ---- 3. device inflate ------------------------------------------
     # NOTE: the XLA device-inflate program crashed the TPU worker on
     # this rig (2026-08-21, "TPU worker process crashed — kernel
@@ -186,8 +220,12 @@ def main():
         "tunnel_d2h_MBps": 33.0,
         "resolve_vs_streaming": round(
             pallas_rate * 4 / 251.0, 4),     # 4B loads per lookup
-        "note": "the e2e rANS rate on this rig is capped by the "
-                "25-33 MB/s axon tunnel, not the kernel",
+        "e2e_qualstats_vs_tunnel": round(
+            out.get("e2e_qualstats_MBps_uncompressed_onchip", 0) / 33.0,
+            1),
+        "note": "bulk-byte outputs are capped by the 25-33 MB/s axon "
+                "tunnel; the e2e_qualstats lane avoids it by reducing "
+                "on device (counts out, not bytes)",
     }
 
     path = os.path.join(REPO, "DEVICE_BENCH.json")
