@@ -189,27 +189,32 @@ def main():
             out["bgzf_stored_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- 3. device inflate ------------------------------------------
-    # NOTE: the XLA device-inflate program crashed the TPU worker on
-    # this rig (2026-08-21, "TPU worker process crashed — kernel
-    # fault"), wedging the tunnel for ~an hour.  Only run when asked,
-    # and even then expect to lose the device.
-    if left() > 120 and os.environ.get("HTS_TPU_BENCH_INFLATE") == "1":
+    # Round-4 retest: the program that crashed the round-3 worker now
+    # runs byte-exact on the chip (16 x 60 KB) — but at ~0.04 MB/s: the
+    # XLA gather/scatter lowering wall, quantified.  Production inflate
+    # stays on the host; the lane is measured here (small batch) so the
+    # artifact carries the real number.  HTS_TPU_SKIP_INFLATE=1 skips.
+    if left() > 180 and os.environ.get("HTS_TPU_SKIP_INFLATE") != "1":
         try:
             import zlib
 
             from htslib_tpu.ops.inflate import inflate_batch
             blocks = []
             sizes = []
-            for i in range(64):
+            for i in range(8):
                 raw = rng.randint(0, 45, 60000).astype(np.uint8).tobytes()
                 co = zlib.compressobj(6, zlib.DEFLATED, -15)
                 blocks.append(co.compress(raw) + co.flush())
                 sizes.append(len(raw))
+            res = inflate_batch(blocks, sizes)     # warm/compile
             t0 = time.time()
             res = inflate_batch(blocks, sizes)
             dt = time.time() - t0
-            out["device_inflate_MBps"] = round(sum(sizes) / dt / 1e6, 1)
-            out["device_inflate_ok"] = bool(len(res[0]) == sizes[0])
+            out["device_inflate_MBps"] = round(sum(sizes) / dt / 1e6, 3)
+            want_ok = all(
+                r == zlib.decompress(b, -15)
+                for r, b in zip(res, blocks))
+            out["device_inflate_exact"] = bool(want_ok)
         except Exception as e:  # keep the artifact even if this leg dies
             out["device_inflate_error"] = f"{type(e).__name__}: {e}"[:120]
 
