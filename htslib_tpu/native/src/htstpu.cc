@@ -330,6 +330,7 @@ struct NameTable {
   const uint64_t* offs;
   const uint32_t* lens;
   int32_t n_ref;
+  uint32_t max_name = 0;   // cached max_len() for per-record bounds
   uint32_t max_len() const {
     uint32_t m = 1;
     for (int32_t i = 0; i < n_ref; i++) m = std::max(m, lens[i]);
@@ -657,29 +658,29 @@ int format_aux(const uint8_t* aux, int64_t alen, int64_t skip_off,
     const uint8_t* tag = aux + s;
     char t = (char)aux[s + 2];
     int64_t p = s + 3;
-    out->putc('\t');
-    out->put(tag, 2);
+    out->putc_u('\t');
+    out->put_u(tag, 2);
     switch (t) {
       case 'C': if (p+1>alen) return -1;
-        out->put(":i:", 3); out->put_i64(aux[p]); p += 1; break;
+        out->put_u(":i:", 3); out->put_i64_u(aux[p]); p += 1; break;
       case 'c': if (p+1>alen) return -1;
-        out->put(":i:", 3); out->put_i64((int8_t)aux[p]); p += 1; break;
+        out->put_u(":i:", 3); out->put_i64_u((int8_t)aux[p]); p += 1; break;
       case 'S': if (p+2>alen) return -1;
-        out->put(":i:", 3); out->put_i64(rd_u16(aux+p)); p += 2; break;
+        out->put_u(":i:", 3); out->put_i64_u(rd_u16(aux+p)); p += 2; break;
       case 's': if (p+2>alen) return -1;
-        out->put(":i:", 3); out->put_i64((int16_t)rd_u16(aux+p)); p += 2; break;
+        out->put_u(":i:", 3); out->put_i64_u((int16_t)rd_u16(aux+p)); p += 2; break;
       case 'I': if (p+4>alen) return -1;
-        out->put(":i:", 3); out->put_i64(rd_u32(aux+p)); p += 4; break;
+        out->put_u(":i:", 3); out->put_i64_u(rd_u32(aux+p)); p += 4; break;
       case 'i': if (p+4>alen) return -1;
-        out->put(":i:", 3); out->put_i64((int32_t)rd_u32(aux+p)); p += 4; break;
+        out->put_u(":i:", 3); out->put_i64_u((int32_t)rd_u32(aux+p)); p += 4; break;
       case 'A': if (p+1>alen) return -1;
-        out->put(":A:", 3); out->putc((char)aux[p]); p += 1; break;
+        out->put_u(":A:", 3); out->putc_u((char)aux[p]); p += 1; break;
       case 'f': {
         if (p+4>alen) return -1;
         float f;
         memcpy(&f, aux + p, 4);
         int n = snprintf(tmp, sizeof tmp, ":f:%g", (double)f);
-        out->put(tmp, n);
+        out->put_u(tmp, n);
         p += 4;
         break;
       }
@@ -688,16 +689,16 @@ int format_aux(const uint8_t* aux, int64_t alen, int64_t skip_off,
         double d;
         memcpy(&d, aux + p, 8);
         int n = snprintf(tmp, sizeof tmp, ":d:%g", d);
-        out->put(tmp, n);
+        out->put_u(tmp, n);
         p += 8;
         break;
       }
       case 'Z': case 'H': {
-        out->putc(':'); out->putc(t); out->putc(':');
+        out->putc_u(':'); out->putc_u(t); out->putc_u(':');
         int64_t e = p;
         while (e < alen && aux[e]) e++;
         if (e >= alen) return -1;
-        out->put(aux + p, e - p);
+        out->put_u(aux + p, e - p);
         p = e + 1;
         break;
       }
@@ -706,32 +707,32 @@ int format_aux(const uint8_t* aux, int64_t alen, int64_t skip_off,
         char sub = (char)aux[p];
         uint32_t cnt = rd_u32(aux + p + 1);
         p += 5;
-        out->put(":B:", 3);
-        out->putc(sub);
+        out->put_u(":B:", 3);
+        out->putc_u(sub);
         switch (sub) {
           case 'c': if (p+(int64_t)cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int8_t)aux[p+i]); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u((int8_t)aux[p+i]); }
             p += cnt; break;
           case 'C': if (p+(int64_t)cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(aux[p+i]); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u(aux[p+i]); }
             p += cnt; break;
           case 's': if (p+2LL*cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int16_t)rd_u16(aux+p+2*i)); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u((int16_t)rd_u16(aux+p+2*i)); }
             p += 2LL*cnt; break;
           case 'S': if (p+2LL*cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(rd_u16(aux+p+2*i)); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u(rd_u16(aux+p+2*i)); }
             p += 2LL*cnt; break;
           case 'i': if (p+4LL*cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64((int32_t)rd_u32(aux+p+4*i)); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u((int32_t)rd_u32(aux+p+4*i)); }
             p += 4LL*cnt; break;
           case 'I': if (p+4LL*cnt>alen) return -1;
-            for (uint32_t i = 0; i < cnt; i++) { out->putc(','); out->put_i64(rd_u32(aux+p+4*i)); }
+            for (uint32_t i = 0; i < cnt; i++) { out->putc_u(','); out->put_i64_u(rd_u32(aux+p+4*i)); }
             p += 4LL*cnt; break;
           case 'f': if (p+4LL*cnt>alen) return -1;
             for (uint32_t i = 0; i < cnt; i++) {
               float f; memcpy(&f, aux+p+4*i, 4);
               int n = snprintf(tmp, sizeof tmp, ",%g", (double)f);
-              out->put(tmp, n);
+              out->put_u(tmp, n);
             }
             p += 4LL*cnt; break;
           default: return -1;
@@ -750,6 +751,11 @@ int format_aux(const uint8_t* aux, int64_t alen, int64_t skip_off,
 int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
                   Buf* out) {
   if (size < 32) return -1;
+  // one worst-case reservation, then raw unchecked writes throughout
+  // (sam_out_bound reasoning: densest expansion is a B:c aux byte ->
+  // ",-128" = 5 chars; nibbles 2x; CIGAR u32 <= 11 chars; +32 B SIMD
+  // store slack for the sequence lane)
+  out->reserve(6ull * size + 2ull * nt.max_name + 96);
   int32_t tid = (int32_t)rd_u32(rec + 0);
   int32_t pos = (int32_t)rd_u32(rec + 4);
   uint8_t l_qname = rec[8];
@@ -822,38 +828,37 @@ int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
     }
   }
 
-  out->put(qname, l_qname - 1);
-  out->putc('\t');
-  out->put_i64(flag);
-  out->putc('\t');
-  if (tid >= 0 && tid < nt.n_ref) out->put(nt.buf + nt.offs[tid], nt.lens[tid]);
-  else out->putc('*');
-  out->putc('\t');
-  out->put_i64((int64_t)pos + 1);
-  out->putc('\t');
-  out->put_i64(mapq);
-  out->putc('\t');
-  if (real_n_cigar == 0) out->putc('*');
+  out->put_u(qname, l_qname - 1);
+  out->putc_u('\t');
+  out->put_i64_u(flag);
+  out->putc_u('\t');
+  if (tid >= 0 && tid < nt.n_ref) out->put_u(nt.buf + nt.offs[tid], nt.lens[tid]);
+  else out->putc_u('*');
+  out->putc_u('\t');
+  out->put_i64_u((int64_t)pos + 1);
+  out->putc_u('\t');
+  out->put_i64_u(mapq);
+  out->putc_u('\t');
+  if (real_n_cigar == 0) out->putc_u('*');
   else {
     for (uint32_t k = 0; k < real_n_cigar; k++) {
       uint32_t c = rd_u32(real_cig + 4ull * k);
-      out->put_i64(c >> 4);
-      out->putc(kCigChar[c & 0xF]);
+      out->put_i64_u(c >> 4);
+      out->putc_u(kCigChar[c & 0xF]);
     }
   }
-  out->putc('\t');
-  if (mtid < 0) out->putc('*');
-  else if (mtid == tid) out->putc('=');
-  else if (mtid < nt.n_ref) out->put(nt.buf + nt.offs[mtid], nt.lens[mtid]);
-  else out->putc('*');
-  out->putc('\t');
-  out->put_i64((int64_t)mpos + 1);
-  out->putc('\t');
-  out->put_i64(tlen);
-  out->putc('\t');
-  if (l_qseq == 0) out->putc('*');
+  out->putc_u('\t');
+  if (mtid < 0) out->putc_u('*');
+  else if (mtid == tid) out->putc_u('=');
+  else if (mtid < nt.n_ref) out->put_u(nt.buf + nt.offs[mtid], nt.lens[mtid]);
+  else out->putc_u('*');
+  out->putc_u('\t');
+  out->put_i64_u((int64_t)mpos + 1);
+  out->putc_u('\t');
+  out->put_i64_u(tlen);
+  out->putc_u('\t');
+  if (l_qseq == 0) out->putc_u('*');
   else {
-    out->reserve(l_qseq + 32);  // SIMD path writes in 32B stores
     uint8_t* dst = out->data() + out->len();
 #if defined(__SSSE3__)
     nibble2base_simd(seq, dst, l_qseq / 2);
@@ -866,17 +871,16 @@ int format_record(const uint8_t* rec, uint32_t size, const NameTable& nt,
     if (l_qseq & 1) dst[l_qseq - 1] = kNt16[seq[l_qseq / 2] >> 4];
     out->bump(l_qseq);
   }
-  out->putc('\t');
-  if (l_qseq == 0 || qual[0] == 0xFF) out->putc('*');
+  out->putc_u('\t');
+  if (l_qseq == 0 || qual[0] == 0xFF) out->putc_u('*');
   else {
-    out->reserve(l_qseq);
     uint8_t* dst = out->data() + out->len();
     for (int32_t i = 0; i < l_qseq; i++) dst[i] = qual[i] + 33;
     out->bump(l_qseq);
   }
   if (format_aux(aux, end - aux, cg_skip_off, cg_skip_len, out) < 0)
     return -1;
-  out->putc('\n');
+  out->putc_u('\n');
   return 0;
 }
 
@@ -894,6 +898,7 @@ int64_t htstpu_bam_to_sam(const uint8_t* data, const uint64_t* offs,
                           uint8_t** out_ptr, int nthreads) {
   if (nthreads <= 0) nthreads = hardware_threads();
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  nt.max_name = nt.max_len();
   int shards = nthreads * 4;
   if (shards > n) shards = n ? (int)n : 1;
   std::vector<Buf> bufs(shards);
@@ -946,6 +951,7 @@ int64_t htstpu_bam_scan_format(const uint8_t* data, uint64_t len,
                                uint8_t** out_ptr, int nthreads) {
   if (nthreads <= 0) nthreads = hardware_threads();
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  nt.max_name = nt.max_len();
   const int64_t kBatch = 4096;
   uint64_t cap = (len - start) / 36 + 1;  // 32B core + 4B size minimum
   std::vector<uint64_t> offs(cap);
@@ -1146,6 +1152,7 @@ int64_t htstpu_bgzf_to_sam(const uint8_t* raw, uint64_t rlen, uint64_t u_skip,
                            int verify_crc, uint8_t** out_ptr, int nthreads) {
   if (nthreads <= 0) nthreads = hardware_threads();
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  nt.max_name = nt.max_len();
 
   // 1. serial member scan (BSIZE hop; trivially cheap vs inflate)
   std::vector<uint64_t> coffs, uoffs;
@@ -3805,6 +3812,7 @@ int64_t htstpu_cram_slice_to_sam(
   // records that may need the CG long-cigar escape detour through
   // pack_one + format_record, which owns that logic (sam.c:680).
   NameTable nt{name_buf, name_offs, name_lens, n_ref};
+  nt.max_name = nt.max_len();
   DecState& st = sd.st;
   Buf out;
   out.reserve(st.seqs.len() * 5 / 2 + (size_t)num_records * 64 + 4096);
