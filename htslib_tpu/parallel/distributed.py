@@ -184,6 +184,155 @@ def decode_cram_shard_to_sam(plan: CramShardPlan, shard: CramShard,
     return sam.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# BCF record shard plans + distributed flagstat reduction
+# (VERDICT r3 missing #5: distributed VCF lane, flagstat-style psum)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BcfShard:
+    index: int
+    rec_lo: int          # first record ordinal
+    rec_hi: int          # past-end ordinal
+    ustart: int          # body-relative uncompressed byte offset
+    uend: int
+
+
+@dataclass
+class BcfShardPlan:
+    path: str
+    offs: np.ndarray     # per record: body-relative byte offset
+    sizes: np.ndarray    # per record: 8 + l_shared + l_indiv
+    shards: List["BcfShard"] = field(default_factory=list)
+
+
+def plan_bcf_shards(path: str, n_shards: int) -> BcfShardPlan:
+    """Split a BCF into record-aligned shards balanced by uncompressed
+    record bytes (one frame walk over the inflated body; the BGZF scan
+    itself is the cheap native pass)."""
+    import struct as _st
+
+    from htslib_tpu.vcf.io import BcfReader
+
+    with BcfReader(path) as r:
+        body = r.fp.read_all()
+    buf = body.tobytes() if hasattr(body, "tobytes") else bytes(body)
+    offs: List[int] = []
+    sizes: List[int] = []
+    p = 0
+    n = len(buf)
+    while p + 8 <= n:
+        l_shared, l_indiv = _st.unpack_from("<II", buf, p)
+        offs.append(p)
+        sizes.append(8 + l_shared + l_indiv)
+        p += 8 + l_shared + l_indiv
+    if p != n:
+        raise IOError("BCF body: trailing bytes after the last record")
+    plan = BcfShardPlan(path, np.asarray(offs, np.int64),
+                        np.asarray(sizes, np.int64))
+    nr = len(offs)
+    if nr == 0:
+        return plan
+    ends = plan.offs + plan.sizes
+    per = (int(ends[-1]) + max(n_shards, 1) - 1) // max(n_shards, 1)
+    lo = 0
+    for si in range(n_shards):
+        if lo >= nr:
+            break
+        hi = int(np.searchsorted(ends, (si + 1) * per, side="right"))
+        hi = max(hi, lo + 1)
+        if si == n_shards - 1:
+            hi = nr
+        hi = min(hi, nr)
+        plan.shards.append(BcfShard(si, lo, hi, int(plan.offs[lo]),
+                                    int(ends[hi - 1])))
+        lo = hi
+    return plan
+
+
+def decode_bcf_shard_to_vcf(plan: BcfShardPlan, shard: BcfShard,
+                            header=None) -> bytes:
+    """One host's work: format only this shard's records as VCF text
+    through the native vcf_format engine.  Concatenating results in
+    shard order reproduces the single-host bcf_file_to_vcf body."""
+    from htslib_tpu.native import native
+    from htslib_tpu.vcf.io import BcfReader
+
+    with BcfReader(plan.path) as r:
+        hdr = header or r.header
+        body = r.fp.read_all()
+    data = np.asarray(body, np.uint8) if not isinstance(body, np.ndarray) \
+        else body
+    chunk = np.ascontiguousarray(data[shard.ustart:shard.uend])
+    if native is not None:
+        return native.bcf_to_vcf(chunk, hdr.ctg_names, hdr.id_names,
+                                 hdr.id2int("GT"))
+    import struct as _st
+
+    from htslib_tpu.vcf.record import BcfRecord
+    buf = chunk.tobytes()
+    lines = []
+    p = 0
+    while p + 8 <= len(buf):
+        l_shared, l_indiv = _st.unpack_from("<II", buf, p)
+        shared = buf[p + 8:p + 8 + l_shared]
+        indiv = buf[p + 8 + l_shared:p + 8 + l_shared + l_indiv]
+        p += 8 + l_shared + l_indiv
+        lines.append(BcfRecord.from_bcf(shared, indiv, hdr).to_vcf(hdr))
+    return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+
+def flagstat_shard(plan: BamShardPlan, shard: BamShard) -> np.ndarray:
+    """Per-shard flag-category counts (the samtools flagstat counters):
+    one int64 vector ready for a psum merge across hosts.  Categories:
+    [total, secondary, supplementary, duplicates, mapped, paired,
+    read1, read2, proper_pair, both_mapped, singleton]."""
+    from htslib_tpu.native import native
+    from htslib_tpu.sam import BamReader
+
+    b_lo = int(np.searchsorted(plan.ustarts, shard.ustart,
+                               side="right")) - 1
+    b_hi = int(np.searchsorted(plan.ustarts, shard.uend, side="left"))
+    b_lo = max(b_lo, 0)
+    b_hi = max(b_hi, b_lo + 1)
+    raw = np.fromfile(plan.path, np.uint8)
+    data = native.inflate_batch(raw, plan.coffsets[b_lo:b_hi],
+                                plan.csizes[b_lo:b_hi],
+                                plan.usizes[b_lo:b_hi])
+    base = int(plan.ustarts[b_lo])
+    chunk = np.ascontiguousarray(
+        np.asarray(data)[shard.ustart - base:shard.uend - base])
+    offs, sizes = native.bam_scan(chunk, 0)
+    _, _, _, flags = native.bam_fields(chunk, np.asarray(offs, np.int64))
+    f = flags.astype(np.int64)
+    out = np.zeros(11, np.int64)
+    out[0] = len(f)
+    out[1] = int(((f & 0x100) != 0).sum())        # secondary
+    out[2] = int(((f & 0x800) != 0).sum())        # supplementary
+    out[3] = int(((f & 0x400) != 0).sum())        # dup
+    out[4] = int(((f & 4) == 0).sum())            # mapped
+    out[5] = int(((f & 1) != 0).sum())            # paired
+    out[6] = int(((f & 0x40) != 0).sum())         # read1
+    out[7] = int(((f & 0x80) != 0).sum())         # read2
+    out[8] = int(((f & 2) != 0).sum())            # proper pair
+    out[9] = int((((f & 1) != 0) & ((f & 4) == 0)
+                  & ((f & 8) == 0)).sum())        # both mapped
+    out[10] = int((((f & 1) != 0) & ((f & 4) == 0)
+                   & ((f & 8) != 0)).sum())       # singleton
+    return out
+
+
+def distributed_flagstat(path: str, n_shards: int) -> np.ndarray:
+    """Shard-parallel flagstat: per-shard counters merged by summation —
+    the host-level mirror of the mesh psum reduction
+    (parallel/mesh.py make_flagstat_step)."""
+    plan = plan_bam_shards(path, n_shards)
+    total = np.zeros(11, np.int64)
+    for sh in plan.shards:
+        total += flagstat_shard(plan, sh)
+    return total
+
+
 def decode_shard_to_sam(plan: BamShardPlan, shard: BamShard,
                         header=None) -> bytes:
     """One host's work: inflate only the BGZF blocks covering this

@@ -107,3 +107,35 @@ def shard_batch(mesh: Mesh, *arrays, axis: str = "data"):
         spec = P(axis) if a.ndim >= 1 else P()
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)
+
+
+def make_flagstat_step(mesh: Mesh, axis: str = "data"):
+    """samtools flagstat as a mesh reduction: each device counts the
+    flag categories of its record shard and the [11] counters merge
+    with one psum over ICI (categories match
+    parallel/distributed.flagstat_shard)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(), check_vma=False)
+    def step(flags, valid):
+        f = flags.astype(jnp.int32)
+        v = valid
+        def cnt(mask):
+            return jnp.sum(jnp.where(v & mask, 1, 0))
+        counts = jnp.stack([
+            jnp.sum(v.astype(jnp.int32)),
+            cnt((f & 0x100) != 0),                      # secondary
+            cnt((f & 0x800) != 0),                      # supplementary
+            cnt((f & 0x400) != 0),                      # duplicate
+            cnt((f & 4) == 0),                          # mapped
+            cnt((f & 1) != 0),                          # paired
+            cnt((f & 0x40) != 0),                       # read1
+            cnt((f & 0x80) != 0),                       # read2
+            cnt((f & 2) != 0),                          # proper pair
+            cnt(((f & 1) != 0) & ((f & 4) == 0) & ((f & 8) == 0)),
+            cnt(((f & 1) != 0) & ((f & 4) == 0) & ((f & 8) != 0)),
+        ])
+        return jax.lax.psum(counts, axis)
+
+    return jax.jit(step)

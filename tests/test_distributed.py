@@ -229,3 +229,91 @@ def test_cram_container_shard_plan(tmp_path):
     plan = plan_cram_shards(cram, 3)
     assert plan.shards[0].offset == int(plan.offsets[0])
     assert plan.shards[-1].end == int(plan.ends[-1])
+
+
+def test_bcf_shard_plan(tmp_path):
+    """BCF record-aligned sharding: N-shard VCF text concatenates
+    byte-identically to the single-host bcf_file_to_vcf body."""
+    from htslib_tpu.parallel.distributed import (decode_bcf_shard_to_vcf,
+                                                 plan_bcf_shards)
+    from htslib_tpu.vcf import BcfHeader, BcfRecord, BcfWriter
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    hdr_text = "\n".join([
+        "##fileformat=VCFv4.2", "##contig=<ID=1,length=1000000>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]) + "\n"
+    hdr = BcfHeader(hdr_text)
+    path = str(tmp_path / "t.bcf")
+    with BcfWriter(path, hdr) as w:
+        for i in range(500):
+            w.write(BcfRecord.from_vcf(
+                f"1\t{i * 3 + 1}\t.\tA\tC\t30\t.\tDP={i % 90}\tGT\t0/1",
+                hdr))
+    _, single = bcf_file_to_vcf(path)
+    for n in (1, 2, 5):
+        plan = plan_bcf_shards(path, n)
+        assert sum(s.rec_hi - s.rec_lo for s in plan.shards) == 500
+        parts = [decode_bcf_shard_to_vcf(plan, s) for s in plan.shards]
+        assert b"".join(parts) == bytes(single), f"n={n}"
+
+
+def test_distributed_flagstat(tmp_path):
+    """Shard-parallel flagstat == whole-file counts, and the mesh psum
+    step returns the same counters."""
+    import numpy as np
+    from htslib_tpu.parallel.distributed import (distributed_flagstat,
+                                                 plan_bam_shards,
+                                                 flagstat_shard)
+    from htslib_tpu.sam import BamWriter, SamReader
+    src = ref_path("ce#1000.sam")
+    if not os.path.exists(src):
+        pytest.skip("no corpus")
+    bam = str(tmp_path / "t.bam")
+    with SamReader(src) as r:
+        hdr = r.header
+        recs = list(r)
+    with BamWriter(bam, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    want = np.zeros(11, np.int64)
+    for rec in recs:
+        f = rec.flag
+        want[0] += 1
+        want[1] += bool(f & 0x100)
+        want[2] += bool(f & 0x800)
+        want[3] += bool(f & 0x400)
+        want[4] += not (f & 4)
+        want[5] += bool(f & 1)
+        want[6] += bool(f & 0x40)
+        want[7] += bool(f & 0x80)
+        want[8] += bool(f & 2)
+        want[9] += bool(f & 1) and not (f & 4) and not (f & 8)
+        want[10] += bool(f & 1) and not (f & 4) and bool(f & 8)
+    for n in (1, 3):
+        got = distributed_flagstat(bam, n)
+        assert (got == want).all(), (n, got, want)
+
+    # mesh psum step over the same flags (virtual CPU devices)
+    from tests.conftest import clean_jax_run
+    flags = np.array([rec.flag for rec in recs], np.int32)
+    np.save(str(tmp_path / "flags.npy"), flags)
+    out = clean_jax_run(f"""
+import numpy as np
+import jax
+from htslib_tpu.parallel.mesh import make_flagstat_step, make_mesh, shard_batch
+flags = np.load({str(tmp_path / 'flags.npy')!r})
+n_dev = 4
+per = (len(flags) + n_dev - 1) // n_dev
+pad = per * n_dev
+fl = np.zeros(pad, np.int32); fl[:len(flags)] = flags
+va = np.zeros(pad, bool); va[:len(flags)] = True
+mesh = make_mesh(n=n_dev)
+step = make_flagstat_step(mesh)
+counts = np.asarray(step(*shard_batch(mesh, fl, va)))
+print("COUNTS", ",".join(map(str, counts)))
+""")
+    line = [l for l in out.splitlines() if l.startswith("COUNTS")][0]
+    got_mesh = np.array([int(x) for x in line.split()[1].split(",")])
+    assert (got_mesh == want).all(), (got_mesh, want)
