@@ -41,6 +41,15 @@ int rans32x16_enc_o0_avx2(const uint8_t *in, int64_t n, const int64_t *f,
                           const int64_t *cum, uint8_t **out,
                           size_t *out_len);
 
+/* order-1, 32-way encode: same output contract; F/C are the
+ * per-context tables (ctx = previous byte, 0 at the 32 floor-segment
+ * heads), emission order matching the scalar core's reversed
+ * (round, state) order array. */
+int rans32x16_enc_o1_avx2(const uint8_t *in, int64_t n,
+                          const int64_t F[256][256],
+                          const int64_t C[256][256], uint8_t **out,
+                          size_t *out_len);
+
 #ifdef __cplusplus
 }
 #endif

@@ -405,6 +405,178 @@ int rans32x16_enc_o0_avx2(const uint8_t *in, int64_t n, const int64_t *f,
     return 0;
 }
 
+/* ---- order-1 encode ------------------------------------------------ */
+
+__attribute__((target("avx2")))
+int rans32x16_enc_o1_avx2(const uint8_t *in, int64_t n,
+                          const int64_t F[256][256],
+                          const int64_t C[256][256], uint8_t **out,
+                          size_t *out_len) {
+    if (!rans32x16_have_avx2()) return 1;
+    if (n <= 0) return 1;               /* degenerate: scalar path */
+    /* dense per-(ctx,sym) encode tables over used contexts */
+    int ctx_idx[256];
+    int nused = 0, c, s;
+    for (c = 0; c < 256; c++) ctx_idx[c] = -1;
+    for (c = 0; c < 256; c++) {
+        int64_t sum = 0;
+        for (s = 0; s < 256; s++) sum += F[c][s];
+        if (sum) ctx_idx[c] = nused++;
+    }
+    uint32_t *rcp = (uint32_t *)malloc((size_t)nused * 256 * 4);
+    uint32_t *aux = (uint32_t *)malloc((size_t)nused * 256 * 4);
+    uint32_t *xmx = (uint32_t *)malloc((size_t)nused * 256 * 4);
+    if (!rcp || !aux || !xmx) { free(rcp); free(aux); free(xmx); return -1; }
+    for (c = 0; c < 256; c++) {
+        if (ctx_idx[c] < 0) continue;
+        size_t base = (size_t)ctx_idx[c] * 256;
+        for (s = 0; s < 256; s++) {
+            uint32_t fr = (uint32_t)F[c][s];
+            uint32_t cm = (uint32_t)C[c][s];
+            uint32_t bias, rshift;
+            uint64_t r;
+            xmx[base + s] = ((R4X16_L >> TF_SHIFT) << 16) * fr;
+            if (fr < 2) {
+                r = 0xFFFFFFFFull;
+                rshift = 0;
+                bias = cm + TOTFREQ - 1;
+            } else {
+                uint32_t sh = 0;
+                while (fr > (1u << sh)) sh++;
+                r = ((((uint64_t)1 << (sh + 31)) + fr - 1) / fr);
+                rshift = sh - 1;
+                bias = cm;
+            }
+            rcp[base + s] = (uint32_t)r;
+            aux[base + s] = rshift | ((TOTFREQ - fr) << 4) | (bias << 17);
+        }
+    }
+    size_t cap = (size_t)n * 2 + 256;
+    uint8_t *body = (uint8_t *)malloc(cap);
+    if (!body) { free(rcp); free(aux); free(xmx); return -1; }
+    size_t blen = 0;
+    uint32_t st[32] __attribute__((aligned(32)));
+    int j;
+    for (j = 0; j < 32; j++) st[j] = R4X16_L;
+    int64_t seg = n / 32;
+
+    /* tail first: the scalar core's reversed order array processes
+     * i = n-1 .. 32*seg on state 31 */
+    {
+        int64_t i;
+        for (i = n - 1; i >= 32 * seg; i--) {
+            /* tail positions are never segment heads except i==0 (the
+             * seg==0 small-n case) */
+            int ctx = (i == 0) ? 0 : in[i - 1];
+            int sym = in[i];
+            int ci = ctx_idx[ctx];
+            if (ci < 0) goto fail;
+            size_t e = (size_t)ci * 256 + sym;
+            uint32_t x = st[31];
+            while (x >= xmx[e]) {
+                body[blen++] = (x >> 8) & 0xFF;
+                body[blen++] = x & 0xFF;
+                x >>= 16;
+            }
+            uint32_t a = aux[e];
+            uint32_t q = (uint32_t)((((uint64_t)x * rcp[e]) >> 32)
+                                    >> (a & 0xF));
+            st[31] = x + (a >> 17) + q * ((a >> 4) & 0x1FFF);
+        }
+    }
+    /* rounds r = seg-1 .. 0, lanes 31..0 (the reversed round-robin).
+     * Symbols/contexts come straight from the input: sym = in[j*seg+r],
+     * ctx = r ? in[j*seg+r-1] : 0. */
+    if (seg) {
+        const __m256i vlow13 = _mm256_set1_epi32(0x1FFF);
+        uint32_t cur_syms[32] __attribute__((aligned(32)));
+        uint32_t prev_syms[32] __attribute__((aligned(32)));
+        int64_t r;
+        for (j = 0; j < 32; j++)
+            cur_syms[j] = in[(int64_t)j * seg + (seg - 1)];
+        for (r = seg - 1; r >= 0; r--) {
+            int l;
+            if (r > 0)
+                for (l = 0; l < 32; l++)
+                    prev_syms[l] = in[(int64_t)l * seg + (r - 1)];
+            else
+                memset(prev_syms, 0, sizeof prev_syms);
+            /* per-lane dense table index = ctx_idx[ctx]*256 + sym */
+            uint32_t idx[32] __attribute__((aligned(32)));
+            for (l = 0; l < 32; l++) {
+                int ci = ctx_idx[prev_syms[l]];
+                if (ci < 0) goto fail;
+                idx[l] = (uint32_t)ci * 256 + cur_syms[l];
+            }
+            int v;
+            for (v = 3; v >= 0; v--) {       /* states 31..24 first */
+                __m256i x = _mm256_load_si256((const __m256i *)(st + 8 * v));
+                __m256i iv = _mm256_load_si256((const __m256i *)(idx + 8 * v));
+                __m256i xmax = _mm256_i32gather_epi32((const int *)xmx,
+                                                      iv, 4);
+                __m256i nm = _mm256_xor_si256(
+                    _mm256_cmpgt_epi32(xmax, x), _mm256_set1_epi32(-1));
+                int need = _mm256_movemask_ps(_mm256_castsi256_ps(nm));
+                if (need) {
+                    uint32_t xs[8] __attribute__((aligned(32)));
+                    uint32_t xm[8] __attribute__((aligned(32)));
+                    _mm256_store_si256((__m256i *)xs, x);
+                    _mm256_store_si256((__m256i *)xm, xmax);
+                    for (l = 7; l >= 0; l--) {
+                        uint32_t xv = xs[l];
+                        while (xv >= xm[l]) {
+                            body[blen++] = (xv >> 8) & 0xFF;
+                            body[blen++] = xv & 0xFF;
+                            xv >>= 16;
+                        }
+                        xs[l] = xv;
+                    }
+                    x = _mm256_load_si256((const __m256i *)xs);
+                }
+                __m256i rc = _mm256_i32gather_epi32((const int *)rcp,
+                                                    iv, 4);
+                __m256i au = _mm256_i32gather_epi32((const int *)aux,
+                                                    iv, 4);
+                __m256i pe = _mm256_mul_epu32(x, rc);
+                __m256i po = _mm256_mul_epu32(_mm256_srli_epi64(x, 32),
+                                              _mm256_srli_epi64(rc, 32));
+                __m256i hi = _mm256_blend_epi32(
+                    _mm256_srli_epi64(pe, 32), po, 0xAA);
+                __m256i q = _mm256_srlv_epi32(
+                    hi, _mm256_and_si256(au, _mm256_set1_epi32(0xF)));
+                __m256i cmpl = _mm256_and_si256(_mm256_srli_epi32(au, 4),
+                                                vlow13);
+                __m256i bias = _mm256_srli_epi32(au, 17);
+                x = _mm256_add_epi32(_mm256_add_epi32(x, bias),
+                                     _mm256_mullo_epi32(q, cmpl));
+                _mm256_store_si256((__m256i *)(st + 8 * v), x);
+            }
+            memcpy(cur_syms, prev_syms, sizeof cur_syms);
+        }
+    }
+    {
+        size_t total = 4 * 32 + blen;
+        uint8_t *segb = (uint8_t *)malloc(total ? total : 1);
+        if (!segb) goto fail;
+        for (j = 0; j < 32; j++) {
+            segb[4 * j + 0] = (uint8_t)st[j];
+            segb[4 * j + 1] = (uint8_t)(st[j] >> 8);
+            segb[4 * j + 2] = (uint8_t)(st[j] >> 16);
+            segb[4 * j + 3] = (uint8_t)(st[j] >> 24);
+        }
+        size_t k;
+        uint8_t *w = segb + 128;
+        for (k = 0; k < blen; k++) w[k] = body[blen - 1 - k];
+        free(body); free(rcp); free(aux); free(xmx);
+        *out = segb;
+        *out_len = total;
+        return 0;
+    }
+fail:
+    free(body); free(rcp); free(aux); free(xmx);
+    return -1;
+}
+
 #else  /* !R32_X86 */
 
 int rans32x16_have_avx2(void) { return 0; }
@@ -426,6 +598,13 @@ int rans32x16_enc_o0_avx2(const uint8_t *in, int64_t n, const int64_t *f,
                           const int64_t *cum, uint8_t **out,
                           size_t *out_len) {
     (void)in; (void)n; (void)f; (void)cum; (void)out; (void)out_len;
+    return 1;
+}
+int rans32x16_enc_o1_avx2(const uint8_t *in, int64_t n,
+                          const int64_t F[256][256],
+                          const int64_t C[256][256], uint8_t **out,
+                          size_t *out_len) {
+    (void)in; (void)n; (void)F; (void)C; (void)out; (void)out_len;
     return 1;
 }
 

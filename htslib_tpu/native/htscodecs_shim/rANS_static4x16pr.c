@@ -550,7 +550,27 @@ static int compress_rec(const uint8_t *in, uint64_t in_size, int flags,
             for (k = 0; k < nctx; k++) wr_freq_table(&tab, Fn[ctxs[k]]);
             rb_putu7(out, tab.len);
             rb_put(out, tab.d, tab.len);
-            r = enc_core_o1(payload, (int64_t)paylen, Fn, C, nway, out);
+            int done = 0;
+            if (nway == 32 && paylen >= 512) {
+                /* AVX2 32-state tier (rANS_static32x16pr_avx2.c) */
+                uint8_t *segb = NULL;
+                size_t slen = 0;
+                int r2 = rans32x16_enc_o1_avx2(
+                    payload, (int64_t)paylen,
+                    (const int64_t (*)[256])Fn,
+                    (const int64_t (*)[256])C, &segb, &slen);
+                if (r2 == 0) {
+                    r = rb_put(out, segb, slen);
+                    free(segb);
+                    done = 1;
+                } else if (r2 == -1) {
+                    r = -1;
+                    done = 1;
+                }
+            }
+            if (!done)
+                r = enc_core_o1(payload, (int64_t)paylen, Fn, C, nway,
+                                out);
         }
         free(tab.d); free(F); free(Fn); free(C);
     } else {
