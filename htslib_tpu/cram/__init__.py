@@ -168,14 +168,16 @@ class CramWriter:
 
     def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0,
                  version=(3, 0), write_index=False, slices_per_container=1,
-                 seqs_per_slice=10000, nthreads=None):
+                 seqs_per_slice=10000, nthreads=None,
+                 device_profile=False):
         from htslib_tpu.cram.encode import CramEncoder
         self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref,
                                 lossy_names=lossy_names, version=version,
                                 write_index=write_index,
                                 slices_per_container=slices_per_container,
                                 seqs_per_slice=seqs_per_slice,
-                                nthreads=nthreads)
+                                nthreads=nthreads,
+                                device_profile=device_profile)
         self.header = header
 
     def write(self, rec: BamRecord) -> None:

@@ -357,8 +357,13 @@ class CramEncoder:
                  version: Tuple[int, int] = (3, 0), embed_ref: int = 0,
                  nthreads: Optional[int] = None,
                  lossy_names: int = 0, write_index: bool = False,
-                 slices_per_container: int = 1):
+                 slices_per_container: int = 1,
+                 device_profile: bool = False):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
+        # TPU-serving profile: pin the QS series to 32-way order-0 rANS
+        # Nx16 (valid 3.1 wire, readable by any decoder) so quality data
+        # is decodable by the on-chip pipeline (ops/device_stats.py)
+        self.device_profile = device_profile
         # on-the-fly .crai (cram_index_slice, cram_index.c:695)
         self.index_entries = [] if write_index else None
         self.index_path = (dst + ".crai") if (write_index
@@ -885,7 +890,14 @@ class CramEncoder:
         for cid in ext_ids:
             data = stream_bytes[cid]
             method, comp = self.metrics.choose(cid, data)
-            if (self.version >= (3, 1) and cid == SERIES["QS"]
+            if (self.device_profile and self.version >= (3, 1)
+                    and cid == SERIES["QS"] and len(data) >= 64):
+                from htslib_tpu.cram.structs import RANSPR
+                try:
+                    method, comp = RANSPR, _rans4x16_compress(data, 0x04)
+                except (ValueError, ZeroDivisionError):
+                    pass
+            elif (self.version >= (3, 1) and cid == SERIES["QS"]
                     and len(data) >= 512 and sum(qs_lens) == len(data)):
                 # fqzcomp quality model (FQZ, cram_io.c:1821)
                 from htslib_tpu.cram.structs import FQZ

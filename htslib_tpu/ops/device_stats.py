@@ -185,6 +185,53 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
     return np.stack(hists), timing
 
 
+def cram_qual_hist(path: str, interpret: bool = False,
+                   stats: dict = None) -> np.ndarray:
+    """Whole-file quality histogram for a CRAM: QS data-series blocks
+    stream straight from the containers; blocks in the device profile
+    (RANSPR, plain 32-way order-0 — CramWriter(device_profile=True))
+    decode AND reduce on the TPU, anything else decodes on the host.
+    Returns one [QBINS] histogram (the samtools stats QUAL pass)."""
+    from htslib_tpu.cram import CRAM_EOF_START, CramReader
+    from htslib_tpu.cram.encode import SERIES
+    from htslib_tpu.cram.structs import CT_EXTERNAL, RANSPR
+
+    qs_id = SERIES["QS"]
+    dev_blocks: List[bytes] = []
+    host_hist = np.zeros(QBINS, np.int64)
+    n_dev = n_host = 0
+    with CramReader(path) as r:
+        while True:
+            c = r.io.read_container_header()
+            if c is None:
+                break
+            if c.ref_seq_id == -1 and c.ref_seq_start == CRAM_EOF_START:
+                break
+            end = c.data_offset + c.length
+            while r.fp.tell() < end:
+                blk = r.io.read_block()
+                if (blk.content_type == CT_EXTERNAL
+                        and blk.content_id == qs_id):
+                    raw = bytes(blk.data)
+                    if (blk.method == RANSPR and len(raw) > 1
+                            and raw[0] == 0x04):
+                        dev_blocks.append(raw)
+                        n_dev += 1
+                    else:
+                        q = np.minimum(
+                            np.frombuffer(blk.uncompress(), np.uint8),
+                            QBINS - 1)
+                        host_hist += np.bincount(q, minlength=QBINS)[:QBINS]
+                        n_host += 1
+    if dev_blocks:
+        dh, _ = qualstats_device(dev_blocks, interpret=interpret)
+        host_hist += dh.sum(axis=0)
+    if stats is not None:
+        stats["device_blocks"] = n_dev
+        stats["host_blocks"] = n_host
+    return host_hist
+
+
 def qualstats_host(datas: List[bytes]) -> np.ndarray:
     """Reference histograms (numpy) with the same QBINS clipping."""
     out = []

@@ -175,6 +175,34 @@ def main():
         out["e2e_qualstats_GBps_onchip"] = round(
             t["uncompressed_bytes"] / t["decode_s"] / 1e9, 4)
 
+    # ---- 2b1. whole-CRAM-file qual stats through the chip -----------
+    # (CramWriter(device_profile=True) pins the QS series to the
+    # device-decodable 32-way O0 wire; QS blocks stream from the
+    # containers straight into the on-chip decode->reduce pipeline)
+    if left() > 200:
+        try:
+            import tempfile
+
+            from htslib_tpu.cram.batch import bam_to_cram_file
+            from htslib_tpu.ops.device_stats import cram_qual_hist
+            from bench import build_test_bam
+            tdir = tempfile.mkdtemp(prefix="htstpu_devcram_")
+            dbam = os.path.join(tdir, "d.bam")
+            build_test_bam(dbam, n_records=100000)
+            dcram = os.path.join(tdir, "d.cram")
+            bam_to_cram_file(dbam, dcram, version=(3, 1),
+                             device_profile=True)
+            st = {}
+            cram_qual_hist(dcram, stats=st)        # warm/compile
+            t0 = time.time()
+            hist = cram_qual_hist(dcram, stats=st)
+            dt = time.time() - t0
+            out["cram_qualstats_file_MBps"] = round(
+                int(hist.sum()) / dt / 1e6, 2)
+            out["cram_qualstats_device_blocks"] = st.get("device_blocks")
+        except Exception as e:
+            out["cram_qualstats_error"] = f"{type(e).__name__}: {e}"[:120]
+
     # ---- 2b2. device rANS encode (the compression half) -------------
     if left() > 200:
         from htslib_tpu.codecs.rans4x16 import compress as r16c

@@ -76,3 +76,42 @@ for d, g in zip(datas, got):
 print("OK", len(datas))
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_cram_qual_hist_device_profile(tmp_path):
+    """Whole-file CRAM quality histogram with the TPU-serving profile:
+    the QS series is pinned to the device-decodable 32-way O0 rANS wire,
+    streams decode+reduce on the (interpret-mode) device pipeline, and
+    the result equals the per-record host truth.  The profile output
+    stays valid CRAM readable by the normal reader."""
+    out = clean_jax_run(f"""
+import numpy as np
+from htslib_tpu.sam import SamReader
+from htslib_tpu.cram import CramReader, CramWriter
+from htslib_tpu.ops.device_stats import QBINS, cram_qual_hist
+src = "/root/reference/test/ce#1000.sam"
+with SamReader(src) as r:
+    hdr = r.header
+    recs = list(r)
+path = {str(tmp_path / 'dev.cram')!r}
+w = CramWriter(path, hdr, version=(3, 1), seqs_per_slice=300,
+               device_profile=True)
+for rec in recs:
+    w.write(rec)
+w.close()
+# plain readers still decode the profile output
+with CramReader(path) as rr:
+    back = [bytes(x.qual) for x in rr]
+assert back == [bytes(x.qual) for x in recs]
+want = np.zeros(QBINS, np.int64)
+for q in back:
+    a = np.minimum(np.frombuffer(q, np.uint8), QBINS - 1)
+    want += np.bincount(a, minlength=QBINS)[:QBINS]
+stats = {{}}
+got = cram_qual_hist(path, interpret=True, stats=stats)
+assert stats["device_blocks"] > 0, stats
+assert (got == want).all()
+print("OK", stats)
+""")
+    assert "OK" in out
