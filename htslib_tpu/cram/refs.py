@@ -28,19 +28,109 @@ class RefRegistry:
         if fasta:
             self.fai = Faidx.load(fasta)
 
-    def _md5_path(self, md5: str) -> Optional[str]:
+    @staticmethod
+    def _tokenise_ref_path(searchpath: str):
+        """REF_PATH tokeniser (cram/open_trace_file.c:108
+        tokenise_search_path): split on ':' with '::' escaping, keeping
+        http:/https:/ftp: URL elements (scheme + //host[:port] + path)
+        intact."""
+        out = []
+        cur = []
+        i, n = 0, len(searchpath)
+        while i < n:
+            if i + 1 < n and searchpath[i] == ":" and                     searchpath[i + 1] == ":":
+                cur.append(":")
+                i += 2
+                continue
+            at_start = not cur
+            if at_start and (searchpath.startswith(("http:", "https:",
+                                                    "ftp:"), i)):
+                # scheme
+                while i < n and searchpath[i] != ":":
+                    cur.append(searchpath[i])
+                    i += 1
+                cur.append(":")
+                i += 1
+                for _ in range(2):          # '//'
+                    if i < n and searchpath[i] == "/":
+                        cur.append("/")
+                        i += 1
+                # host[:port]
+                while i < n and searchpath[i] not in ":/":
+                    cur.append(searchpath[i])
+                    i += 1
+                if i < n:
+                    cur.append(searchpath[i])
+                    i += 1
+                    if i < n and searchpath[i] == ":":
+                        i += 1
+                continue
+            if searchpath[i] == ":":
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+                i += 1
+                continue
+            cur.append(searchpath[i])
+            i += 1
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def _fetch_url(self, url: str) -> Optional[bytes]:
+        """Fetch a REF_PATH URL element through the hfile layer (the
+        find_file_url role, cram/open_trace_file.c:182)."""
+        try:
+            from htslib_tpu.hfile import hopen
+            with hopen(url, "rb") as f:
+                chunks = []
+                while True:
+                    c = f.read(1 << 20)
+                    if not c:
+                        break
+                    chunks.append(bytes(c))
+            return b"".join(chunks)
+        except Exception:
+            return None
+
+    def _md5_lookup(self, md5: str):
+        """-> (path | None, bytes | None): REF_CACHE first, then every
+        REF_PATH element — local files directly, URL elements fetched
+        over the hfile layer and written back into REF_CACHE when set
+        (cram_populate_ref, cram_io.c:2977-3130)."""
         cache = os.environ.get("REF_CACHE")
+        cpath = None
         if cache:
-            p = cache % md5 if "%s" in cache else os.path.join(cache, md5)
-            if os.path.exists(p):
-                return p
+            cpath = cache % md5 if "%s" in cache                 else os.path.join(cache, md5)
+            if os.path.exists(cpath):
+                return cpath, None
         path = os.environ.get("REF_PATH")
         if path:
-            for tmpl in path.split(":"):
-                p = tmpl.replace("%s", md5) if "%s" in tmpl else os.path.join(tmpl, md5)
+            for tmpl in self._tokenise_ref_path(path):
+                if tmpl.startswith(("http:", "https:", "ftp:")):
+                    url = tmpl.replace("%s", md5) if "%s" in tmpl                         else tmpl.rstrip("/") + "/" + md5
+                    data = self._fetch_url(url)
+                    if data is not None:
+                        if cpath:
+                            try:
+                                os.makedirs(os.path.dirname(cpath),
+                                            exist_ok=True)
+                                tmp = cpath + ".tmp.%d" % os.getpid()
+                                with open(tmp, "wb") as f:
+                                    f.write(data)
+                                os.replace(tmp, cpath)
+                            except OSError:
+                                pass
+                        return None, data
+                    continue
+                p = tmpl.replace("%s", md5) if "%s" in tmpl                     else os.path.join(tmpl, md5)
                 if os.path.exists(p):
-                    return p
-        return None
+                    return p, None
+        return None, None
+
+    def _md5_path(self, md5: str) -> Optional[str]:
+        p, _ = self._md5_lookup(md5)
+        return p
 
     def _load_full(self, tid: int) -> bytes:
         if tid in self._cache:
@@ -61,10 +151,12 @@ class RefRegistry:
                 if seq is None:
                     m5 = sq.get("M5")
                     if m5:
-                        p = self._md5_path(m5)
+                        p, data = self._md5_lookup(m5)
                         if p:
                             with open(p, "rb") as f:
                                 seq = f.read().upper()
+                        elif data is not None:
+                            seq = data.upper()
         if seq is None:
             raise IOError(f"unable to load reference for {name!r}; pass "
                           "ref=FILE or set REF_PATH/REF_CACHE")

@@ -147,3 +147,147 @@ def test_concurrent_hits_and_coalesced_upstream(tmp_path):
     finally:
         srv.stop()
         up.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# event-driven daemon (AsyncRefCacheServer: epoll loop + sendfile +
+# keep-alive + coalesced streamed upstream, the server.c architecture)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def aserver(tmp_path):
+    from htslib_tpu.refcache import AsyncRefCacheServer
+    srv = AsyncRefCacheServer(str(tmp_path / "acache"), upstream=None)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_async_put_get_range_head(aserver):
+    seq = b"ACGT" * 4000
+    md5 = aserver.put(seq)
+    url = aserver.url_template % md5
+    with urllib.request.urlopen(url) as r:
+        assert r.read() == seq
+    req = urllib.request.Request(url, headers={"Range": "bytes=8-23"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 206
+        assert r.read() == seq[8:24]
+    req = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(req) as r:
+        assert int(r.headers["Content-Length"]) == len(seq)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(aserver.url_template % ("0" * 32))
+    assert e.value.code == 404
+
+
+def test_async_keep_alive_pipeline(aserver):
+    """Several requests down ONE connection (HTTP/1.1 keep-alive)."""
+    import socket
+    seq = b"TTAGGC" * 2000
+    md5 = aserver.put(seq)
+    s = socket.create_connection(("127.0.0.1", aserver.port), timeout=10)
+    try:
+        for _ in range(3):
+            s.sendall(f"GET /{md5} HTTP/1.1\r\n"
+                      f"Host: x\r\n\r\n".encode())
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(65536)
+            head, _, rest = buf.partition(b"\r\n\r\n")
+            clen = int([l for l in head.split(b"\r\n")
+                        if l.lower().startswith(b"content-length")][0]
+                       .split(b":")[1])
+            while len(rest) < clen:
+                rest += s.recv(65536)
+            assert rest[:clen] == seq
+    finally:
+        s.close()
+
+
+def test_async_concurrent_and_coalesced(tmp_path):
+    """Concurrent clients against the event loop; simultaneous misses
+    for one MD5 make ONE streamed upstream fetch."""
+    import concurrent.futures as fut
+    import hashlib as _hl
+    import threading as _th
+    import time as _t
+    import http.server as _hs
+
+    from htslib_tpu.refcache import AsyncRefCacheServer
+
+    seq = b"GATTACA!" * 40000
+    md5 = _hl.md5(seq).hexdigest()
+    hits = {"n": 0}
+    lk = _th.Lock()
+
+    class Upstream(_hs.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lk:
+                hits["n"] += 1
+            _t.sleep(0.2)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(seq)))
+            self.end_headers()
+            self.wfile.write(seq)
+
+    up = _hs.ThreadingHTTPServer(("127.0.0.1", 0), Upstream)
+    _th.Thread(target=up.serve_forever, daemon=True).start()
+    srv = AsyncRefCacheServer(
+        str(tmp_path / "c"), upstream=f"http://127.0.0.1:"
+        f"{up.server_address[1]}/%s", verify_md5=False)
+    srv.start()
+    try:
+        def get(_):
+            with urllib.request.urlopen(srv.url_template % md5,
+                                        timeout=30) as r:
+                return r.read()
+
+        with fut.ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(get, range(8)))
+        assert all(o == seq for o in outs)
+        assert hits["n"] == 1, "upstream fetch was not coalesced"
+    finally:
+        srv.stop()
+        up.shutdown()
+
+
+def test_ref_path_url_resolution(tmp_path, monkeypatch):
+    """REF_PATH with an http:// template: the client fetches the
+    reference over the hfile layer and populates REF_CACHE from the
+    fetch (cram_populate_ref, cram_io.c:2977-3130; URL-aware REF_PATH
+    tokenisation per open_trace_file.c:108)."""
+    if not has_ref("range.cram"):
+        pytest.skip("no corpus")
+    from htslib_tpu.cram import CramReader
+    from htslib_tpu.cram.refs import RefRegistry
+    from htslib_tpu.faidx import Faidx
+    from htslib_tpu.refcache import AsyncRefCacheServer
+    srv = AsyncRefCacheServer(str(tmp_path / "cache"), upstream=None)
+    srv.start()
+    try:
+        fai = Faidx.load(ref_path("ce.fa"), build_missing=False)
+        for name in fai.seq_names():
+            srv.put(fai.fetch_seq(name).encode().upper())
+        fai.close()
+        monkeypatch.setenv("REF_PATH", srv.url_template)
+        monkeypatch.setenv("REF_CACHE",
+                           os.path.join(str(tmp_path / "rc"), "%s"))
+        with CramReader(ref_path("range.cram")) as r:
+            assert sum(1 for _ in r) == 112
+        assert os.listdir(str(tmp_path / "rc")), "REF_CACHE not populated"
+        # second read must hit REF_CACHE, not the daemon
+        before = srv.upstream_fetches
+        with CramReader(ref_path("range.cram")) as r:
+            assert sum(1 for _ in r) == 112
+        assert srv.upstream_fetches == before
+    finally:
+        srv.stop()
+    # tokeniser semantics: '::' escaping and URL elements kept intact
+    tok = RefRegistry._tokenise_ref_path
+    assert tok("http://h:8080/%s:/local/dir") == \
+        ["http://h:8080/%s", "/local/dir"]
+    assert tok("/a::b:/c") == ["/a:b", "/c"]
