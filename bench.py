@@ -243,7 +243,8 @@ def bench_sam2bam(bam_path, usize, trials=3):
 
 def bench_cram(bam_path, n_records, trials=3):
     """CRAM encode (no_ref, file->file like the measured htslib
-    test_view -C baseline) and slice-parallel decode rates."""
+    test_view -C baseline) and slice-parallel decode rates, for both
+    CRAM 3.0 and 3.1."""
     from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
     cram = bam_path + ".cram"
     best_enc = None
@@ -258,11 +259,31 @@ def bench_cram(bam_path, n_records, trials=3):
         cram_file_to_sam(cram, window=4)
         dt = time.time() - t0
         best_dec = dt if best_dec is None else min(best_dec, dt)
-    return {
+    out = {
         "encode_krec_s": round(n_records / best_enc / 1e3, 1),
         "decode_krec_s": round(n_records / best_dec / 1e3, 1),
         "cram_mb": round(os.path.getsize(cram) / 1e6, 1),
     }
+    # CRAM 3.1 lane (fqzcomp/tok3/rANS-Nx16 codec set)
+    cram31 = bam_path + ".31.cram"
+    best31e = None
+    for _ in range(max(trials - 1, 1)):
+        t0 = time.time()
+        bam_to_cram_file(bam_path, cram31, nthreads=4, version=(3, 1))
+        dt = time.time() - t0
+        best31e = dt if best31e is None else min(best31e, dt)
+    best31d = None
+    for _ in range(max(trials - 1, 1)):
+        t0 = time.time()
+        cram_file_to_sam(cram31, window=4)
+        dt = time.time() - t0
+        best31d = dt if best31d is None else min(best31d, dt)
+    out["v31"] = {
+        "encode_krec_s": round(n_records / best31e / 1e3, 1),
+        "decode_krec_s": round(n_records / best31d / 1e3, 1),
+        "cram_mb": round(os.path.getsize(cram31) / 1e6, 1),
+    }
+    return out
 
 
 def main():
