@@ -181,9 +181,13 @@ def build_test_bcf(path, n_records=100000, seed=6):
 
 def bench_mpileup(sam_path, trials=3):
     """Whole-file pileup columns (native resolve_cigar2 + overlap
-    tweak engine) in MB of column text per second."""
-    from htslib_tpu.pileup import mpileup_text
-    best = None
+    tweak engine) in MB of column text per second.  Returns
+    (serial_best, out_len, parallel_best): the headline ratio stays the
+    like-for-like single-engine comparison (the reference pileup has no
+    -@), with the coordinate-sharded parallel engine reported
+    alongside."""
+    from htslib_tpu.pileup import mpileup_text, mpileup_text_parallel
+    best = par = None
     out_len = 0
     for _ in range(trials):
         t0 = time.time()
@@ -191,7 +195,11 @@ def bench_mpileup(sam_path, trials=3):
         dt = time.time() - t0
         out_len = len(out)
         best = dt if best is None else min(best, dt)
-    return best, out_len
+        t0 = time.time()
+        mpileup_text_parallel(sam_path)
+        dt = time.time() - t0
+        par = dt if par is None else min(par, dt)
+    return best, out_len, par
 
 
 def bench_bcf2vcf(bcf_path, trials=3):
@@ -316,7 +324,7 @@ def main():
     # rates when scripts/measure_baseline.py has recorded them
     deep = os.path.join(tmpdir, "deep.sam")
     build_deep_sam(deep)
-    mp_dt, mp_out = bench_mpileup(deep)
+    mp_dt, mp_out, mp_par = bench_mpileup(deep)
     bcf = os.path.join(tmpdir, "bench.bcf")
     build_test_bcf(bcf)
     bv_dt, bv_out = bench_bcf2vcf(bcf)
@@ -336,6 +344,8 @@ def main():
         "seconds": round(mp_dt, 3),
         "out_mbps": round(mp_out / mp_dt / 1e6, 1),
         "vs_htslib_pileup": ratio(mp_out / mp_dt / 1e6, "mpileup@1"),
+        "parallel_out_mbps": round(mp_out / mp_par / 1e6, 1),
+        "parallel_vs_htslib": ratio(mp_out / mp_par / 1e6, "mpileup@1"),
     }
     result["detail"]["bcf2vcf"] = {
         "seconds": round(bv_dt, 3),

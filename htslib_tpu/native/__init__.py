@@ -89,6 +89,8 @@ class _Native:
         lib.htstpu_mpileup.argtypes = [
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.htstpu_vcf_parse.restype = ctypes.c_int64
         lib.htstpu_vcf_parse.argtypes = [
@@ -393,9 +395,12 @@ class _Native:
         return np.frombuffer(cbuf, np.uint8)
 
     def mpileup(self, data: np.ndarray, ref_names: List[str],
-                skip_mask: int = 0, overlaps: bool = True) -> bytes:
+                skip_mask: int = 0, overlaps: bool = True,
+                window=None) -> bytes:
         """Pileup text (test/pileup.c format) over a u32-framed BAM
         record stream — native resolve_cigar2 + overlap tweak engine.
+        `window` = ((lo_tid, lo_pos), (hi_tid, hi_pos)) gates column
+        emission to a coordinate tile (halo reads still processed).
         Raises BlockingIOError on kBail (caller uses the Python
         engine)."""
         data = np.ascontiguousarray(data)
@@ -406,11 +411,17 @@ class _Native:
         if len(names) > 1:
             np.cumsum(name_lens[:-1], dtype=np.uint64, out=name_offs[1:])
         out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        if window is None:
+            lo, hi = (-(1 << 30), 0), ((1 << 30), 1 << 62)
+        else:
+            lo, hi = window
         r = self._lib.htstpu_mpileup(
             self._u8(data), len(data),
             self._u8(name_buf), self._ptr(name_offs, ctypes.c_uint64),
             self._ptr(name_lens, ctypes.c_uint32), len(names),
-            skip_mask, 1 if overlaps else 0, ctypes.byref(out_ptr))
+            skip_mask, 1 if overlaps else 0,
+            int(lo[0]), int(lo[1]), int(hi[0]), int(hi[1]),
+            ctypes.byref(out_ptr))
         if r == -100:
             raise BlockingIOError("native mpileup bailed")
         if r < 0:

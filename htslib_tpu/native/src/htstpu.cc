@@ -4843,14 +4843,25 @@ extern "C" {
 
 // Pileup text (test/pileup.c format) over a u32-framed BAM record
 // stream.  skip_mask records are dropped (readaln, test/pileup.c:62).
-// Returns output bytes via *out_ptr (htstpu_buf_free), -100 = bail
-// (CG-escape record etc.: caller uses the Python engine), -2 = unsorted.
+// Only columns with (lo_tid,lo_pos) <= (tid,pos) < (hi_tid,hi_pos) are
+// emitted — the coordinate-tile window for sharded mpileup (halo reads
+// are still processed so overlap tweaking stays exact; the bounds only
+// gate emission).  Returns output bytes via *out_ptr (htstpu_buf_free),
+// -100 = bail (CG-escape record etc.: caller uses the Python engine),
+// -2 = unsorted.
 int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
                        const uint8_t* name_buf, const uint64_t* name_offs,
                        const uint32_t* name_lens, int32_t n_ref,
                        int32_t skip_mask, int32_t enable_overlaps,
+                       int32_t lo_tid, int64_t lo_pos,
+                       int32_t hi_tid, int64_t hi_pos,
                        uint8_t** out_ptr) {
   using namespace plp;
+  auto in_window = [&](int32_t tid, int64_t pos) -> bool {
+    if (tid < lo_tid || (tid == lo_tid && pos < lo_pos)) return false;
+    if (tid > hi_tid || (tid == hi_tid && pos >= hi_pos)) return false;
+    return true;
+  };
   std::vector<std::unique_ptr<PNode>> pool;
   std::vector<PNode*> nodes;
   std::unordered_map<std::string, PNode*> overlaps;
@@ -4978,7 +4989,7 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
         int32_t tid = cur_tid;
         int64_t pos = cur_pos;
         if (advance_cursor() < 0) return -2;
-        if (!qual_tmp.empty()) {
+        if (!qual_tmp.empty() && in_window(tid, pos)) {
           uint32_t nml = (tid >= 0 && tid < n_ref) ? name_lens[tid] : 1;
           out.reserve((size_t)nml + 48 + base_tmp.size() +
                       qual_tmp.size());
@@ -5160,7 +5171,10 @@ int64_t htstpu_mpileup(const uint8_t* data, uint64_t data_len,
     int64_t pos;
     int r = next_column(&tid, &pos);
     if (r == -2) return -2;
-    if (r == 1) { emit(tid, pos); continue; }
+    if (r == 1) {
+      if (in_window(tid, pos)) emit(tid, pos);
+      continue;
+    }
     if (eof) break;
     PNode* b = nullptr;
     int rr = read_next(&b);

@@ -622,3 +622,99 @@ class MultiPileup:
         if not any_data:
             return None
         return tid, pos, out
+
+
+def mpileup_text_parallel(path: str, nthreads: int = 0,
+                          overlaps: bool = True,
+                          skip_mask: int = FUNMAP | FSECONDARY
+                          | FQCFAIL | FDUP) -> Tuple[object, bytes]:
+    """Coordinate-sharded parallel mpileup with the NATIVE engine per
+    tile (the parallel/pileup_shard.py plan run through htstpu_mpileup
+    with an emission window): the genome splits into read-count-balanced
+    tiles, each worker processes every read OVERLAPPING its tile (halo
+    replication keeps overlap-pair quality tweaking exact — the tweak
+    only touches positions covered by both mates, so any pair affecting
+    a tile column has both mates in the tile's read set) and emits only
+    its own columns.  Concatenated output is byte-identical to
+    mpileup_text.  Falls back to the serial engine when the native
+    library is unavailable."""
+    import os as _os
+
+    import numpy as np
+
+    from htslib_tpu.native import native
+    from htslib_tpu.sam import BamReader, SamReader
+
+    if native is None:
+        return mpileup_text(path, overlaps, skip_mask)
+    nthreads = nthreads or (_os.cpu_count() or 2)
+
+    is_sam = not path.endswith(".bam")
+    opener = SamReader if is_sam else BamReader
+    with opener(path) as r:
+        header = r.header
+        if is_sam:
+            with open(path, "rb") as fh:
+                text = fh.read()
+            p = 0
+            while p < len(text) and text[p:p + 1] == b"@":
+                nl = text.find(b"\n", p)
+                if nl < 0:
+                    p = len(text)
+                    break
+                p = nl + 1
+            stream = native.sam_to_bam(
+                np.frombuffer(text, np.uint8, len(text) - p, p),
+                header.ref_names)
+        else:
+            stream, _, _ = r.raw_records()
+    stream = np.ascontiguousarray(np.asarray(stream))
+    offs, sizes = native.bam_scan(stream, 0)
+    offs = np.asarray(offs, np.int64)
+    sizes = np.asarray(sizes, np.int64)
+    tids, poss, ends, flags = native.bam_fields(stream, offs)
+    kept = (flags & skip_mask) == 0
+    mapped = kept & (tids >= 0) & ((flags & 4) == 0)
+    n_mapped = int(mapped.sum())
+    if n_mapped == 0 or nthreads <= 1:
+        return header, native.mpileup(stream, header.ref_names,
+                                      skip_mask, overlaps)
+    # tile plan balanced by mapped-read count (plan_pileup_tiles model)
+    m_idx = np.nonzero(mapped)[0]
+    per = (n_mapped + nthreads - 1) // nthreads
+    bounds = [(-(1 << 30), 0)]
+    for si in range(1, nthreads):
+        i = si * per
+        if i >= n_mapped:
+            break
+        k = (int(tids[m_idx[i]]), int(poss[m_idx[i]]))
+        if k > bounds[-1]:
+            bounds.append(k)
+    bounds.append(((1 << 30), 1 << 62))
+    tiles = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+    pos_key = tids.astype(np.int64) * (1 << 40) + poss
+    end_key = tids.astype(np.int64) * (1 << 40) + ends
+
+    def run_tile(tile):
+        lo, hi = tile
+        lo_k = lo[0] * (1 << 40) + lo[1]
+        hi_k = hi[0] * (1 << 40) + hi[1]
+        # one CONTIGUOUS record range covers the tile: [first read whose
+        # span reaches past lo, last read starting before hi].  In-range
+        # reads that don't overlap the tile are processed but emit
+        # nothing (the engine's window gates emission), which keeps the
+        # sub-stream a zero-copy slice of the original.
+        need = mapped & (end_key > lo_k) & (pos_key < hi_k)
+        idx = np.nonzero(need)[0]
+        if idx.size == 0:
+            return b""
+        i0, i1 = int(idx[0]), int(idx[-1])
+        sub = stream[int(offs[i0]):int(offs[i1]) + int(sizes[i1])]
+        return native.mpileup(sub, header.ref_names, skip_mask,
+                              overlaps, window=(lo, hi))
+
+    from htslib_tpu.pipeline import shared_pool
+    pool = shared_pool()
+    outs = list(pool.map(run_tile, tiles))
+    return header, b"".join(outs)

