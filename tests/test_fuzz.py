@@ -114,3 +114,34 @@ def test_fuzz_corrupt_inputs_no_crash():
         f"fuzz subprocess died (rc={r.returncode}):\n"
         f"stdout: {r.stdout[-2000:]}\nstderr: {r.stderr[-2000:]}")
     assert "FUZZ_OK" in r.stdout, r.stdout[-500:]
+
+
+def test_rans4x16_x32_corrupt_input_fuzz():
+    """The AVX2 32-state decode tier must reject or tolerate corrupt
+    streams without faulting (truncations, byte flips, garbage with a
+    valid flag byte)."""
+    import random
+
+    from htslib_tpu.codecs import rans4x16
+    from htslib_tpu.native import native
+    if native is None:
+        pytest.skip("native library unavailable")
+    random.seed(42)
+    base = bytes(random.randrange(0, 45) for _ in range(20000))
+    for fl in (0x04, 0x05):
+        comp = bytearray(rans4x16.compress(base, fl))
+        for trial in range(150):
+            c = bytearray(comp)
+            op = trial % 3
+            if op == 0 and len(c) > 10:
+                c = c[:random.randrange(1, len(c))]
+            elif op == 1:
+                for _ in range(random.randrange(1, 8)):
+                    c[random.randrange(len(c))] = random.randrange(256)
+            else:
+                c = bytearray(random.randbytes(random.randrange(1, 4000)))
+                c[0:1] = bytes([fl])
+            try:
+                native.rans4x16_uncompress(bytes(c))
+            except ValueError:
+                pass
