@@ -141,6 +141,235 @@ def bgzf_stored_device(data: bytes, interpret: bool = False,
     return b"".join(out)
 
 
+# ---------------------------------------------------------------------------
+# Uniform-length dynamic-Huffman DEFLATE — the entropy-coded device
+# write path.  Variable-length Huffman packing is a scatter (gather-wall
+# territory), so the TPU-native design constrains the tree: every used
+# literal (plus EOB and enough padding literals to make the tree
+# COMPLETE, which zlib's inflate demands) gets the SAME code length
+# L = ceil(log2(m)).  Packing L-bit codes is then a fixed-stride shift
+# pattern — pure elementwise work — and the symbol->code map is a rank
+# computation (compare-and-sum), no table gathers anywhere.  Ratio is
+# L/8 (3 bits for ACGT sequence, 5-6 for qualities); matches are not
+# emitted.  The dynamic-Huffman header (HLIT/HDIST/HCLEN + code-length
+# codes, RFC 1951 §3.2.7) is a few hundred bits built on the host.
+# ---------------------------------------------------------------------------
+
+def _bitrev(v: np.ndarray, nbits: int) -> np.ndarray:
+    out = np.zeros_like(v)
+    for i in range(nbits):
+        out |= ((v >> i) & 1) << (nbits - 1 - i)
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def put(self, value: int, n: int):
+        for i in range(n):                 # LSB first (RFC 1951 §3.1.1)
+            self.bits.append((value >> i) & 1)
+
+    def put_code(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):    # Huffman codes MSB first
+            self.bits.append((code >> i) & 1)
+
+    def tobytes_and_len(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out), len(self.bits)
+
+
+_CLCIDX = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1,
+           15]
+
+
+def _dyn_header(sorted_syms: np.ndarray, L: int) -> Tuple[bytes, int]:
+    """RFC 1951 dynamic-block header for a complete uniform-L litlen
+    tree over `sorted_syms` (which includes 256) + one 1-bit distance
+    code.  Returns (header bytes, bit length)."""
+    nlit = 257 if int(sorted_syms[-1]) == 256 else int(sorted_syms[-1]) + 1
+    lit_lens = np.zeros(nlit, np.int32)
+    lit_lens[sorted_syms[sorted_syms < nlit]] = L
+    if int(sorted_syms[-1]) == 256:
+        lit_lens[256] = L
+    dist_lens = np.array([1], np.int32)     # single 1-bit distance code
+    all_lens = np.concatenate([lit_lens, dist_lens])
+    # code-length alphabet: used lengths {0, L, 1}; canonical CL codes
+    used_cl = sorted(set(int(x) for x in all_lens))
+    # assign CL code lengths: give every used CL symbol the same length
+    # Lc = ceil(log2(#used)) and pad with unused CL symbols for a
+    # complete tree (same trick one level down)
+    mc = len(used_cl)
+    Lc = max(1, (mc - 1).bit_length())
+    pad_needed = (1 << Lc) - mc
+    pool = [s for s in range(19) if s not in used_cl]
+    cl_syms = sorted(used_cl + pool[:pad_needed])
+    cl_len = {s: Lc for s in cl_syms}
+    # canonical CL codes in symbol order
+    cl_code = {s: i for i, s in enumerate(cl_syms)}
+    # HCLEN covers CL symbols in the permuted order up to the last used
+    cl_lens_perm = [cl_len.get(s, 0) for s in _CLCIDX]
+    last = max(i for i, l in enumerate(cl_lens_perm) if l) + 1
+    hclen = max(last, 4)
+
+    w = _BitWriter()
+    w.put(1, 1)                 # BFINAL
+    w.put(2, 2)                 # BTYPE = 10 (dynamic)
+    w.put(nlit - 257, 5)
+    w.put(0, 5)                 # HDIST: 1 distance code
+    w.put(hclen - 4, 4)
+    for i in range(hclen):
+        w.put(cl_lens_perm[i], 3)
+    for l in all_lens:          # plain per-symbol lengths, no 16/17/18
+        w.put_code(cl_code[int(l)], Lc)
+    return w.tobytes_and_len()
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_kernel(L: int, n: int, interpret: bool = False):
+    """jit: bytes [n] + sorted symbol set [2^L] -> packed code words
+    [n*L/32 u32] (bit i of the code stream at word i>>5, bit i&31).
+    n must be a multiple of 32 (codes padded with zeros upstream)."""
+    import jax
+    import jax.numpy as jnp
+
+    G = 32                         # codes per pack group: G*L bits
+    W = G * L // 32                # whole u32 words per group (L | 32*?)
+    assert (G * L) % 32 == 0
+
+    @jax.jit
+    def pack(data, sset):
+        # rank = # set elements < byte  (the canonical code index)
+        rank = jnp.sum(
+            data[:, None] > sset[None, :], axis=1).astype(jnp.uint32)
+        rev = jnp.zeros_like(rank)
+        for i in range(L):
+            rev = rev | (((rank >> i) & 1) << (L - 1 - i))
+        g = rev.reshape(-1, G)
+        words = []
+        for w in range(W):
+            acc = jnp.zeros(g.shape[0], jnp.uint32)
+            for i in range(G):
+                lo_bit = i * L - 32 * w
+                if lo_bit <= -L or lo_bit >= 32:
+                    continue
+                if lo_bit >= 0:
+                    acc = acc | (g[:, i] << lo_bit)
+                else:
+                    acc = acc | (g[:, i] >> (-lo_bit))
+            words.append(acc)
+        return jnp.stack(words, axis=1).reshape(-1)
+
+    return pack
+
+
+def deflate_uniform_device(data: bytes, interpret: bool = False,
+                           stats: dict = None) -> bytes:
+    """BGZF compress with entropy-coded (dynamic-Huffman) DEFLATE blocks
+    produced on device: uniform-L complete trees, fixed-stride packing,
+    CRC32 via the GF(2) kernel.  Blocks whose alphabet needs L >= 8
+    fall back to stored.  Output is byte-valid BGZF (gzip-decodable,
+    passes the reference's bgzip -t)."""
+    import jax.numpy as jnp
+
+    out = []
+    n_huff = n_stored = 0
+    for off in range(0, max(len(data), 1), CHUNK):
+        payload = data[off:off + CHUNK]
+        if not payload and data:
+            break
+        arr = np.frombuffer(payload, np.uint8)
+        syms = np.unique(arr) if len(arr) else np.array([], np.int64)
+        m = len(syms) + 1                  # + EOB
+        L = max(1, (m - 1).bit_length())
+        import zlib
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        if L >= 8 or len(arr) == 0:
+            out.append(_bgzf_stored_frame(payload, crc))
+            n_stored += 1
+            continue
+        # complete tree: pad with unused byte values
+        pool = np.setdiff1d(np.arange(256), syms)
+        pad = pool[:(1 << L) - m]
+        sset = np.sort(np.concatenate(
+            [syms, pad, [256]]).astype(np.int64))
+        hdr_bits, hdr_nbits = _dyn_header(sset, L)
+        # device pack (codes padded to a multiple of 32)
+        n_pad = ((len(arr) + 31) // 32) * 32
+        padded = np.zeros(n_pad, np.uint8)
+        padded[:len(arr)] = arr
+        if len(pad):
+            padded[len(arr):] = pad[0] if len(pad) else syms[0]
+        else:
+            padded[len(arr):] = syms[0]
+        pack = _pack_kernel(L, n_pad, interpret)
+        words = np.asarray(pack(jnp.asarray(padded),
+                                jnp.asarray(sset[:-1].astype(np.int32))))
+        code_bytes = words.view("<u4").astype("<u4").tobytes()
+        total_code_bits = len(arr) * L
+        # EOB = rank of 256 = (1<<L) - 1, reversed
+        eob_rev = int(_bitrev(np.array([(1 << L) - 1]), L)[0])
+        # assemble the bitstream: header || codes || EOB (host bit-merge)
+        stream = bytearray(hdr_bits)
+        bitpos = hdr_nbits
+
+        def put_bits(value, nbits):
+            nonlocal bitpos
+            for i in range(nbits):
+                if (bitpos >> 3) >= len(stream):
+                    stream.append(0)
+                stream[bitpos >> 3] |= ((value >> i) & 1) << (bitpos & 7)
+                bitpos += 1
+
+        # bulk merge: shift the device code stream by bitpos&7
+        sh = bitpos & 7
+        nbytes_codes = (total_code_bits + 7) // 8
+        cb = np.frombuffer(code_bytes, np.uint8)[:nbytes_codes + 1]
+        cb = np.concatenate([cb, np.zeros(2, np.uint8)])
+        shifted = ((cb.astype(np.uint16) << sh)
+                   | (np.concatenate([[0], cb[:-1]]).astype(np.uint16)
+                      >> (8 - sh)) if sh else cb.astype(np.uint16))
+        shifted = (shifted & 0xFF).astype(np.uint8)
+        base = bitpos >> 3
+        need = base + (total_code_bits + sh + 7) // 8
+        while len(stream) < need:
+            stream.append(0)
+        np_stream = np.frombuffer(bytes(stream), np.uint8).copy()
+        seg_len = (total_code_bits + sh + 7) // 8
+        merged = np_stream[base:base + seg_len].copy()
+        merged |= shifted[:seg_len]
+        # clear stray bits of padding codes past the real code stream
+        tail_bits = (sh + total_code_bits) & 7
+        if tail_bits:
+            merged[-1] &= (1 << tail_bits) - 1
+        np_stream[base:base + seg_len] = merged
+        stream = bytearray(np_stream.tobytes())
+        bitpos = (base * 8) + sh + total_code_bits
+        # append EOB code (MSB first = reversed value written LSB-wise)
+        for i in range(L - 1, -1, -1):
+            if (bitpos >> 3) >= len(stream):
+                stream.append(0)
+            stream[bitpos >> 3] |= (((1 << L) - 1) >> i & 1) \
+                << (bitpos & 7)
+            bitpos += 1
+        deflate = bytes(stream[:(bitpos + 7) // 8])
+        n = len(payload)
+        bsize = 18 + len(deflate) + 8
+        import struct as _st
+        hdr = _st.pack("<BBBBIBBHBBHH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6,
+                       66, 67, 2, bsize - 1)
+        out.append(hdr + deflate + _st.pack("<II", crc, n))
+        n_huff += 1
+    out.append(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    if stats is not None:
+        stats["huffman_blocks"] = n_huff
+        stats["stored_blocks"] = n_stored
+    return b"".join(out)
+
+
 def crc_device_rate(n_blocks: int = 64, reps: int = 3,
                     interpret: bool = False) -> dict:
     """Steady-state device CRC32 rate with resident inputs (the compute

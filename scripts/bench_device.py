@@ -230,6 +230,25 @@ def main():
         except Exception as e:
             out["bgzf_stored_error"] = f"{type(e).__name__}: {e}"[:120]
 
+    # ---- 2c2. entropy-coded device deflate (uniform-L dyn Huffman) ---
+    if left() > 150:
+        try:
+            import gzip as _gz
+
+            from htslib_tpu.ops.bgzf_device import deflate_uniform_device
+            qd = (rng.randint(33, 74, 512 * 1024).astype(np.uint8)
+                  .tobytes())
+            blob = deflate_uniform_device(qd)          # warm/compile
+            ok = _gz.decompress(blob) == qd
+            t0 = time.time()
+            blob = deflate_uniform_device(qd)
+            dt = time.time() - t0
+            out["bgzf_huffman_valid"] = bool(ok)
+            out["bgzf_huffman_ratio"] = round(len(blob) / len(qd), 3)
+            out["bgzf_huffman_MBps_e2e"] = round(len(qd) / dt / 1e6, 2)
+        except Exception as e:
+            out["bgzf_huffman_error"] = f"{type(e).__name__}: {e}"[:120]
+
     # ---- 3. device inflate ------------------------------------------
     # Round-4 retest: the program that crashed the round-3 worker now
     # runs byte-exact on the chip (16 x 60 KB) — but at ~0.04 MB/s: the

@@ -115,3 +115,34 @@ assert (got == want).all()
 print("OK", stats)
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_deflate_uniform_device_interpret():
+    """Entropy-coded device deflate (uniform-length dynamic Huffman):
+    valid DEFLATE with real compression for small alphabets, stored
+    fallback otherwise, gzip- and BGZFReader-decodable."""
+    out = clean_jax_run("""
+import numpy as np, gzip
+from htslib_tpu.ops.bgzf_device import deflate_uniform_device
+rng = np.random.RandomState(3)
+cases = [rng.randint(20, 41, 200000).astype(np.uint8).tobytes(),
+         bytes(rng.choice(list(b"ACGT"), 150000)),
+         rng.randint(0, 200, 70000).astype(np.uint8).tobytes(),
+         b"AAAA", b"", b"Q",
+         bytes(range(128)) * 600]
+ratios = []
+for data in cases:
+    st = {}
+    blob = deflate_uniform_device(data, interpret=True, stats=st)
+    assert gzip.decompress(blob) == data
+    open("/tmp/_devhuff_t.gz", "wb").write(blob)
+    from htslib_tpu.bgzf import BGZFReader
+    with BGZFReader("/tmp/_devhuff_t.gz") as r:
+        assert bytes(r.read_all()) == data and r.check_eof()
+    if data:
+        ratios.append(len(blob) / len(data))
+assert ratios[0] < 0.7 and ratios[1] < 0.45   # 5-bit quals, 3-bit ACGT
+print("OK", [round(r, 3) for r in ratios])
+""")
+    assert "OK" in out
