@@ -96,7 +96,7 @@ def _stats_run(a_pad: int, interpret: bool = False):
     run_seg = _compiled_seg(S, a_pad, interpret)
 
     @jax.jit
-    def run(data, lo, dfc, x, cur, ulen_lane, n_segs):
+    def run(data, lo, dfc, x, cur, ulen_lane, n_segs, off_lane):
         r = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 0)
         gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) % NWAY
         bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
@@ -115,7 +115,7 @@ def _stats_run(a_pad: int, interpret: bool = False):
             syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur)
             pos = (si * SEG + r) * NWAY + gpos
             valid = pos < ulen_lane
-            q = jnp.clip(syms, 0, QBINS - 1)
+            q = jnp.clip(syms - off_lane[None, :], 0, QBINS - 1)
             onehot = (q[None, :, :] == bins) & valid[None, :, :]
             hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
             return si + 1, x2, cur_abs + cur_rel, hist
@@ -129,10 +129,13 @@ def _stats_run(a_pad: int, interpret: bool = False):
 
 
 def qualstats_device(blocks: List[bytes], interpret: bool = False,
-                     reps: int = 1) -> Tuple[np.ndarray, dict]:
-    """Per-stream quality histograms for rANS Nx16 O0 32-way streams,
-    decoded AND reduced on device.  Returns (hist [n_blocks, QBINS],
-    timing dict with resident-input steady-state rates)."""
+                     reps: int = 1,
+                     offsets: List[int] = None) -> Tuple[np.ndarray, dict]:
+    """Per-stream symbol histograms for rANS Nx16 O0 32-way streams,
+    decoded AND reduced on device.  `offsets[i]` is subtracted from
+    stream i's symbols before binning (e.g. 33 for ASCII base series).
+    Returns (hist [n_blocks, QBINS], timing dict with resident-input
+    steady-state rates)."""
     import time
 
     import jax.numpy as jnp
@@ -151,8 +154,11 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
         data_w = np.concatenate(
             [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
         ulen_lane = np.zeros((SEG, L), np.int32)
+        off_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS):
             ulen_lane[:, b * NWAY:(b + 1) * NWAY] = out_szs[b]
+            if offsets is not None and gbase + b < len(offsets):
+                off_lane[b * NWAY:(b + 1) * NWAY] = offsets[gbase + b]
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
         run = _stats_run(a_pad, interpret)
@@ -164,9 +170,11 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
         x_init = jnp.asarray(x0)
         cur_init = jnp.asarray(np.zeros((1, BLOCKS), np.int32))
 
+        off_j = jnp.asarray(off_lane)
+
         def run_once():
             return run(data_j, lo_j, dfc_j, x_init, cur_init, ulen_j,
-                       jnp.int32(n_segs))
+                       jnp.int32(n_segs), off_j)
 
         hist = run_once()
         np_h = np.asarray(hist)          # sync (tiny download)
