@@ -23,12 +23,12 @@ codecs/rans4x16.py compress(flags=0x04).
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
-from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TF_SHIFT,
-                                        TOTFREQ, _row_fold, _tree_sum0)
+from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TOTFREQ,
+                                        _row_fold)
 
 SEG_E = 2048      # rounds per kernel call
 
