@@ -218,3 +218,45 @@ def test_mpileup_parallel_byte_exact(tmp_path):
             assert got == want, (f, nt)
         n += 1
     assert n >= 10
+
+
+def test_mpileup_parallel_multicontig_ragged(tmp_path):
+    """Parallel mpileup across contig boundaries with indel-heavy
+    CIGARs: tiles that split mid-contig and across contigs must stay
+    byte-exact at every shard count."""
+    import numpy as np
+
+    from htslib_tpu.pileup import mpileup_text, mpileup_text_parallel
+    rng = np.random.default_rng(17)
+    path = str(tmp_path / "mc.sam")
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for c in range(5):
+            f.write(f"@SQ\tSN:ctg{c}\tLN:1000000\n")
+        i = 0
+        for c in range(5):
+            n = int(rng.integers(50, 400))
+            pos = np.sort(rng.integers(1, 5000, n))
+            for p in pos:
+                L = int(rng.integers(20, 120))
+                r = rng.random()
+                if r < 0.3:
+                    a = int(rng.integers(1, L))
+                    ins = int(rng.integers(1, 5))
+                    cig, qlen = f"{a}M{ins}I{L - a}M", L + ins
+                elif r < 0.5:
+                    a = int(rng.integers(1, L))
+                    d = int(rng.integers(1, 9))
+                    cig, qlen = f"{a}M{d}D{L - a}M", L
+                else:
+                    cig, qlen = f"{L}M", L
+                seq = "".join(rng.choice(list("ACGT"), qlen))
+                qual = "".join(chr(33 + int(q))
+                               for q in rng.integers(5, 40, qlen))
+                f.write(f"r{i}\t0\tctg{c}\t{p}\t60\t{cig}\t*\t0\t0\t"
+                        f"{seq}\t{qual}\n")
+                i += 1
+    _, want = mpileup_text(path)
+    for nt in (2, 3, 5, 8):
+        _, got = mpileup_text_parallel(path, nthreads=nt)
+        assert got == want, nt
