@@ -193,19 +193,160 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
     return np.stack(hists), timing
 
 
+@functools.lru_cache(maxsize=None)
+def _stats_run4(a_pad: int, interpret: bool = False):
+    """4x8 variant of _stats_run: vanilla CRAM 3.0 rANS order-0 blocks
+    (32 streams x 4 states) decoded and histogram-reduced on device,
+    streams in HBM with bounded per-segment windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, SEG4,
+                                               _WIN4, _compiled_seg4)
+    L = BLOCKS4 * NWAY4
+    S = SEG4 * NWAY4 * 2 + 2 * _WIN4      # max bytes/block/seg + slack
+    run_seg = _compiled_seg4(S, a_pad, interpret)
+
+    @jax.jit
+    def run(data, lo, dfc, x, cur, ulen_lane, n_segs, cnt_lane):
+        r = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 0)
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 1) % NWAY4
+        bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
+        zero_cur = jnp.zeros((1, BLOCKS4), jnp.int32)
+
+        def cond(carry):
+            return carry[0] < n_segs
+
+        def body(carry):
+            si, x_c, cur_abs, hist = carry
+            cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b),
+                                          (S, 1))
+                    for b in range(BLOCKS4)]
+            win = jnp.concatenate(cols, axis=1)
+            cnt_seg = jnp.maximum(cnt_lane - si * SEG4, 0)
+            cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
+            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur,
+                                        cnt8)
+            pos = (si * SEG4 + r) * NWAY4 + gpos
+            valid = pos < ulen_lane
+            q = jnp.clip(syms, 0, QBINS - 1)
+            onehot = (q[None, :, :] == bins) & valid[None, :, :]
+            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
+            return si + 1, x2, cur_abs + cur_rel, hist
+
+        hist0 = jnp.zeros((QBINS, L), jnp.int32)
+        carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, cur, hist0))
+        return carry[3], carry[1], carry[2]
+
+    return run
+
+
+def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
+                         reps: int = 1) -> Tuple[np.ndarray, dict]:
+    """Per-stream histograms for rANS 4x8 ORDER-0 streams (the CRAM 3.0
+    wire — vanilla files, no write profile needed), decoded AND reduced
+    on device.  The <=3 odd tail symbols per stream are finished on the
+    host from the returned kernel state."""
+    import time
+
+    import jax.numpy as jnp
+
+    from htslib_tpu.codecs.rans4x8 import _read_freqs
+    from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, RANS8_L,
+                                               SEG4, _WIN4,
+                                               _prepare_group4)
+
+    L = BLOCKS4 * NWAY4
+    hists = []
+    timing = {"uncompressed_bytes": 0, "compressed_bytes": 0,
+              "decode_s": 0.0}
+    for gbase in range(0, len(blocks), BLOCKS4):
+        group = blocks[gbase:gbase + BLOCKS4]
+        data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group4(group)
+        S = SEG4 * NWAY4 * 2 + 2 * _WIN4
+        data_w = np.concatenate(
+            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
+        ulen_lane = np.zeros((SEG4, L), np.int32)
+        cnt_lane = np.zeros(L, np.int32)
+        for b in range(BLOCKS4):
+            ulen_lane[:, b * NWAY4:(b + 1) * NWAY4] = \
+                (out_szs[b] // NWAY4) * NWAY4
+            cnt_lane[b * NWAY4:(b + 1) * NWAY4] = out_szs[b] // NWAY4
+        rounds_needed = max(1, max(out_szs) // NWAY4)
+        n_segs = (rounds_needed + SEG4 - 1) // SEG4
+        run = _stats_run4(a_pad, interpret)
+
+        args = (jnp.asarray(data_w), jnp.asarray(lo), jnp.asarray(dfc),
+                jnp.asarray(x0),
+                jnp.asarray(np.zeros((1, BLOCKS4), np.int32)),
+                jnp.asarray(ulen_lane), jnp.int32(n_segs),
+                jnp.asarray(cnt_lane))
+
+        hist, x_f, cur_f = run(*args)
+        np_h = np.asarray(hist)
+        x_fin = np.asarray(x_f)[0].astype(np.int64) & 0xFFFFFFFF
+        cur_fin = np.asarray(cur_f)[0]
+        t0 = time.time()
+        for _ in range(reps):
+            hist, x_f, cur_f = run(*args)
+            np_h = np.asarray(hist)
+        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
+        timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
+        timing["compressed_bytes"] += sum(len(b) for b in group)
+        for gi in range(len(group)):
+            h = np_h[:, gi * NWAY4:(gi + 1) * NWAY4].sum(axis=1) \
+                .astype(np.int64)
+            # host tail: the last out_sz % 4 symbols
+            n = out_szs[gi]
+            nmain = n // NWAY4
+            if n - nmain * NWAY4:
+                data = group[gi]
+                f, p0 = _read_freqs(data, 9)
+                cum = np.zeros(257, np.int64)
+                np.cumsum(f, out=cum[1:])
+                D = np.repeat(np.arange(256, dtype=np.uint8), f)
+                if len(D) < TOTFREQ_8:
+                    D = np.concatenate(
+                        [D, np.zeros(TOTFREQ_8 - len(D), np.uint8)])
+                arr = np.frombuffer(data, np.uint8)
+                ptr = p0 + 16 + int(cur_fin[gi])
+                xs = x_fin[gi * NWAY4:(gi + 1) * NWAY4].copy()
+                for k in range(n - nmain * NWAY4):
+                    m = int(xs[k]) & (TOTFREQ_8 - 1)
+                    sym = int(D[m])
+                    h[min(sym, QBINS - 1)] += 1
+                    xs[k] = (int(f[sym]) * (int(xs[k]) >> 12)
+                             + m - int(cum[sym]))
+                    while xs[k] < RANS8_L and ptr < len(arr):
+                        xs[k] = (int(xs[k]) << 8) | int(arr[ptr])
+                        ptr += 1
+            hists.append(h)
+    if timing["decode_s"] > 0:
+        timing["MBps_uncompressed_resident"] = round(
+            timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)
+    return np.stack(hists), timing
+
+
+TOTFREQ_8 = 4096
+
+
 def cram_qual_hist(path: str, interpret: bool = False,
                    stats: dict = None) -> np.ndarray:
     """Whole-file quality histogram for a CRAM: QS data-series blocks
-    stream straight from the containers; blocks in the device profile
-    (RANSPR, plain 32-way order-0 — CramWriter(device_profile=True))
-    decode AND reduce on the TPU, anything else decodes on the host.
-    Returns one [QBINS] histogram (the samtools stats QUAL pass)."""
+    stream straight from the containers into the on-chip decode->reduce
+    pipelines.  Two device-decodable wires: rANS Nx16 32-way order-0
+    (CramWriter(device_profile=True), CRAM 3.1) AND VANILLA rANS 4x8
+    order-0 (the standard CRAM 3.0 qual coding — no write profile
+    needed).  Anything else decodes on the host.  Returns one [QBINS]
+    histogram (the samtools stats QUAL pass)."""
     from htslib_tpu.cram import CRAM_EOF_START, CramReader
     from htslib_tpu.cram.encode import SERIES
-    from htslib_tpu.cram.structs import CT_EXTERNAL, RANSPR
+    from htslib_tpu.cram.structs import CT_EXTERNAL, RANS, RANSPR
 
     qs_id = SERIES["QS"]
-    dev_blocks: List[bytes] = []
+    dev16: List[bytes] = []
+    dev8: List[bytes] = []
     host_hist = np.zeros(QBINS, np.int64)
     n_dev = n_host = 0
     with CramReader(path) as r:
@@ -223,7 +364,11 @@ def cram_qual_hist(path: str, interpret: bool = False,
                     raw = bytes(blk.data)
                     if (blk.method == RANSPR and len(raw) > 1
                             and raw[0] == 0x04):
-                        dev_blocks.append(raw)
+                        dev16.append(raw)
+                        n_dev += 1
+                    elif (blk.method == RANS and len(raw) > 9
+                            and raw[0] == 0):
+                        dev8.append(raw)
                         n_dev += 1
                     else:
                         q = np.minimum(
@@ -231,8 +376,11 @@ def cram_qual_hist(path: str, interpret: bool = False,
                             QBINS - 1)
                         host_hist += np.bincount(q, minlength=QBINS)[:QBINS]
                         n_host += 1
-    if dev_blocks:
-        dh, _ = qualstats_device(dev_blocks, interpret=interpret)
+    if dev16:
+        dh, _ = qualstats_device(dev16, interpret=interpret)
+        host_hist += dh.sum(axis=0)
+    if dev8:
+        dh, _ = qualstats_device_4x8(dev8, interpret=interpret)
         host_hist += dh.sum(axis=0)
     if stats is not None:
         stats["device_blocks"] = n_dev

@@ -200,6 +200,18 @@ def main():
             out["cram_qualstats_file_MBps"] = round(
                 int(hist.sum()) / dt / 1e6, 2)
             out["cram_qualstats_device_blocks"] = st.get("device_blocks")
+            # vanilla CRAM 3.0 (no write profile): the 4x8 kernel route
+            pcram = os.path.join(tdir, "p30.cram")
+            bam_to_cram_file(dbam, pcram)
+            st2 = {}
+            cram_qual_hist(pcram, stats=st2)       # warm/compile
+            t0 = time.time()
+            h2 = cram_qual_hist(pcram, stats=st2)
+            dt2 = time.time() - t0
+            out["cram30_qualstats_file_MBps"] = round(
+                int(h2.sum()) / dt2 / 1e6, 2)
+            out["cram30_qualstats_device_blocks"] = \
+                st2.get("device_blocks")
         except Exception as e:
             out["cram_qualstats_error"] = f"{type(e).__name__}: {e}"[:120]
 

@@ -146,3 +146,47 @@ assert ratios[0] < 0.7 and ratios[1] < 0.45   # 5-bit quals, 3-bit ACGT
 print("OK", [round(r, 3) for r in ratios])
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_qualstats_device_4x8_interpret():
+    """Vanilla CRAM 3.0 wire: rANS 4x8 order-0 streams decode AND
+    reduce on the (interpret-mode) device, including odd tails and
+    rounding-tolerant tables."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs import rans4x8
+from htslib_tpu.ops.device_stats import (QBINS, qualstats_device_4x8,
+                                         qualstats_host)
+rng = np.random.RandomState(4)
+datas = [rng.randint(0, 45, 30000 + i * 7771).astype(np.uint8).tobytes()
+         for i in range(5)]
+datas.append(b"\\x17" * 40001)
+datas.append(bytes(rng.randint(0, 64, 1001, dtype=np.uint8)))
+encs = [rans4x8.compress(d, 0) for d in datas]
+hist, t = qualstats_device_4x8(encs, interpret=True)
+want = qualstats_host(datas)
+assert (hist == want).all()
+assert int(hist.sum()) == sum(len(d) for d in datas)
+print("OK", int(hist.sum()))
+""")
+    assert "OK" in out
+
+
+@pytest.mark.slow
+def test_rans4x8_pallas_decode_interpret():
+    """Wire-exact device decode of the CRAM 3.0 rANS 4x8 codec."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs import rans4x8
+from htslib_tpu.ops.rans4x8_pallas import decode_4x8_o0_batch
+rng = np.random.RandomState(2)
+datas = [rng.randint(0, 45, n).astype(np.uint8).tobytes()
+         for n in (1000, 4093, 4096, 40001, 12345)]
+datas += [bytes(rng.choice(list(b"ACGTN"), 5003)) for _ in range(30)]
+encs = [rans4x8.compress(d, 0) for d in datas]
+got = decode_4x8_o0_batch(encs, interpret=True)
+assert all(g == d for g, d in zip(got, datas))
+print("OK", len(datas))
+""")
+    assert "OK" in out
