@@ -111,7 +111,7 @@ def _stats_run(a_pad: int, interpret: bool = False):
             si, x_c, cur_abs, hist = carry
             cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b), (S, 1))
                     for b in range(BLOCKS)]
-            win = jnp.concatenate(cols, axis=1)
+            win = jnp.concatenate(cols, axis=1).astype(jnp.int32)
             syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur)
             pos = (si * SEG + r) * NWAY + gpos
             valid = pos < ulen_lane
@@ -153,6 +153,9 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
         S = SEG * NWAY + SEG * 8 + 2 * _WIN
         data_w = np.concatenate(
             [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
+        # u16 rows: ship the 16-bit refill words at their real size
+        # (the i32 layout cost 2x tunnel bandwidth)
+        data_w = data_w.astype(np.uint16)
         ulen_lane = np.zeros((SEG, L), np.int32)
         off_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS):
@@ -222,7 +225,7 @@ def _stats_run4(a_pad: int, interpret: bool = False):
             cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b),
                                           (S, 1))
                     for b in range(BLOCKS4)]
-            win = jnp.concatenate(cols, axis=1)
+            win = jnp.concatenate(cols, axis=1).astype(jnp.int32)
             cnt_seg = jnp.maximum(cnt_lane - si * SEG4, 0)
             cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
             syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur,

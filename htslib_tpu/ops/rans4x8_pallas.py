@@ -194,9 +194,11 @@ def _prepare_group4(group: List[bytes]):
         .astype(np.uint32).view(np.int32).copy()
     max_b = max(len(pl_) for pl_ in payloads)
     W = max_b + 2 * _WIN4
-    data_w = np.zeros((W, BLOCKS4), np.int32)
+    # uint8 rows: the host->device transfer ships the streams at their
+    # actual byte size (an i32-per-byte layout cost 4x tunnel bandwidth)
+    data_w = np.zeros((W, BLOCKS4), np.uint8)
     for gi, pl_ in enumerate(payloads):
-        data_w[:len(pl_), gi] = pl_.astype(np.int32)
+        data_w[:len(pl_), gi] = pl_
     return data_w, lo, dfc, x, out_szs, a_pad, W
 
 
@@ -215,7 +217,7 @@ def decode_4x8_o0_batch(blocks: List[bytes],
         rounds_needed = max(1, max(out_szs) // NWAY4)   # main rounds
         n_segs = (rounds_needed + SEG4 - 1) // SEG4
         run = _compiled_seg4(W, a_pad, interpret)
-        data_j = jnp.asarray(data_w)
+        data_j = jnp.asarray(data_w.astype(np.int32))
         lo_j = jnp.asarray(lo)
         dfc_j = jnp.asarray(dfc)
         x_j = jnp.asarray(x)
