@@ -108,9 +108,10 @@ def _seg4_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref, cnt_ref,
             tile = jnp.where(row == (r % 8), sym, tile)
             if (r % 8) == 7:
                 out_ref[pl.ds(t * _TILE4 + (r - 7), 8), :] = tile
-        new = tuple(curs[b]
-                    + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY4)
-                    for b in range(BLOCKS4))
+        w_max = data_ref.shape[0] - _WIN4
+        new = tuple(jnp.minimum(
+            curs[b] + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY4),
+            w_max) for b in range(BLOCKS4))
         return (x8,) + new
 
     curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS4))

@@ -208,10 +208,12 @@ def _seg_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
             sym, x8, woff = one_round(x8, woff, win)
             tile = jnp.where(row == r, sym, tile)
         out_ref[pl.ds(t * _TILE, _TILE), :] = tile
-        # advance cursors: one scalar extraction per block per tile
-        new = tuple(curs[b]
-                    + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY)
-                    for b in range(BLOCKS))
+        # advance cursors (clamped so corrupt headers cannot push the
+        # window slice past the padded data end)
+        w_max = data_ref.shape[0] - _WIN
+        new = tuple(jnp.minimum(
+            curs[b] + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY),
+            w_max) for b in range(BLOCKS))
         return (x8,) + new
 
     curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS))
