@@ -174,6 +174,17 @@ def main():
             t["compressed_bytes"] / t["decode_s"] / 1e6, 2)
         out["e2e_qualstats_GBps_onchip"] = round(
             t["uncompressed_bytes"] / t["decode_s"] / 1e9, 4)
+        # the vanilla CRAM 3.0 wire (rANS 4x8 O0, 32 blocks x 4 states)
+        from htslib_tpu.codecs import rans4x8 as _r8
+        from htslib_tpu.ops.device_stats import qualstats_device_4x8
+        q8 = [rng.randint(0, 45, 1 << 20).astype(np.uint8).tobytes()
+              for _ in range(32)]
+        e8 = [_r8.compress(d, 0) for d in q8]
+        h8, t8 = qualstats_device_4x8(e8, reps=3)
+        out["e2e_qualstats_4x8_exact"] = bool(
+            (h8 == qualstats_host(q8)).all())
+        out["e2e_qualstats_4x8_MBps_onchip"] = \
+            t8["MBps_uncompressed_resident"]
 
     # ---- 2b1. whole-CRAM-file qual stats through the chip -----------
     # (CramWriter(device_profile=True) pins the QS series to the
