@@ -280,7 +280,12 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
         n_segs = (rounds_needed + SEG4 - 1) // SEG4
         run = _stats_run4(a_pad, interpret)
 
-        args = (jnp.asarray(data_w), jnp.asarray(lo), jnp.asarray(dfc),
+        # upload only the used columns; pad to BLOCKS4 on device
+        g_cols = len(group)
+        data_j = jnp.asarray(data_w[:, :g_cols])
+        if g_cols < BLOCKS4:
+            data_j = jnp.pad(data_j, ((0, 0), (0, BLOCKS4 - g_cols)))
+        args = (data_j, jnp.asarray(lo), jnp.asarray(dfc),
                 jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, BLOCKS4), np.int32)),
                 jnp.asarray(ulen_lane), jnp.int32(n_segs),
