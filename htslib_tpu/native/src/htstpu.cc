@@ -39,6 +39,31 @@ int hardware_threads() {
   return n ? static_cast<int>(n) : 2;
 }
 
+// Per-thread cached libdeflate compressor: allocation at level>=6 builds
+// large match tables, and paying it per 64KiB block dominated the batch
+// deflate profile (~5x the compress itself).  htslib keeps one zlib
+// stream per bgzf job for the same reason (bgzf.c:561).
+struct TlCompressor {
+  struct libdeflate_compressor* c = nullptr;
+  int level = -1;
+  ~TlCompressor() {
+    if (c) libdeflate_free_compressor(c);
+  }
+  struct libdeflate_compressor* get(int lvl) {
+    if (!c || level != lvl) {
+      if (c) libdeflate_free_compressor(c);
+      c = libdeflate_alloc_compressor(lvl);
+      level = lvl;
+    }
+    return c;
+  }
+};
+
+struct libdeflate_compressor* tl_compressor(int level) {
+  thread_local TlCompressor tl;
+  return tl.get(level);
+}
+
 // Coarse phase accounting (ns) for the fused CRAM path — 3 clock reads
 // per slice, negligible; read back via htstpu_prof_get for tuning.
 inline uint64_t prof_now() {
@@ -192,12 +217,10 @@ int64_t htstpu_deflate_batch(const uint8_t* data, int64_t n,
     const uint8_t* in = data + in_offsets[i];
     uint32_t ilen = in_lens[i];
     uint8_t* dst = out + (uint64_t)i * kMaxBlock;
-    size_t csize = 0;
-    struct libdeflate_compressor* c =
-        libdeflate_alloc_compressor(level == 0 ? 0 : level);
-    csize = libdeflate_deflate_compress(c, in, ilen, dst + kBlockHeader,
-                                        kMaxBlock - kBlockHeader - kBlockFooter);
-    libdeflate_free_compressor(c);
+    struct libdeflate_compressor* c = tl_compressor(level == 0 ? 0 : level);
+    size_t csize =
+        libdeflate_deflate_compress(c, in, ilen, dst + kBlockHeader,
+                                    kMaxBlock - kBlockHeader - kBlockFooter);
     if (csize == 0) {
       err.store(-(2000 + i), std::memory_order_relaxed);
       return;
@@ -1099,13 +1122,12 @@ int64_t htstpu_gzip_compress(const uint8_t* in, uint64_t n, int32_t level,
                              uint8_t** out_ptr) {
   if (level < 1) level = 6;
   if (level > 12) level = 12;
-  struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  struct libdeflate_compressor* c = tl_compressor(level);
   if (!c) return -1;
   size_t bound = libdeflate_gzip_compress_bound(c, (size_t)n);
   uint8_t* buf = (uint8_t*)malloc(bound ? bound : 1);
-  if (!buf) { libdeflate_free_compressor(c); return -1; }
+  if (!buf) return -1;
   size_t sz = libdeflate_gzip_compress(c, in, (size_t)n, buf, bound);
-  libdeflate_free_compressor(c);
   if (sz == 0) { free(buf); return -2; }
   *out_ptr = buf;
   return (int64_t)sz;
@@ -1378,6 +1400,70 @@ struct Nt16Enc {
   }
 };
 const Nt16Enc kNt16Enc;
+
+// AVX2 fast paths for the two byte-crunching loops of SAM parse: seq
+// nibble packing and qual rebasing (the simd.c nibble2base analogue,
+// in the encode direction).  Both return false on any byte outside the
+// fast domain (non-ACGTN base, qual < '!'), and the caller re-runs the
+// scalar loop which handles the full alphabet / reports the error.
+#if defined(__x86_64__) || defined(__i386__)
+__attribute__((target("avx2"))) bool pack_seq_avx2(const char* seq, int32_t n,
+                                                   uint8_t* dst) {
+  int32_t i = 0;
+  const __m256i mul = _mm256_set1_epi16(0x0110);  // bytes [16, 1]
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(seq + i));
+    __m256i code = _mm256_setzero_si256();
+    __m256i seen = _mm256_setzero_si256();
+    // nt16 codes (hts.c:239): A=1 C=2 G=4 T=8 N=15
+    const struct { char ch; char c; } tab[5] = {
+        {'A', 1}, {'C', 2}, {'G', 4}, {'T', 8}, {'N', 15}};
+    for (const auto& e : tab) {
+      __m256i m = _mm256_cmpeq_epi8(v, _mm256_set1_epi8(e.ch));
+      code = _mm256_or_si256(code,
+                             _mm256_and_si256(m, _mm256_set1_epi8(e.c)));
+      seen = _mm256_or_si256(seen, m);
+    }
+    if (_mm256_movemask_epi8(seen) != -1) return false;
+    // pairwise hi*16 + lo, then narrow 16 epi16 -> 16 bytes
+    __m256i h = _mm256_maddubs_epi16(code, mul);
+    __m256i packed = _mm256_packus_epi16(h, h);
+    packed = _mm256_permute4x64_epi64(packed, 0x08);
+    _mm_storeu_si128((__m128i*)(dst + i / 2),
+                     _mm256_castsi256_si128(packed));
+  }
+  for (; i + 2 <= n; i += 2)
+    dst[i / 2] = (kNt16Enc.t[(uint8_t)seq[i]] << 4) |
+                 kNt16Enc.t[(uint8_t)seq[i + 1]];
+  if (n & 1) dst[n / 2] = kNt16Enc.t[(uint8_t)seq[n - 1]] << 4;
+  return true;
+}
+
+__attribute__((target("avx2"))) bool rebase_qual_avx2(const char* q, int32_t n,
+                                                      uint8_t* dst) {
+  int32_t i = 0;
+  const __m256i c32 = _mm256_set1_epi8(32);
+  const __m256i c33 = _mm256_set1_epi8(33);
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(q + i));
+    // signed compare matches the scalar `(char)q[i] < 33` check, so
+    // bytes >= 0x80 also take the slow path (and its error report)
+    if (_mm256_movemask_epi8(_mm256_cmpgt_epi8(v, c32)) != -1) return false;
+    _mm256_storeu_si256((__m256i*)(dst + i), _mm256_sub_epi8(v, c33));
+  }
+  for (; i < n; i++) {
+    if (q[i] < 33) return false;
+    dst[i] = (uint8_t)(q[i] - 33);
+  }
+  return true;
+}
+
+const bool kHaveAvx2 = __builtin_cpu_supports("avx2");
+#else
+inline bool pack_seq_avx2(const char*, int32_t, uint8_t*) { return false; }
+inline bool rebase_qual_avx2(const char*, int32_t, uint8_t*) { return false; }
+const bool kHaveAvx2 = false;
+#endif
 
 // CIGAR op char -> code ("MIDNSHP=XB", sam.h BAM_CIGAR_STR)
 struct CigEnc {
@@ -1707,19 +1793,23 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
   if (l_qseq) {
     out->reserve((l_qseq + 1) / 2);
     uint8_t* dst = out->data() + out->len();
-    for (int32_t i2 = 0; i2 < l_qseq / 2; i2++)
-      dst[i2] = (kNt16Enc.t[(uint8_t)seq[2 * i2]] << 4) |
-                kNt16Enc.t[(uint8_t)seq[2 * i2 + 1]];
-    if (l_qseq & 1)
-      dst[l_qseq / 2] = kNt16Enc.t[(uint8_t)seq[l_qseq - 1]] << 4;
+    if (!(kHaveAvx2 && pack_seq_avx2(seq, l_qseq, dst))) {
+      for (int32_t i2 = 0; i2 < l_qseq / 2; i2++)
+        dst[i2] = (kNt16Enc.t[(uint8_t)seq[2 * i2]] << 4) |
+                  kNt16Enc.t[(uint8_t)seq[2 * i2 + 1]];
+      if (l_qseq & 1)
+        dst[l_qseq / 2] = kNt16Enc.t[(uint8_t)seq[l_qseq - 1]] << 4;
+    }
     out->bump((l_qseq + 1) / 2);
     // quals
     out->reserve(l_qseq);
     uint8_t* qd = out->data() + out->len();
     if (has_qual) {
-      for (int32_t i2 = 0; i2 < l_qseq; i2++) {
-        if (f[10][i2] < 33) return -1;
-        qd[i2] = (uint8_t)(f[10][i2] - 33);
+      if (!(kHaveAvx2 && rebase_qual_avx2(f[10], l_qseq, qd))) {
+        for (int32_t i2 = 0; i2 < l_qseq; i2++) {
+          if (f[10][i2] < 33) return -1;
+          qd[i2] = (uint8_t)(f[10][i2] - 33);
+        }
       }
     } else {
       memset(qd, 0xFF, l_qseq);
