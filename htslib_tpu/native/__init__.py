@@ -97,13 +97,13 @@ class _Native:
             u8p, ctypes.c_uint64,
             u8p, u64p, u32p, i32p, i32p, i32p, ctypes.c_int32,
             u8p, u64p, u32p, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             u8p, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.htstpu_bcf_to_vcf.restype = ctypes.c_int64
         lib.htstpu_bcf_to_vcf.argtypes = [
             u8p, ctypes.c_uint64, u8p, u64p, u32p, ctypes.c_int32,
-            u8p, u64p, u32p, ctypes.c_int32, ctypes.c_int32,
+            u8p, u64p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
         lib.htstpu_buf_free.restype = None
         lib.htstpu_cram_slice_to_sam.restype = ctypes.c_int64
@@ -442,7 +442,8 @@ class _Native:
         return buf, offs, lens
 
     def bcf_to_vcf(self, data: np.ndarray, ctg_names: List[str],
-                   id_names: List[str], gt_id: int) -> bytes:
+                   id_names: List[str], gt_id: int,
+                   v44: bool = False) -> bytes:
         """Format a BCF record stream as VCF text (vcf_format port,
         vcf.c:4304)."""
         data = np.ascontiguousarray(data)
@@ -455,7 +456,7 @@ class _Native:
             self._ptr(cl, ctypes.c_uint32), len(ctg_names),
             self._u8(ib), self._ptr(io_, ctypes.c_uint64),
             self._ptr(il, ctypes.c_uint32), len(id_names),
-            gt_id, ctypes.byref(out_ptr))
+            gt_id, 1 if v44 else 0, ctypes.byref(out_ptr))
         if r < 0:
             raise IOError(f"native BCF format failed on record {-(r + 5000)}")
         try:
@@ -467,7 +468,7 @@ class _Native:
                   flt_def: np.ndarray, info_type: np.ndarray,
                   fmt_type: np.ndarray, ctg_names: List[str],
                   gt_id: int, end_id: int, n_samples: int,
-                  n_lines: int) -> Tuple[bytes, np.ndarray]:
+                  n_lines: int, v44: bool = False) -> Tuple[bytes, np.ndarray]:
         """Parse VCF body text into BCF frames (vcf_parse port,
         vcf.c:3987).  Returns (frames, bails): frames holds the encoded
         records of non-bailing lines in order; bails[i]=1 marks lines
@@ -488,8 +489,8 @@ class _Native:
             self._ptr(ft, ctypes.c_int32), len(id_names),
             self._u8(cb), self._ptr(co, ctypes.c_uint64),
             self._ptr(cl, ctypes.c_uint32), len(ctg_names),
-            gt_id, end_id, n_samples, self._u8(bails), n_lines,
-            ctypes.byref(out_ptr))
+            gt_id, end_id, n_samples, 1 if v44 else 0,
+            self._u8(bails), n_lines, ctypes.byref(out_ptr))
         if r < 0:
             raise IOError(f"native VCF parse failed ({r})")
         try:

@@ -5418,8 +5418,32 @@ static uint8_t* fmt_char_arr(uint8_t* w, const uint8_t* p, int64_t n) {
   return w;
 }
 
-// bcf_format_gt pre-4.4 (vcf.c:6345 / record.py _fmt_gt)
-static uint8_t* fmt_gt(uint8_t* w, const uint8_t* p, int bt, int64_t n) {
+// bcf_format_gt_v2 (vcf.c:6345 / record.py _fmt_gt).  With v44, emit a
+// first-allele phasing prefix only when the reader's inference would
+// otherwise get it wrong (vcf.c:6382).
+static uint8_t* fmt_gt(uint8_t* w, const uint8_t* p, int bt, int64_t n,
+                       bool v44) {
+  if (v44) {
+    int32_t val0 = 0;
+    int ploidy = 0;
+    bool anyunphased = false;
+    for (int64_t i = 0; i < n; i++) {
+      int32_t v = widen(p, bt, i);
+      if (v == I32_END) break;
+      if (!i) val0 = v;
+      else anyunphased |= !(v & 1);
+      ploidy++;
+    }
+    if (ploidy) {
+      if (val0 & 1) {
+        if ((ploidy > 1 && anyunphased) || (ploidy <= 1 && !(val0 >> 1)))
+          *w++ = '|';
+      } else {
+        if ((ploidy <= 1 && val0 != 0) || (ploidy > 1 && !anyunphased))
+          *w++ = '/';
+      }
+    }
+  }
   int any = 0;
   for (int64_t i = 0; i < n; i++) {
     int32_t v = widen(p, bt, i);
@@ -5442,6 +5466,7 @@ struct VcfTables {
   const uint8_t* id_buf; const uint64_t* id_offs;
   const uint32_t* id_lens; int32_t n_id;
   int32_t gt_id;
+  int32_t v44 = 0;  // VCF >= 4.4: explicit GT first-allele phasing
   // worst-case per-wire-byte text expansion: the densest cases are an
   // int8 value ("-120," = 5 chars/byte) and a FILTER id (one int8 byte
   // -> longest dictionary name + ';').  Floats are bounded by put_g's
@@ -5578,7 +5603,7 @@ static bool fmt_record(const uint8_t* sh, uint32_t l_shared,
           const FmtDesc& fd = fds[i];
           const uint8_t* vp = fd.p + ((fd.nper * s) << bt_shift(fd.bt));
           if (fd.key == gt_id && fd.bt != BT_FLOAT && fd.bt != BT_CHAR)
-            w = fmt_gt(w, vp, fd.bt, fd.nper);
+            w = fmt_gt(w, vp, fd.bt, fd.nper, T.v44 != 0);
           else if (fd.bt == BT_FLOAT)
             w = fmt_float_arr(w, vp, fd.nper);
           else if (fd.bt == BT_CHAR)
@@ -5611,9 +5636,9 @@ int64_t htstpu_bcf_to_vcf(const uint8_t* data, uint64_t data_len,
                           const uint32_t* ctg_lens, int32_t n_ctg,
                           const uint8_t* id_buf, const uint64_t* id_offs,
                           const uint32_t* id_lens, int32_t n_id,
-                          int32_t gt_id, uint8_t** out_ptr) {
+                          int32_t gt_id, int32_t v44, uint8_t** out_ptr) {
   VcfTables T{ctg_buf, ctg_offs, ctg_lens, n_ctg,
-              id_buf, id_offs, id_lens, n_id, gt_id};
+              id_buf, id_offs, id_lens, n_id, gt_id, v44};
   for (int32_t i = 0; i < n_id; i++)
     if (id_lens[i] > T.max_id_len) T.max_id_len = id_lens[i];
   for (int32_t i = 0; i < n_ctg; i++)
@@ -5798,10 +5823,14 @@ static inline bool parse_f32(const Field& f, uint32_t* bits) {
   return true;
 }
 
-// vcf_parse_format_gt (vcf.c:3263 / record.py _parse_gt)
-static bool parse_gt(const Field& f, std::vector<int64_t>* vals) {
+// vcf_parse_format_gt (vcf.c:3263 / record.py _parse_gt).  With v44,
+// a leading '|'/'/' phases the first allele explicitly; without one it
+// is inferred (haploid known -> phased; else "all others phased",
+// vcf.c:3434).
+static bool parse_gt(const Field& f, std::vector<int64_t>* vals, bool v44) {
   vals->clear();
   if (f.n == 0 || (f.n == 1 && f.p[0] == '.')) return true;
+  bool explicit_prefix = v44 && (f.p[0] == '|' || f.p[0] == '/');
   int64_t phased = 0;
   size_t i = 0;
   while (i < f.n) {
@@ -5816,6 +5845,16 @@ static bool parse_gt(const Field& f, std::vector<int64_t>* vals) {
       i++;
     }
     vals->push_back(((al + 1) << 1) | phased);
+  }
+  if (v44 && !explicit_prefix && !vals->empty()) {
+    if (vals->size() == 1) {
+      if ((*vals)[0] >> 1) (*vals)[0] |= 1;
+    } else {
+      bool anyunphased = false;
+      for (size_t k = 1; k < vals->size(); k++)
+        anyunphased |= !((*vals)[k] & 1);
+      if (!anyunphased) (*vals)[0] |= 1;
+    }
   }
   return true;
 }
@@ -5836,7 +5875,7 @@ int64_t htstpu_vcf_parse(
     const int32_t* fmt_type, int32_t n_id,
     const uint8_t* ctg_buf, const uint64_t* ctg_offs,
     const uint32_t* ctg_lens, int32_t n_ctg,
-    int32_t gt_id, int32_t end_id, int32_t n_samples,
+    int32_t gt_id, int32_t end_id, int32_t n_samples, int32_t v44,
     uint8_t* bails, int64_t max_lines, uint8_t** out_ptr) {
   using namespace vcfp;
   Tables T;
@@ -5987,7 +6026,7 @@ int64_t htstpu_vcf_parse(
             ints.resize(n_samples);
             for (int32_t s = 0; s < n_samples; s++) {
               if (ki < scols[s].size()) {
-                if (!parse_gt(scols[s][ki], &ints[s])) { bail = true; break; }
+                if (!parse_gt(scols[s][ki], &ints[s], v44 != 0)) { bail = true; break; }
               }
               if (ints[s].size() > width) width = ints[s].size();
             }

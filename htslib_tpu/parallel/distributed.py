@@ -266,7 +266,7 @@ def decode_bcf_shard_to_vcf(plan: BcfShardPlan, shard: BcfShard,
     chunk = np.ascontiguousarray(data[shard.ustart:shard.uend])
     if native is not None:
         return native.bcf_to_vcf(chunk, hdr.ctg_names, hdr.id_names,
-                                 hdr.id2int("GT"))
+                                 hdr.id2int("GT"), hdr.v44)
     import struct as _st
 
     from htslib_tpu.vcf.record import BcfRecord

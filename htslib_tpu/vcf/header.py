@@ -198,6 +198,20 @@ class BcfHeader:
             self.parse(text)
 
     # ------------------------------------------------------------------
+    @property
+    def v44(self) -> bool:
+        """True for VCF >= 4.4 (the reference's VCF44 gate, vcf.c:132):
+        GT gets explicit first-allele phasing prefixes and inference."""
+        v = self.version
+        if not v.startswith("VCFv"):
+            return False
+        try:
+            parts = v[4:].split(".")
+            major, minor = int(parts[0]), int(parts[1])
+        except (ValueError, IndexError):
+            return False
+        return (major, minor) >= (4, 4)
+
     def _ensure_pass(self) -> None:
         if "PASS" not in self._id_lookup:
             i = self._intern_id("PASS")

@@ -311,7 +311,8 @@ def bcf_file_to_vcf(src: Union[str, HFile]) -> "tuple":
                            .rstrip(b"\0").decode("utf-8", "replace"))
         body = stream[9 + l_text:]
         return header, native.bcf_to_vcf(
-            body, header.ctg_names, header.id_names, header.id2int("GT"))
+            body, header.ctg_names, header.id_names, header.id2int("GT"),
+            header.v44)
 
     r = BcfReader(src)
     try:
@@ -322,7 +323,7 @@ def bcf_file_to_vcf(src: Union[str, HFile]) -> "tuple":
         if native is not None:
             gt_id = header.id2int("GT")
             return header, native.bcf_to_vcf(
-                data, header.ctg_names, header.id_names, gt_id)
+                data, header.ctg_names, header.id_names, gt_id, header.v44)
         lines = []
         buf = data.tobytes()
         pos = 0
@@ -381,7 +382,7 @@ def vcf_body_to_bcf_frames(body: bytes, header: BcfHeader) -> bytes:
     frames, bails = native.vcf_parse(
         np.frombuffer(body, np.uint8), header.id_names, flt_def,
         info_type, fmt_type, header.ctg_names, header.id2int("GT"),
-        header.id2int("END"), header.n_samples, n_lines)
+        header.id2int("END"), header.n_samples, n_lines, header.v44)
     if not bails.any():
         return frames
     # splice Python-parsed frames for the bailing lines, in order

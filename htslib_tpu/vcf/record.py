@@ -346,7 +346,7 @@ class BcfRecord:
             ht, _, _ = header.coltype(BCF_HL_FMT, kid)
             raw = [s[ki] if ki < len(s) else None for s in split_samples]
             if is_gt:
-                parsed = [self._parse_gt(r) for r in raw]
+                parsed = [self._parse_gt(r, header.v44) for r in raw]
                 width = max((len(p) for p in parsed), default=1) or 1
                 arr = np.full((n_sample, width), INT32_VECTOR_END, np.int32)
                 for si, p in enumerate(parsed):
@@ -391,10 +391,16 @@ class BcfRecord:
                 self.fmt.append(FmtEntry(kid, BCF_HT_STR, arr))
 
     @staticmethod
-    def _parse_gt(r: Optional[str]) -> List[int]:
-        """'0/1' -> [(a+1)<<1|phase...] (vcf.c:3263 vcf_parse_format_gt)."""
+    def _parse_gt(r: Optional[str], v44: bool = False) -> List[int]:
+        """'0/1' -> [(a+1)<<1|phase...] (vcf.c:3263 vcf_parse_format_gt).
+
+        For VCF >= 4.4 (vcf.c:3434): a leading '|'/'/' sets the first
+        allele's phasing explicitly; without a prefix it is inferred —
+        haploid calls are implicitly phased (unless missing), and a
+        multi-allele first phase copies "all others phased"."""
         if r is None or r == "" or r == ".":
             return []
+        explicit = v44 and r[0] in "|/"
         vals: List[int] = []
         phased = 0
         i, n = 0, len(r)
@@ -418,6 +424,13 @@ class BcfRecord:
                 allele = int(r[i:j])
                 vals.append(((allele + 1) << 1) | phased)
                 i = j
+        if v44 and not explicit and vals:
+            if len(vals) == 1:
+                if vals[0] >> 1:        # haploid, known: implicitly phased
+                    vals[0] |= 1
+            else:
+                anyunphased = any(not (v & 1) for v in vals[1:])
+                vals[0] |= 0 if anyunphased else 1
         return vals
 
     # ==================================================================
@@ -460,7 +473,7 @@ class BcfRecord:
                 parts = []
                 for f in self.fmt:
                     if f.is_gt:
-                        parts.append(_fmt_gt(f.value[si]))
+                        parts.append(_fmt_gt(f.value[si], header.v44))
                     elif f.type == BCF_HT_INT:
                         parts.append(_fmt_int_arr(f.value[si]))
                     elif f.type == BCF_HT_REAL:
@@ -539,6 +552,20 @@ class BcfRecord:
             if bt in (BCF_BT_INT8, BCF_BT_INT16, BCF_BT_INT32):
                 flat = _read_int_vec(buf2, bt, p2, total)
                 arr = flat.reshape(v.n_sample, n) if v.n_sample else flat.reshape(0, max(n, 1))
+                if (key == gt_id and arr.size and
+                        not (header is not None and header.v44)):
+                    # updatephasing (vcf.c:1985, run from bcf_record_check
+                    # for versions < 4.4): derive the first allele's
+                    # phase so binary values match v4.4 semantics.
+                    # Haploid: phased unless missing.  Wider: phased iff
+                    # the AND of all later phase bits is set — vector
+                    # ends (0x..01) count as phased, so short (haploid)
+                    # rows in a padded matrix come out phased too.
+                    if n == 1:
+                        arr[arr[:, 0] != 0, 0] |= 1
+                    else:
+                        allph = (arr[:, 1:] & 1).astype(bool).all(axis=1)
+                        arr[allph, 0] |= 1
                 v.fmt.append(FmtEntry(key, BCF_HT_INT, arr, key == gt_id))
             elif bt == BCF_BT_FLOAT:
                 flat = np.frombuffer(buf2, "<u4", total, p2).copy()
@@ -1042,17 +1069,36 @@ def _fmt_char_arr(a: np.ndarray) -> str:
     return "".join(out) if out else ""
 
 
-def _fmt_gt(vals: np.ndarray) -> str:
-    """bcf_format_gt pre-4.4 form (vcf.c:6345)."""
+def _fmt_gt(vals: np.ndarray, v44: bool = False) -> str:
+    """bcf_format_gt_v2 (vcf.c:6345).  For VCF >= 4.4 a first-allele
+    phasing prefix is emitted only when the reader's inference would
+    otherwise get it wrong (vcf.c:6382): '|' for a phased first allele
+    when a later allele is unphased (or a lone phased '.'), '/' for an
+    unphased first allele when it is a known haploid or no later allele
+    is unphased."""
     parts = []
+    val0 = 0
+    anyunphased = False
+    ploidy = 0
     for i, val in enumerate(vals):
         v = int(val)
         if v == INT32_VECTOR_END:
             break
-        if i:
+        ploidy += 1
+        if i == 0:
+            val0 = v
+        else:
             parts.append("|" if v & 1 else "/")
+            anyunphased |= not (v & 1)
         allele = v >> 1
         parts.append("." if allele == 0 else str(allele - 1))
     if not parts:
         return "."
+    if v44:
+        if val0 & 1:
+            if (ploidy > 1 and anyunphased) or (ploidy <= 1 and not (val0 >> 1)):
+                parts.insert(0, "|")
+        else:
+            if (ploidy <= 1 and val0 != 0) or (ploidy > 1 and not anyunphased):
+                parts.insert(0, "/")
     return "".join(parts)

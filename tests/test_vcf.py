@@ -374,3 +374,66 @@ def test_vcf_file_to_bcf_vs_htslib(tmp_path):
                          check=True).stdout
     body = [l for l in got.splitlines() if not l.startswith(b"#")]
     assert len(body) == n == 621
+
+
+def test_vcf44_phasing_golden(tmp_path):
+    """VCF 4.4 GT phasing: parse inference (vcf.c:3434) + minimal
+    prefix output (bcf_format_gt_v2, vcf.c:6382), against the
+    reference's vcf44_1.vcf -> vcf44_1.expected golden pair, through
+    both the python record path and the native VCF->BCF->VCF path."""
+    from htslib_tpu.vcf import VcfReader
+    from htslib_tpu.vcf.io import bcf_file_to_vcf, vcf_file_to_bcf
+
+    src = ref_path("vcf44_1.vcf")
+    exp = open(ref_path("vcf44_1.expected")).read()
+    exp_body = "".join(l + "\n" for l in exp.splitlines()
+                       if not l.startswith("#"))
+
+    with VcfReader(src) as r:
+        hdr = r.header
+        assert hdr.v44
+        got = "".join(rec.to_vcf(hdr) + "\n" for rec in r)
+    assert got == exp_body
+
+    bcf = str(tmp_path / "v44.bcf")
+    n = vcf_file_to_bcf(src, bcf)
+    assert n == 28
+    _, text = bcf_file_to_vcf(bcf)
+    text = text.decode() if isinstance(text, (bytes, bytearray)) else text
+    got2 = "".join(l + "\n" for l in text.splitlines()
+                   if not l.startswith("#"))
+    assert got2 == exp_body
+
+
+def test_pre44_updatephasing_on_bcf_read(tmp_path):
+    """Pre-4.4 BCF read derives the first allele's phase
+    (updatephasing via bcf_record_check, vcf.c:1985/2058) so binary GT
+    values are consistent across versions: haploid known -> phased,
+    diploid first copies the AND of later phase bits, vector ends
+    count as phased."""
+    from htslib_tpu.vcf import BcfReader, BcfWriter
+
+    hdr = BcfHeader("##fileformat=VCFv4.2\n"
+                    "##contig=<ID=1,length=1000>\n"
+                    '##FORMAT=<ID=GT,Number=1,Type=String,'
+                    'Description="G">\n'
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                    "\tFORMAT\tS1\tS2\n")
+    body = ["1\t10\t.\tA\tT\t.\t.\t.\tGT\t0|1\t0/1",
+            "1\t11\t.\tA\tT\t.\t.\t.\tGT\t0\t.",
+            "1\t12\t.\tA\tT\t.\t.\t.\tGT\t1\t0|1"]
+    path = str(tmp_path / "p.bcf")
+    with BcfWriter(path, hdr) as w:
+        for line in body:
+            w.write(BcfRecord.from_vcf(line, hdr))
+    with BcfReader(path) as r:
+        recs = list(r)
+    g0 = recs[0].fmt[0].value
+    assert g0[0, 0] & 1 == 1          # 0|1: first phased (second is)
+    assert g0[1, 0] & 1 == 0          # 0/1: second unphased
+    g1 = recs[1].fmt[0].value
+    assert g1[0, 0] & 1 == 1          # haploid known: implicitly phased
+    assert g1[1, 0] == 0              # lone '.': missing, unphased
+    # text output is unchanged by the binary normalisation (pre-4.4
+    # format ignores the first phase bit)
+    assert recs[0].to_vcf(hdr).split("\t")[9:] == ["0|1", "0/1"]
