@@ -464,3 +464,35 @@ def test_native_decode_bzip2_lzma_blocks(tmp_path):
     assert native_hits > 0, "native decoder never engaged on bzip2/lzma"
     assert native_out == python_out
     assert len(native_out) == len(recs)
+
+
+@pytest.mark.parametrize("name,opts", [
+    ("embed_MD.sam", {"embed_ref": 2, "seqs_per_slice": 3}),
+    ("ce#large_seq.sam", {}),
+    ("ce#tag_padded.sam", {}),
+    ("ce#tag_depadded.sam", {}),
+])
+def test_cram_roundtrip_reference_fixtures(tmp_path, name, opts):
+    """CRAM round trips on reference corpus fixtures the suite didn't
+    cover: embed_ref=2 with MD-only records (test.pl:890, consensus
+    reference embedding), a 2 MB single sequence, and PT/padded-tag
+    files.  compare_sam.pl semantics: core fields exact, aux
+    order-insensitive."""
+    from htslib_tpu.cram import CramReader, CramWriter
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.record import BamRecord
+
+    raw = open(ref_path(name)).read().splitlines()
+    hdr = SamHeader("".join(l + "\n" for l in raw if l.startswith("@")))
+    body = [l for l in raw if l and not l.startswith("@")]
+    cram = str(tmp_path / "t.cram")
+    with CramWriter(cram, hdr, **opts) as w:
+        for line in body:
+            w.write(BamRecord.from_sam(line, hdr))
+    with CramReader(cram) as r:
+        out = [rec.to_sam(r.header) for rec in r]
+    assert len(out) == len(body)
+    for a, b in zip(body, out):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:11] == fb[:11]
+        assert sorted(fa[11:]) == sorted(fb[11:])

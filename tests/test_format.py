@@ -48,3 +48,25 @@ def test_detect_synthetic():
 def test_description():
     d = detect_format(b"BAM\x01xxxx").description()
     assert "BAM" in d and "sequence" in d
+
+
+def test_fieldarith_golden():
+    """bam_cigar2qlen/bam_cigar2rlen/bam_endpos against the
+    reference's fieldarith.sam, whose XQ/XR/XE aux tags carry the
+    expected values for each record (test/fieldarith.c)."""
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.cigar import cigar2qlen, cigar2rlen
+    from htslib_tpu.sam.record import BamRecord
+
+    lines = open(ref_path("fieldarith.sam")).read().splitlines()
+    hdr = SamHeader("".join(l + "\n" for l in lines if l.startswith("@")))
+    n = 0
+    for line in lines:
+        if not line or line.startswith("@"):
+            continue
+        rec = BamRecord.from_sam(line, hdr)
+        assert rec.get_aux("XQ") == cigar2qlen(rec.cigar), line
+        assert rec.get_aux("XR") == cigar2rlen(rec.cigar), line
+        assert rec.get_aux("XE") == rec.endpos(), line
+        n += 1
+    assert n == 8
