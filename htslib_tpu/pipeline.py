@@ -116,6 +116,7 @@ class ProcessQueue:
     def __init__(self, pool: Optional[_fut.ThreadPoolExecutor] = None,
                  in_limit: int = 8, out_limit: int = 8):
         import threading
+        import time
         self._pool = pool or shared_pool()
         self._in_limit = max(1, in_limit)
         self._out_limit = max(1, out_limit)
@@ -127,6 +128,15 @@ class ProcessQueue:
         self._results: dict = {}
         self._runners = 0            # pool tasks alive for this queue
         self._shutdown = False
+        # wall/wait accounting (the working form of the reference's
+        # vestigial hts_tpool.total_time/wait_time,
+        # thread_pool_internal.h:162): job execution time plus how long
+        # each side of the queue spent blocked on the other.
+        self._t0 = time.monotonic()
+        self._busy_time = 0.0        # sum of job execution durations
+        self._producer_wait = 0.0    # dispatch blocked on a full input
+        self._consumer_wait = 0.0    # next_result blocked on results
+        self._n_jobs = 0
 
     # -- worker side ----------------------------------------------------
     def _pullable(self) -> bool:
@@ -156,13 +166,18 @@ class ProcessQueue:
                     serial, fn, args, kwargs = self._input.popleft()
                     self._n_processing += 1
                     self._lock.notify_all()   # input space freed
+                import time
+                t_run = time.monotonic()
                 try:
                     res, err = fn(*args, **kwargs), None
                 except Exception as e:        # propagated to the consumer
                     res, err = None, e
+                t_run = time.monotonic() - t_run
                 with self._lock:
                     self._results[serial] = (res, err)
                     self._n_processing -= 1
+                    self._busy_time += t_run
+                    self._n_jobs += 1
                     self._lock.notify_all()
         finally:
             with self._lock:
@@ -175,11 +190,14 @@ class ProcessQueue:
     def dispatch(self, fn, *args, **kwargs) -> None:
         """Blocking dispatch: waits while the input side is full
         (hts_tpool_dispatch)."""
+        import time
         with self._lock:
             while (len(self._input) >= self._in_limit
                    and not self._shutdown):
                 self._maybe_spawn()
+                t_w = time.monotonic()
                 self._lock.wait(1.0)
+                self._producer_wait += time.monotonic() - t_w
             if self._shutdown:
                 raise RuntimeError("queue is shut down")
             self._input.append((self._next_serial, fn, args, kwargs))
@@ -222,7 +240,10 @@ class ProcessQueue:
                         and not self._input):
                     return None          # fully drained
                 self._maybe_spawn()
+                import time
+                t_w = time.monotonic()
                 self._lock.wait(1.0)
+                self._consumer_wait += time.monotonic() - t_w
 
     def flush(self):
         """Drain every outstanding result in order (hts_tpool_process_
@@ -240,6 +261,20 @@ class ProcessQueue:
             if r is None and self._next_out >= self._next_serial:
                 return out
             out.append(r)
+
+    def stats(self) -> dict:
+        """Queue accounting in seconds: wall time since creation, job
+        execution time, and blocked time on each side (the usable form
+        of hts_tpool's total_time/wait_time debug fields)."""
+        import time
+        with self._lock:
+            return {
+                "total_time": time.monotonic() - self._t0,
+                "busy_time": self._busy_time,
+                "producer_wait": self._producer_wait,
+                "consumer_wait": self._consumer_wait,
+                "n_jobs": self._n_jobs,
+            }
 
     def shutdown(self):
         with self._lock:

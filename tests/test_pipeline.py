@@ -57,3 +57,22 @@ def test_hts_open_dispatch():
     assert isinstance(r, CramReader)
     assert r.read1() is not None
     r.close()
+
+
+def test_process_queue_stats():
+    """Wall/wait accounting (the working form of hts_tpool's
+    total_time/wait_time fields, thread_pool_internal.h:162)."""
+    import time
+
+    from htslib_tpu.pipeline import ProcessQueue
+
+    q = ProcessQueue(in_limit=2, out_limit=2)
+    for i in range(6):
+        q.dispatch(lambda x: (time.sleep(0.01), x)[1], i)
+    got = [q.next_result() for _ in range(6)]
+    assert got == list(range(6))
+    s = q.stats()
+    assert s["n_jobs"] == 6
+    assert s["busy_time"] >= 0.05
+    assert s["total_time"] >= s["busy_time"] / 8
+    assert s["consumer_wait"] >= 0.0 and s["producer_wait"] >= 0.0
