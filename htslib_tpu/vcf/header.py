@@ -196,6 +196,12 @@ class BcfHeader:
         self._ensure_pass()
         if text:
             self.parse(text)
+        else:
+            # bcf_hdr_init("w") seeds a writable header with the
+            # fileformat line and the implicit PASS filter (vcf.c:3846)
+            self.add_hrec_line("##fileformat=VCFv4.2")
+            self.add_hrec_line(
+                '##FILTER=<ID=PASS,Description="All filters passed">')
 
     # ------------------------------------------------------------------
     @property

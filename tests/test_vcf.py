@@ -437,3 +437,68 @@ def test_pre44_updatephasing_on_bcf_read(tmp_path):
     # text output is unchanged by the binary normalisation (pre-4.4
     # format ignores the first phase bit)
     assert recs[0].to_vcf(hdr).split("\t")[9:] == ["0|1", "0/1"]
+
+
+def test_bcf_translate_golden():
+    """bcf_hdr_merge + bcf_translate against the reference's
+    test-bcf-translate.c driver and its .out golden: merged header
+    byte-exact (incl. the bcf_hdr_init seed lines and dst-first line
+    order) and the translated record's ids remapped with removed
+    FILTER/INFO/FORMAT entries dropped."""
+    from htslib_tpu.vcf.merge import bcf_hdr_merge, bcf_translate
+
+    h1_lines = [
+        "##contig=<ID=1>", "##contig=<ID=2>",
+        '##FILTER=<ID=FLT1,Description="Filter 1">',
+        '##FILTER=<ID=FLT2,Description="Filter 2">',
+        '##FILTER=<ID=FLT3,Description="Filter 3">',
+        '##INFO=<ID=INF1,Number=.,Type=Integer,Description="Info 1">',
+        '##INFO=<ID=INF2,Number=.,Type=Integer,Description="Info 2">',
+        '##INFO=<ID=INF3,Number=.,Type=Integer,Description="Info 3">',
+        '##FORMAT=<ID=FMT1,Number=.,Type=Integer,Description="FMT 1">',
+        '##FORMAT=<ID=FMT2,Number=.,Type=Integer,Description="FMT 2">',
+        '##FORMAT=<ID=FMT3,Number=.,Type=Integer,Description="FMT 3">',
+    ]
+    h2_lines = [
+        "##contig=<ID=2>", "##contig=<ID=1>",
+        '##FILTER=<ID=FLT4,Description="Filter 4">',
+        '##FILTER=<ID=FLT3,Description="Filter 3">',
+        '##FILTER=<ID=FLT2,Description="Filter 2">',
+        '##INFO=<ID=INF4,Number=.,Type=Integer,Description="Info 4">',
+        '##INFO=<ID=INF3,Number=.,Type=Integer,Description="Info 3">',
+        '##INFO=<ID=INF2,Number=.,Type=Integer,Description="Info 2">',
+        '##FORMAT=<ID=FMT4,Number=.,Type=Integer,Description="FMT 4">',
+        '##FORMAT=<ID=FMT3,Number=.,Type=Integer,Description="FMT 3">',
+        '##FORMAT=<ID=FMT2,Number=.,Type=Integer,Description="FMT 2">',
+    ]
+    h1, h2 = BcfHeader(), BcfHeader()
+    for line in h1_lines:
+        h1.append_line(line)
+    for line in h2_lines:
+        h2.append_line(line)
+    h1.samples = ["SMPL1", "SMPL2"]
+    h2.samples = ["SMPL1", "SMPL2"]
+    h2 = bcf_hdr_merge(h2, h1)
+
+    rec = BcfRecord()
+    rec.rid = h1.ctg_names.index("1")
+    rec.pos = 0
+    rec.n_sample = 2
+    rec.qual = 0.0
+    rec.update_alleles_str(h1, "G,A")
+    rec.update_filter(h1, [h1.id2int("FLT1"), h1.id2int("FLT2"),
+                           h1.id2int("FLT3")])
+    rec.update_info(h1, "INF1", [1])
+    rec.update_info(h1, "INF2", [2])
+    rec.update_info(h1, "INF3", [3])
+    rec.update_format(h1, "FMT1", np.array([[1], [1]], np.int32))
+    rec.update_format(h1, "FMT2", np.array([[2], [2]], np.int32))
+    rec.update_format(h1, "FMT3", np.array([[3], [3]], np.int32))
+    rec.remove_filter(h1, h1.id2int("FLT2"))
+    rec.update_info(h1, "INF2", None)
+    rec.update_format(h1, "FMT2", None)
+    bcf_translate(h2, h1, rec)
+
+    exp = open(ref_path("test-bcf-translate.out")).read().splitlines()
+    got = h2.text().splitlines() + [rec.to_vcf(h2)]
+    assert got == exp
