@@ -750,6 +750,12 @@ def parse_region(s: str, name2id: Callable[[str], int],
         # last colon (hts.c:4079 hts_memrchr colon logic)
         tid = name2id(spec)
         if tid >= 0:
+            # whole name matches, but error if the pre-colon prefix is
+            # ALSO a contig — the range would be ambiguous and needs {}
+            # quoting (hts.c:4081-4098)
+            colon = spec.rfind(":")
+            if colon >= 0 and name2id(spec[:colon]) >= 0:
+                return None
             return tid, 0, HTS_POS_MAX, consumed
         colon = spec.rfind(":")
         if colon < 0:
@@ -765,33 +771,30 @@ def parse_region(s: str, name2id: Callable[[str], int],
         return tid, 0, HTS_POS_MAX, consumed
     if not rest.startswith(":"):
         return None
+    # post-colon coordinates, exactly hts.c:4118-4155
     coord = rest[1:]
-    # forms: B-E, B-, -E, B
-    if coord.startswith("-"):
-        if not (flags & HTS_PARSE_ONE_COORD):
-            return None
-        end, used = parse_decimal(coord[1:], flags)
-        if used == 0 or used != len(coord) - 1:
-            return None
-        return tid, 0, end, consumed
-    beg, used = parse_decimal(coord, flags)
-    if used == 0:
-        return None
-    rest2 = coord[used:]
-    beg0 = beg - 1
+    val, used = parse_decimal(coord, flags)
+    beg0 = val - 1
+    after = coord[used:]
     if beg0 < 0:
-        beg0 = 0
-    if rest2 == "":
-        if flags & HTS_PARSE_ONE_COORD:
-            return tid, beg0, max(beg, 1), consumed
-        return tid, beg0, HTS_POS_MAX, consumed
-    if rest2 == "-":
-        if not (flags & HTS_PARSE_ONE_COORD):
-            return None
-        return tid, beg0, HTS_POS_MAX, consumed
-    if not rest2.startswith("-"):
+        if beg0 != -1 and after.startswith("-") and coord != "":
+            return None              # "chr:0-100": coordinates must be > 0
+        if after == "" or after[0].isdigit() or after[0] == ",":
+            # interpret chr:-100 as chr:1-100
+            end = HTS_POS_MAX if beg0 == -1 else -(beg0 + 1)
+            return tid, 0, end, consumed
+        if beg0 < -1:
+            return None              # junk after a negative coordinate
+    if after == "":
+        end = beg0 + 1 if flags & HTS_PARSE_ONE_COORD else HTS_POS_MAX
+    elif after.startswith("-"):
+        end, used2 = parse_decimal(after[1:], flags)
+        if used2 != len(after) - 1:
+            return None              # junk after the end coordinate
+    else:
         return None
-    end, used2 = parse_decimal(rest2[1:], flags)
-    if used2 == 0 or used2 != len(rest2) - 1:
+    if end == 0:
+        end = HTS_POS_MAX            # interpret chr:100- as chr:100-<end>
+    if beg0 >= end:
         return None
     return tid, beg0, end, consumed

@@ -46,7 +46,10 @@ def test_parse_region():
     assert parse_region("chr1", n2i)[:3] == (0, 0, HTS_POS_MAX)
     assert parse_region("chr1:100", n2i)[:3] == (0, 99, HTS_POS_MAX)
     assert parse_region("chr1:100", n2i, HTS_PARSE_ONE_COORD)[:3] == (0, 99, 100)
-    assert parse_region("chr1:100-200", n2i)[:3] == (3, 0, HTS_POS_MAX)  # name wins
+    # both chr1 and "chr1:100-200" exist: ambiguous, needs {} quoting
+    # (hts.c:4081-4098)
+    assert parse_region("chr1:100-200", n2i) is None
+    assert parse_region("{chr1:100-200}", n2i)[:3] == (3, 0, HTS_POS_MAX)
     assert parse_region("{chr1}:100-200", n2i)[:3] == (0, 99, 200)
     assert parse_region("chr2:1,000-2,000", n2i)[:3] == (1, 999, 2000)
     assert parse_region("HLA-DRB1*12:17", n2i)[:3] == (2, 0, HTS_POS_MAX)
@@ -184,3 +187,55 @@ def test_adjust_csi_settings():
     ms, nl = adjust_csi_settings(1 << 43, 14, 5)
     assert nl == 9 and ms > 14
     assert bin_maxpos(ms, nl) >= (1 << 43) + 256
+
+
+def test_parse_region_reference_battery():
+    """The full test-parse-reg.c case battery (test/test-parse-reg.c:
+    90-137): range extensions, {} disambiguation, ambiguity errors,
+    thousands separators, k/M and scientific-notation coordinates,
+    HTS_PARSE_LIST splitting, and the Issue#353 beg>end rejection."""
+    names = ["chr1", "chr1:100", "chr1:100-200", "chr2:100-200", "chr3",
+             "chr1,chr3"]
+
+    def n2i(s):
+        try:
+            return names.index(s)
+        except ValueError:
+            return -1
+
+    M = HTS_POS_MAX
+    L, OC = HTS_PARSE_LIST, HTS_PARSE_ONE_COORD
+    cases = [
+        ("chr1", 0, (0, 0, M)), ("chr1:50", 0, (0, 49, M)),
+        ("chr1:50", OC, (0, 49, 50)), ("chr1:50-100", 0, (0, 49, 100)),
+        ("chr1:50-", 0, (0, 49, M)), ("chr1:-50", 0, (0, 0, 50)),
+        ("chr1:100-200", 0, None),              # ambiguous
+        ("{chr1}:100-200", 0, (0, 99, 200)),
+        ("{chr1:100-200}", 0, (2, 0, M)),
+        ("{chr1:100-200}:100-200", 0, (2, 99, 200)),
+        ("{chr2:100-200}:100-200", 0, (3, 99, 200)),
+        ("chr2:100-200:100-200", 0, (3, 99, 200)),
+        ("chr2:100-200", 0, (3, 0, M)),
+        ("chr3", 0, (4, 0, M)), ("chr3:", 0, (4, 0, M)),
+        ("chr3:1000-1500", 0, (4, 999, 1500)),
+        ("chr3:1,000-1,500", 0, (4, 999, 1500)),
+        ("chr3:1k-1.5K", 0, (4, 999, 1500)),
+        ("chr3:1e3-1.5e3", 0, (4, 999, 1500)),
+        ("chr3:1e3-15e2", 0, (4, 999, 1500)),
+        ("chr1,chr3", L, (0, 0, M)),
+        ("chr1:100-200,chr3", L, None),         # ambiguous
+        ("{chr1,chr3}", L, (5, 0, M)),
+        ("{chr1,chr3},chr1", L, (5, 0, M)),
+        ("chr3:1,000-1,500", L | OC, (4, 0, 1)),
+        ("chr2", 0, None), ("chr1,", 0, None), ("{chr1", 0, None),
+        ("chr1:10-10", 0, (0, 9, 10)),
+        ("chr1:10-9", 0, None),                 # Issue#353
+        ("chr1:x", 0, None), ("chr1:1-y", 0, None),
+        ("chr1:1,chr3", 0, None),
+    ]
+    for reg, flags, want in cases:
+        got = parse_region(reg, n2i, flags)
+        if want is None:
+            assert got is None, (reg, flags, got)
+        else:
+            assert got is not None and got[:3] == want, (reg, flags, got)
