@@ -297,10 +297,22 @@ class BcfHeader:
         if value.startswith("<"):
             pairs = _parse_structured(value)
             rec = HeaderRec(key, None, pairs, raw)
+            # a dictionary line whose ID already has a line of this key
+            # is ignored, first wins (bcf_hdr_add_hrec, vcf.c:986)
+            rid = rec.get("ID")
+            if (key in ("FILTER", "INFO", "FORMAT", "contig")
+                    and rid is not None and self.has_hrec(key, rid)):
+                return None
         else:
             rec = HeaderRec(key, value, None, raw)
             if key == "fileformat":
                 self.version = value
+                # only one fileformat line: update in place
+                for old in self.hrecs:
+                    if old.key == "fileformat":
+                        old.value = value
+                        old.raw = raw
+                        return old
         self.hrecs.append(rec)
         self._register(rec)
         return rec
@@ -432,12 +444,19 @@ class BcfHeader:
                 return True
         return False
 
-    def remove_hrec(self, key: str, id_: Optional[str] = None) -> None:
+    def remove_hrec(self, key: str, id_: Optional[str] = None,
+                    structured: Optional[bool] = None) -> None:
         """bcf_hdr_remove (vcf.c:4460): drop lines (does not renumber
-        existing dictionary entries, as in the reference)."""
+        existing dictionary entries, as in the reference).  `structured`
+        narrows the match to BCF_HL_STR lines (True: ``##key=<...>``)
+        or BCF_HL_GEN lines (False: ``##key=text``) — the reference
+        removes by line type, so removing generic 'unused' lines leaves
+        a structured ``##unused=<XX=..>`` in place."""
         keep = []
         for rec in self.hrecs:
-            if rec.key == key and (id_ is None or rec.get("ID") == id_):
+            if (rec.key == key and (id_ is None or rec.get("ID") == id_)
+                    and (structured is None
+                         or (rec.pairs is not None) == structured)):
                 continue
             keep.append(rec)
         self.hrecs = keep

@@ -179,7 +179,11 @@ class BcfWriter:
         self._name = dst if isinstance(dst, str) else None
         self.fp = dst if isinstance(dst, BGZFWriter) else BGZFWriter(dst, level=level)
         self.header = header
-        text = header.text(with_idx=False).encode("utf-8") + b"\0"
+        # BCF headers carry IDX= on every dictionary line (the
+        # reference attaches them at hrec registration and strips them
+        # only for text VCF output, vcf.c:2722) — required so dictionary
+        # ids survive header-edit reordering
+        text = header.text(with_idx=True).encode("utf-8") + b"\0"
         self.fp.write(BCF_MAGIC)
         self.fp.write(struct.pack("<I", len(text)))
         self.fp.write(text)
