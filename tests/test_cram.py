@@ -496,3 +496,26 @@ def test_cram_roundtrip_reference_fixtures(tmp_path, name, opts):
         fa, fb = a.split("\t"), b.split("\t")
         assert fa[:11] == fb[:11]
         assert sorted(fa[11:]) == sorted(fb[11:])
+
+
+def test_tlen_corpus_decode_exact():
+    """Mate/TLEN reconstruction through CRAM on the reference's
+    test/tlen corpus (30 CRAM/SAM pairs covering start/end overlap
+    combinations, swapped read order and flipped orientations)."""
+    import glob
+
+    from htslib_tpu.cram import CramReader
+
+    pairs = 0
+    for cram in sorted(glob.glob(os.path.join(REF_TEST, "tlen",
+                                              "*.cram"))):
+        sam = cram[:-5] + ".sam"
+        if not os.path.exists(sam):
+            continue
+        want = [l for l in open(sam).read().splitlines()
+                if l and not l.startswith("@")]
+        with CramReader(cram) as r:
+            got = [rec.to_sam(r.header) for rec in r]
+        assert got == want, os.path.basename(cram)
+        pairs += 1
+    assert pairs == 30
