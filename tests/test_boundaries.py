@@ -94,3 +94,35 @@ def test_longref_roundtrip_and_query(tmp_path):
                               "longref_itr.expected.sam"))
             if not l.startswith("@")]
     assert got == want
+
+
+def test_bgzf_boundary_bams_match_ce1():
+    """BAM records deliberately split across BGZF block boundaries
+    (test.pl:840): all three fixture BAMs decode to ce#1.sam."""
+    from htslib_tpu.sam.batch import bam_file_to_sam
+
+    want = [l for l in open(ref_path("ce#1.sam")).read().splitlines()
+            if l and not l.startswith("@")]
+    for i in (1, 2, 3):
+        f = os.path.join(REF_TEST, "bgzf_boundaries",
+                         f"bgzf_boundaries{i}.bam")
+        hdr, sam = bam_file_to_sam(f)
+        got = [l for l in sam.tobytes().decode().splitlines()]
+        assert got == want, f
+
+
+def test_large_record_spanning_blocks(tmp_path):
+    """A 32 kb alignment whose CIGAR and sequence straddle several
+    BGZF blocks (test.pl:855 large_rec), uncompressed (-l 0) write
+    then read back."""
+    from htslib_tpu.sam.batch import bam_file_to_sam, sam_to_bam_file
+    from htslib_tpu.sam import SamHeader
+
+    hdr = SamHeader("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:ref\tLN:100000\n")
+    line = ("read\t0\tref\t1\t60\t" + "1M1I" * 16000 + "\t*\t0\t0\t"
+            + "A" * 32000 + "\t" + "Q" * 32000)
+    body = (line + "\n").encode()
+    out = str(tmp_path / "large.bam")
+    sam_to_bam_file(body, hdr, out, level=0)
+    h2, sam = bam_file_to_sam(out)
+    assert sam.tobytes() == body
