@@ -502,3 +502,57 @@ def test_bcf_translate_golden():
     exp = open(ref_path("test-bcf-translate.out")).read().splitlines()
     got = h2.text().splitlines() + [rec.to_vcf(h2)]
     assert got == exp
+
+
+@pytest.mark.skipif(not os.path.exists(
+    os.path.join(os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+                 "test", "test_view")), reason="reference htslib not built")
+def test_vcf44_gt_differential_fuzz(tmp_path):
+    """Differential fuzz of VCF 4.4 GT phasing against the reference:
+    random ploidy 1-3 calls with random explicit prefixes and missing
+    alleles, compared through (a) reference vcf->vcf, (b) the
+    reference reading OUR BCF, and (c) our own BCF->VCF."""
+    import random
+    import subprocess
+
+    from htslib_tpu.vcf.io import bcf_file_to_vcf, vcf_file_to_bcf
+
+    tv = os.path.join(os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+                      "test", "test_view")
+    rnd = random.Random(4242)
+    hdr_text = ("##fileformat=VCFv4.4\n##contig=<ID=1,length=100000>\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tS1\tS2\tS3\n")
+
+    def rand_gt():
+        ploidy = rnd.choice([1, 1, 2, 2, 3])
+        parts = []
+        for i in range(ploidy):
+            a = rnd.choice([".", "0", "1", "2"])
+            parts.append((rnd.choice(["", "", "|", "/"]) if i == 0
+                          else rnd.choice("|/")) + a)
+        return "".join(parts)
+
+    for trial in range(6):
+        lines = ["1\t%d\t.\tA\tT,G\t30\tPASS\t.\tGT\t%s" %
+                 (100 + i, "\t".join(rand_gt() for _ in range(3)))
+                 for i in range(25)]
+        vcf = str(tmp_path / "fz.vcf")
+        open(vcf, "w").write(hdr_text + "".join(l + "\n" for l in lines))
+        r = subprocess.run([tv, vcf], capture_output=True, timeout=60)
+        assert r.returncode == 0, r.stderr[:200]
+        want = [l for l in r.stdout.decode().splitlines()
+                if not l.startswith("#")]
+        bcf = str(tmp_path / "fz.bcf")
+        vcf_file_to_bcf(vcf, bcf)
+        r2 = subprocess.run([tv, bcf], capture_output=True, timeout=60)
+        assert r2.returncode == 0, r2.stderr[:200]
+        got_hts = [l for l in r2.stdout.decode().splitlines()
+                   if not l.startswith("#")]
+        assert got_hts == want, trial
+        _, text = bcf_file_to_vcf(bcf)
+        text = (text.decode() if isinstance(text, (bytes, bytearray))
+                else text)
+        got = [l for l in text.splitlines() if not l.startswith("#")]
+        assert got == want, trial
