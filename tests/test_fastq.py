@@ -28,8 +28,16 @@ READ_CASES = [
     ("interleaved_casava.fq", "inter_casavaOX.sam",
      {"casava": True, "barcode": "OX"}),
     ("interleaved_casava.fa", "inter_casava-q.sam", {"casava": True}),
+    ("interleaved_casava.fa", "inter_casavaOX-q.sam",
+     {"casava": True, "barcode": "OX"}),
     ("filter_casava.fq", "filter_casava.sam", {"casava": True}),
+    ("filter_casava.fa", "filter_casava-q.sam", {"casava": True}),
     ("r1.fq", "r1.sam", {"aux": True}),
+    ("r2.fq", "r2.sam", {"aux": True}),
+    ("r1.fa", "r1-q.sam", {"aux": True}),
+    ("r2.fa", "r2-q.sam", {"aux": True}),
+    ("name2.fq", "name2.sam", {"name2": True}),
+    ("name2.fa", "name2-q.sam", {"name2": True}),
     ("UMI.fq", "UMI.sam", {"umi": "1"}),
 ]
 
