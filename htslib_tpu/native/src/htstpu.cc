@@ -1492,12 +1492,22 @@ inline bool parse_i64(const char* p, const char* end, int64_t* out) {
   if (*p == '-') { neg = true; p++; }
   else if (*p == '+') p++;
   if (p >= end) return false;
-  int64_t v = 0;
+  // overflow is a parse error, not UB (hts_str2int clamps and flags,
+  // hts.c; the callers here treat any overflow as a malformed line)
+  uint64_t v = 0;
   for (; p < end; p++) {
     if (*p < '0' || *p > '9') return false;
-    v = v * 10 + (*p - '0');
+    uint64_t d = (uint64_t)(*p - '0');
+    if (v > (UINT64_MAX - d) / 10) return false;
+    v = v * 10 + d;
   }
-  *out = neg ? -v : v;
+  if (neg) {
+    if (v > (uint64_t)INT64_MAX + 1) return false;
+    *out = v == (uint64_t)INT64_MAX + 1 ? INT64_MIN : -(int64_t)v;
+  } else {
+    if (v > (uint64_t)INT64_MAX) return false;
+    *out = (int64_t)v;
+  }
   return true;
 }
 
@@ -1568,6 +1578,7 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
   if (fe[1] - f[1] > 2 && f[1][0] == '0' && (f[1][1] == 'x' || f[1][1] == 'X')) {
     flag = strtoll(std::string(f[1] + 2, fe[1]).c_str(), nullptr, 16);
   } else if (!parse_i64(f[1], fe[1], &flag)) return -1;
+  if (flag < 0 || flag > 0xFFFF) return -1;  // 16-bit (sam.c flag parse)
   // rname -> tid
   int32_t tid = -1;
   if (!(fe[2] - f[2] == 1 && *f[2] == '*')) {
@@ -1577,8 +1588,10 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
   }
   int64_t pos1, mapq, mpos1, tlen;
   if (!parse_i64(f[3], fe[3], &pos1)) return -1;
+  if (pos1 < 0 || pos1 - 1 > INT32_MAX) return -1;  // BAM pos is int32
   int64_t pos = pos1 - 1;
   if (!parse_i64(f[4], fe[4], &mapq)) return -1;
+  if (mapq < 0 || mapq > 0xFF) return -1;           // 8-bit (sam.c:2753)
   // cigar
   ctx->cigar.clear();
   if (!(fe[5] - f[5] == 1 && *f[5] == '*')) {
@@ -1603,7 +1616,9 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
     mtid = it->second;
   }
   if (!parse_i64(f[7], fe[7], &mpos1)) return -1;
+  if (mpos1 < 0 || mpos1 - 1 > INT32_MAX) return -1;
   if (!parse_i64(f[8], fe[8], &tlen)) return -1;
+  if (tlen < INT32_MIN || tlen > INT32_MAX) return -1;
   // seq / qual
   const char* seq = f[9];
   int32_t l_qseq = 0;
@@ -1652,6 +1667,8 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
         case 'i': case 'I': {
           int64_t x;
           if (!parse_i64(v, ae, &x)) return -1;
+          // 32-bit clamp with overflow-as-error (sam.c:2593-2607)
+          if (x < INT32_MIN || x > (int64_t)UINT32_MAX) return -1;
           put_smallest_int(aux, x);
           break;
         }

@@ -70,3 +70,38 @@ def test_fieldarith_golden():
         assert rec.get_aux("XE") == rec.endpos(), line
         n += 1
     assert n == 8
+
+
+def test_sam_parse_rejects_out_of_range_ints():
+    """Overflowing or out-of-range numeric fields are parse errors,
+    as in the reference's hts_str2int/uint clamped parses (flag 16-bit,
+    MAPQ 8-bit, pos int32, scalar aux 32-bit, sam.c:2593-2753) — never
+    silent truncation."""
+    import numpy as np
+    import pytest
+
+    from htslib_tpu.native import native
+    from htslib_tpu.sam import SamHeader
+
+    if native is None:
+        pytest.skip("native helper unavailable")
+    hdr = SamHeader("@SQ\tSN:c1\tLN:10000\n")
+    base = "r1\t{flag}\tc1\t{pos}\t{mapq}\t4M\t*\t0\t0\tACGT\tJJJJ{aux}"
+    bad = [
+        dict(flag=65536, pos=100, mapq=60, aux=""),
+        dict(flag=0, pos=2147483649, mapq=60, aux=""),
+        dict(flag=0, pos=100, mapq=256, aux=""),
+        dict(flag=0, pos=100, mapq=60, aux="\tXN:i:4294967296"),
+        dict(flag=0, pos=100, mapq=60, aux="\tXN:i:-2147483649"),
+        dict(flag=0, pos=100, mapq=60,
+             aux="\tXN:i:99999999999999999999999"),
+    ]
+    for kw in bad:
+        line = (base.format(**kw) + "\n").encode()
+        with pytest.raises(IOError):
+            native.sam_to_bam(np.frombuffer(line, np.uint8),
+                              hdr.ref_names)
+    ok = (base.format(flag=65535, pos=100, mapq=255,
+                      aux="\tXN:i:4294967295") + "\n").encode()
+    assert len(native.sam_to_bam(np.frombuffer(ok, np.uint8),
+                                 hdr.ref_names)) > 0
