@@ -1599,7 +1599,10 @@ int parse_sam_line(const char* p, const char* end, SamParseCtx* ctx,
     while (c < fe[5]) {
       uint32_t n = 0;
       if (*c < '0' || *c > '9') return -1;
-      while (c < fe[5] && *c >= '0' && *c <= '9') n = n * 10 + (*c++ - '0');
+      while (c < fe[5] && *c >= '0' && *c <= '9') {
+        n = n * 10 + (uint32_t)(*c++ - '0');
+        if (n > (1u << 28) - 1) return -1;  // 28-bit op length (sam.c:2873)
+      }
       if (c >= fe[5]) return -1;
       int8_t op = kCigEnc.t[(uint8_t)*c++];
       if (op < 0) return -1;
