@@ -5822,12 +5822,15 @@ static inline bool parse_i64(const Field& f, int64_t* v) {
   bool neg = false;
   if (*p == '-') { neg = true; p++; } else if (*p == '+') p++;
   if (p == e) return false;
-  int64_t x = 0;
+  uint64_t x = 0;
   for (; p < e; p++) {
     if (*p < '0' || *p > '9') return false;
-    x = x * 10 + (*p - '0');
+    uint64_t d = (uint64_t)(*p - '0');
+    if (x > (UINT64_MAX - d) / 10) return false;  // overflow -> parse error
+    x = x * 10 + d;
   }
-  *v = neg ? -x : x;
+  if (x > (uint64_t)INT64_MAX) return false;
+  *v = neg ? -(int64_t)x : (int64_t)x;
   return true;
 }
 
@@ -5862,6 +5865,8 @@ static bool parse_gt(const Field& f, std::vector<int64_t>* vals, bool v44) {
     int64_t al = 0;
     while (i < f.n && f.p[i] >= '0' && f.p[i] <= '9') {
       al = al * 10 + (f.p[i] - '0');
+      // allele bound (vcf.c:3480 max check): overflow -> parse error
+      if (al > (INT32_MAX >> 1) - 1) return false;
       i++;
     }
     vals->push_back(((al + 1) << 1) | phased);

@@ -422,6 +422,9 @@ class BcfRecord:
                 while j < n and r[j].isdigit():
                     j += 1
                 allele = int(r[i:j])
+                if allele > (0x7FFFFFFF >> 1) - 1:
+                    # allele bound (vcf.c:3480): too large to encode
+                    raise ValueError(f"GT allele too large: {r!r}")
                 vals.append(((allele + 1) << 1) | phased)
                 i = j
         if v44 and not explicit and vals:
