@@ -420,8 +420,18 @@ class CramEncoder:
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
         self.metrics = CodecMetrics(v31=version >= (3, 1))
+        # challenger-codec trial cache (FQZ on QS, TOK3 on RN): like
+        # cram_metrics, the expensive candidate is re-tried only every
+        # TRIAL_EVERY containers and the winner is reused in between
+        # (cram_compress_block3's periodic revised trials,
+        # cram_io.c:2137-2153)
+        self._challenger: Dict[str, Dict[str, object]] = {
+            "fqz": {"n": 0, "use": None},
+            "tok3": {"n": 0, "use": None},
+        }
         import threading as _threading
         self._refs_lock = _threading.Lock()
+        self._chal_lock = _threading.Lock()
         self.vv = varint_vec(version[0])
         self.v4 = version[0] >= 4
         self._write_file_def()
@@ -899,24 +909,44 @@ class CramEncoder:
                     pass
             elif (self.version >= (3, 1) and cid == SERIES["QS"]
                     and len(data) >= 512 and sum(qs_lens) == len(data)):
-                # fqzcomp quality model (FQZ, cram_io.c:1821)
+                # fqzcomp quality model (FQZ, cram_io.c:1821), trialled
+                # periodically against the metrics winner
                 from htslib_tpu.cram.structs import FQZ
-                try:
-                    f = _fqz_compress(data, qs_lens)
-                    if len(f) < len(comp):
-                        method, comp = FQZ, f
-                except ValueError:
-                    pass
+                with self._chal_lock:
+                    st = self._challenger["fqz"]
+                    n = st["n"]; st["n"] = n + 1
+                    trial = st["use"] is None or                         n % CodecMetrics.TRIAL_EVERY == 0
+                    use = st["use"]
+                if trial or use:
+                    try:
+                        f = _fqz_compress(data, qs_lens)
+                        if trial:
+                            with self._chal_lock:
+                                self._challenger["fqz"]["use"] =                                     len(f) < len(comp)
+                        if len(f) < len(comp) or (use and not trial):
+                            method, comp = FQZ, f
+                    except ValueError:
+                        pass
             if (self.version >= (3, 1) and cid == SERIES["RN"]
                     and len(data) >= 64):
-                # name tokeniser for the read-name series (TOK3)
+                # name tokeniser for the read-name series (TOK3),
+                # same periodic trial
                 from htslib_tpu.cram.structs import TOK3
-                try:
-                    t = _tok3_encode(data)
-                    if len(t) < len(comp):
-                        method, comp = TOK3, t
-                except ValueError:
-                    pass
+                with self._chal_lock:
+                    st = self._challenger["tok3"]
+                    n = st["n"]; st["n"] = n + 1
+                    trial = st["use"] is None or                         n % CodecMetrics.TRIAL_EVERY == 0
+                    use = st["use"]
+                if trial or use:
+                    try:
+                        t = _tok3_encode(data)
+                        if trial:
+                            with self._chal_lock:
+                                self._challenger["tok3"]["use"] =                                     len(t) < len(comp)
+                        if len(t) < len(comp) or (use and not trial):
+                            method, comp = TOK3, t
+                    except ValueError:
+                        pass
             _write_block(blocks, method, CT_EXTERNAL, cid, data,
                          precompressed=comp if method != RAW else None,
                          vv=vv)
