@@ -169,7 +169,7 @@ class CramWriter:
     def __init__(self, dst, header, ref=None, embed_ref=0, lossy_names=0,
                  version=(3, 0), write_index=False, slices_per_container=1,
                  seqs_per_slice=10000, nthreads=None,
-                 device_profile=False):
+                 device_profile=False, profile=None):
         from htslib_tpu.cram.encode import CramEncoder
         self._enc = CramEncoder(dst, header, ref=ref, embed_ref=embed_ref,
                                 lossy_names=lossy_names, version=version,
@@ -177,7 +177,8 @@ class CramWriter:
                                 slices_per_container=slices_per_container,
                                 seqs_per_slice=seqs_per_slice,
                                 nthreads=nthreads,
-                                device_profile=device_profile)
+                                device_profile=device_profile,
+                                profile=profile)
         self.header = header
 
     def write(self, rec: BamRecord) -> None:

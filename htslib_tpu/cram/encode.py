@@ -125,10 +125,10 @@ def _fqz_compress(data: bytes, lens) -> bytes:
     return fqzcomp.compress(data, list(lens))
 
 
-def _tok3_encode(data: bytes) -> bytes:
+def _tok3_encode(data: bytes, use_arith: int = 0) -> bytes:
     from htslib_tpu.native import native
     if native is not None:
-        return native.tok3_encode(data, 0)
+        return native.tok3_encode(data, use_arith)
     from htslib_tpu.codecs import tok3
     return tok3.encode_names(data.split(b"\0")[:-1])
 
@@ -149,17 +149,22 @@ def _arith_compress(data: bytes, order: int) -> bytes:
     return arith.compress(data, order)
 
 
-def _gzip_compress(data: bytes) -> bytes:
+def _gzip_compress(data: bytes, level: int = 6) -> bytes:
     """GZIP block method (cram/cram_io.c:1604): native libdeflate when
     available (~2-3x zlib), zlib wbits-31 fallback."""
     from htslib_tpu.native import native
     if native is not None:
         try:
-            return native.gzip_compress(data, 6)
+            return native.gzip_compress(data, level)
         except (ValueError, AttributeError):
             pass
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    co = zlib.compressobj(min(level, 9), zlib.DEFLATED, 31)
     return co.compress(data) + co.flush()
+
+
+# reference meth_cost values by block method id (cram_io.c:2115-2153)
+_METHOD_COST = {0: 1.0, 1: 1.04, 2: 1.07, 3: 1.08, 4: 1.0, 5: 1.005,
+                6: 1.04, 7: 1.05, 8: 1.05}
 
 
 class RawRun:
@@ -217,13 +222,20 @@ class CodecMetrics:
 
     TRIAL_EVERY = 32
     CANDIDATES = ("rans0", "rans1", "gzip", "raw")
-    CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack", "arith1")
+    CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack")
 
-    def __init__(self, v31: bool = False):
+    def __init__(self, v31: bool = False, use_bz2: bool = False,
+                 use_arith: bool = False, level: int = 6):
         import threading
         self.best: Dict[int, str] = {}
         self.count: Dict[int, int] = defaultdict(int)
-        self.candidates = self.CANDIDATES_V31 if v31 else self.CANDIDATES
+        self.level = level
+        cands = self.CANDIDATES_V31 if v31 else self.CANDIDATES
+        if v31 and use_arith:
+            cands = cands + ("arith1",)
+        if use_bz2:
+            cands = cands + ("bzip2",)
+        self.candidates = cands
         # container builds run concurrently (cram_flush_container_mt);
         # the trial bookkeeping is shared per-fd state (cram_structs.h:868
         # metrics_lock)
@@ -250,10 +262,12 @@ class CodecMetrics:
         outs = {}
         for cand in self.candidates:
             m, comp = self._apply(cand, probe)
-            # mild cost weighting: raw is free, rans cheap, gzip slower
-            weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.03,
-                      "gzip": 1.05, "r16o0": 1.0, "r16o1": 1.03,
-                      "r16pack": 1.02, "arith1": 1.12}[cand]
+            # the reference's relative method costs (meth_cost,
+            # cram_io.c:2115-2153)
+            weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.01,
+                      "gzip": 1.04, "r16o0": 1.0, "r16o1": 1.01,
+                      "r16pack": 1.01, "arith1": 1.04,
+                      "bzip2": 1.07}[cand]
             sizes[cand] = len(comp) * weight
             outs[cand] = (m, comp)
         winner = min(sizes, key=sizes.get)
@@ -262,12 +276,16 @@ class CodecMetrics:
             return self._apply(winner, data)
         return outs[winner]
 
-    @staticmethod
-    def _apply(cand: str, data: bytes) -> Tuple[int, bytes]:
+    def _apply(self, cand: str, data: bytes) -> Tuple[int, bytes]:
         if cand == "raw":
             return RAW, data
         if cand == "gzip":
-            return GZIP, _gzip_compress(data)
+            return GZIP, _gzip_compress(data, self.level)
+        if cand == "bzip2":
+            import bz2 as _bz2
+
+            from htslib_tpu.cram.structs import BZIP2
+            return BZIP2, _bz2.compress(data, 9)
         if cand.startswith("r16"):
             from htslib_tpu.cram.structs import RANSPR
             fl = {"r16o0": 0, "r16o1": 1, "r16pack": 0x81}[cand]
@@ -358,8 +376,18 @@ class CramEncoder:
                  nthreads: Optional[int] = None,
                  lossy_names: int = 0, write_index: bool = False,
                  slices_per_container: int = 1,
-                 device_profile: bool = False):
+                 device_profile: bool = False,
+                 profile: Optional[str] = None):
         self.fp = hopen(dst, "wb") if isinstance(dst, str) else dst
+        # codec enables follow the reference defaults (cram_io.c:5370):
+        # name tokeniser on for >= 3.1, fqzcomp/arith/bz2 off until a
+        # profile (or explicit option) turns them on
+        self.use_tok = version >= (3, 1)
+        self.use_fqz = False
+        self._use_bz2 = False
+        self._use_arith = False
+        self._level = 6
+        self._profile_pending = profile
         # TPU-serving profile: pin the QS series to 32-way order-0 rANS
         # Nx16 (valid 3.1 wire, readable by any decoder) so quality data
         # is decodable by the on-chip pipeline (ops/device_stats.py)
@@ -419,7 +447,12 @@ class CramEncoder:
         self.flush_window = 3
         self.rg_ids = {ln.get("ID"): i for i, ln in
                        enumerate(l for l in header.lines if l.type == "RG")}
-        self.metrics = CodecMetrics(v31=version >= (3, 1))
+        self.metrics = CodecMetrics(v31=version >= (3, 1),
+                                    use_bz2=self._use_bz2,
+                                    use_arith=self._use_arith,
+                                    level=self._level)
+        if self._profile_pending is not None:
+            self.set_profile(self._profile_pending)
         # challenger-codec trial cache (FQZ on QS, TOK3 on RN): like
         # cram_metrics, the expensive candidate is re-tried only every
         # TRIAL_EVERY containers and the winner is reused in between
@@ -438,6 +471,35 @@ class CramEncoder:
         self._write_header_container()
 
     # ------------------------------------------------------------------
+    def set_profile(self, profile: str) -> None:
+        """CRAM_OPT_PROFILE (cram_io.c:5915-5946): fast/normal/small/
+        archive adjust the gzip level, the enabled codecs (bz2, fqz,
+        arith, name tokeniser) and the default slice size."""
+        if profile == "normal":
+            return
+        if profile == "fast":
+            self._level = 1
+            self.use_tok = False
+        elif profile == "small":
+            self._level = 6
+            self._use_bz2 = True
+            self.use_fqz = True
+            if self.seqs_per_slice == 10000:
+                self.seqs_per_slice = 25000
+        elif profile == "archive":
+            self._level = 7
+            self._use_bz2 = True
+            self.use_fqz = True
+            self._use_arith = True
+            if self.seqs_per_slice == 10000:
+                self.seqs_per_slice = 100000
+        else:
+            raise ValueError(f"unknown CRAM profile {profile!r}")
+        self.metrics = CodecMetrics(v31=self.version >= (3, 1),
+                                    use_bz2=self._use_bz2,
+                                    use_arith=self._use_arith,
+                                    level=self._level)
+
     def _write_file_def(self):
         self.fp.write(b"CRAM" + bytes(self.version) + b"htslib_tpu".ljust(20, b"\0"))
 
@@ -907,7 +969,8 @@ class CramEncoder:
                     method, comp = RANSPR, _rans4x16_compress(data, 0x04)
                 except (ValueError, ZeroDivisionError):
                     pass
-            elif (self.version >= (3, 1) and cid == SERIES["QS"]
+            elif (self.use_fqz and self.version >= (3, 1)
+                    and cid == SERIES["QS"]
                     and len(data) >= 512 and sum(qs_lens) == len(data)):
                 # fqzcomp quality model (FQZ, cram_io.c:1821), trialled
                 # periodically against the metrics winner
@@ -920,14 +983,19 @@ class CramEncoder:
                 if trial or use:
                     try:
                         f = _fqz_compress(data, qs_lens)
+                        # weighted vs the incumbent method's cost
+                        # (meth_cost, cram_io.c:2115: fqz 1.05)
+                        wins = (len(f) * 1.05
+                                < len(comp) * _METHOD_COST.get(method, 1.0))
                         if trial:
                             with self._chal_lock:
-                                self._challenger["fqz"]["use"] =                                     len(f) < len(comp)
-                        if len(f) < len(comp) or (use and not trial):
+                                self._challenger["fqz"]["use"] = wins
+                        if wins or (use and not trial):
                             method, comp = FQZ, f
                     except ValueError:
                         pass
-            if (self.version >= (3, 1) and cid == SERIES["RN"]
+            if (self.use_tok and self.version >= (3, 1)
+                    and cid == SERIES["RN"]
                     and len(data) >= 64):
                 # name tokeniser for the read-name series (TOK3),
                 # same periodic trial
@@ -940,10 +1008,23 @@ class CramEncoder:
                 if trial or use:
                     try:
                         t = _tok3_encode(data)
+                        cost = len(t) * 1.05       # tok3-rans cost
+                        if self._use_arith:
+                            # TOKA, the arith-strat tokeniser (cost
+                            # 1.07, cram_io.c:1885): trialled alongside
+                            # under use_arith, same wire method id
+                            try:
+                                ta = _tok3_encode(data, 1)
+                                if len(ta) * 1.07 < cost:
+                                    t, cost = ta, len(ta) * 1.07
+                            except ValueError:
+                                pass
+                        wins = (cost
+                                < len(comp) * _METHOD_COST.get(method, 1.0))
                         if trial:
                             with self._chal_lock:
-                                self._challenger["tok3"]["use"] =                                     len(t) < len(comp)
-                        if len(t) < len(comp) or (use and not trial):
+                                self._challenger["tok3"]["use"] = wins
+                        if wins or (use and not trial):
                             method, comp = TOK3, t
                     except ValueError:
                         pass

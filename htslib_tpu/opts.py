@@ -123,6 +123,8 @@ def hts_opt_apply(obj, opts: Optional[HtsOptList]) -> None:
             obj._enc.embed_ref = int(val)
         elif key == "lossy_names" and hasattr(obj, "_enc"):
             obj._enc.lossy_names = int(val)
+        elif key == "profile" and hasattr(obj, "_enc"):
+            obj._enc.set_profile(str(val))
         elif key == "no_ref" and hasattr(obj, "_enc"):
             if val:
                 obj._enc.refs = None

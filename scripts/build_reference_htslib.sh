@@ -18,21 +18,40 @@ if [ ! -x "$BUILD/test/test_view" ]; then
     rm -rf "$BUILD"
     cp -r "$REF" "$BUILD"
     mkdir -p "$BUILD/htscodecs/htscodecs"
+    # the image ships libbz2.so.1 but no dev headers; a two-prototype
+    # bzlib.h + linking the runtime .so directly gives the reference
+    # build its bzip2 CRAM block method for interop coverage
+    cat > "$BUILD/bzlib.h" <<'BZEOF'
+#ifndef HTSBUILD_BZLIB_SHIM_H
+#define HTSBUILD_BZLIB_SHIM_H
+#define BZ_OK 0
+#define BZ_RUN_OK 1
+#define BZ_MEM_ERROR (-3)
+int BZ2_bzBuffToBuffCompress(char* dest, unsigned int* destLen,
+                             char* source, unsigned int sourceLen,
+                             int blockSize100k, int verbosity,
+                             int workFactor);
+int BZ2_bzBuffToBuffDecompress(char* dest, unsigned int* destLen,
+                               char* source, unsigned int sourceLen,
+                               int small, int verbosity);
+#endif
+BZEOF
     cp "$REPO"/htslib_tpu/native/htscodecs_shim/*.c \
        "$REPO"/htslib_tpu/native/htscodecs_shim/*.h \
        "$BUILD/htscodecs/htscodecs/"
     cat > "$BUILD/config.mk" <<'EOF'
 CC = gcc
 CFLAGS = -g -O2 -fvisibility=hidden
-CPPFLAGS = -DHAVE_LIBDEFLATE -DHAVE_LIBLZMA -DHAVE_DRAND48
+CPPFLAGS = -DHAVE_LIBDEFLATE -DHAVE_LIBLZMA -DHAVE_LIBBZ2 -DHAVE_DRAND48 -I.
 LDFLAGS =
-LIBS = -ldeflate -lz -llzma -lm -lpthread
+LIBS = -ldeflate -lz -llzma /usr/lib/x86_64-linux-gnu/libbz2.so.1 -lm -lpthread
 plugindir =
 NONCONFIGURE_OBJS =
 EOF
     cat > "$BUILD/config.h" <<'EOF'
 #define HAVE_LIBDEFLATE 1
 #define HAVE_LIBLZMA 1
+#define HAVE_LIBBZ2 1
 #define HAVE_DRAND48 1
 #define HAVE_FSEEKO 1
 #define HAVE_INTTYPES_H 1

@@ -184,30 +184,63 @@ def test_we_read_htslib_cram31(sam, profile, tmp_path):
 
 
 def test_fqz_tok3_actually_used(tmp_path):
-    """The 3.1 encoder must actually emit FQZ and TOK3 blocks (not fall
-    back to rANS) on realistic many-record data."""
+    """The 3.1 encoder must actually emit TOK3 blocks under the archive
+    profile (fqz/tok3 are profile codecs, off by default like the
+    reference's use_fqz/use_tok flags, cram_io.c:5370), and FQZ blocks
+    when the quality data favours its context model.  On ce#1000 the
+    reference's own archive output picks arith over fqz for QS, so the
+    FQZ assertion uses position-correlated synthetic qualities."""
+    import numpy as np
+
     src = os.path.join(REF_TEST, "ce#1000.sam")
     out = str(tmp_path / "m31.cram")
     with SamReader(src) as sr:
         recs = list(sr)
         hdr = sr.header
     with CramWriter(out, hdr, ref=os.path.join(REF_TEST, "ce.fa"),
-                    version=(3, 1)) as cw:
+                    version=(3, 1), profile="archive") as cw:
         for r in recs:
             cw.write(r)
-    from htslib_tpu.cram.io import CramIO, read_file_definition
-    methods = set()
-    with open(out, "rb") as fh:
-        version, _ = read_file_definition(fh)
-        cio = CramIO(fh, version)
-        while True:
-            cont = cio.read_container_header()
-            if cont is None or cont.ref_seq_id == -1 and cont.num_blocks == 0:
-                break
-            end = fh.tell() + cont.length
-            while fh.tell() < end:
-                blk = cio.read_block()
-                methods.add(blk.method)
+
+    def methods_of(path):
+        from htslib_tpu.cram.io import CramIO, read_file_definition
+        methods = set()
+        with open(path, "rb") as fh:
+            version, _ = read_file_definition(fh)
+            cio = CramIO(fh, version)
+            while True:
+                cont = cio.read_container_header()
+                if cont is None or (cont.ref_seq_id == -1
+                                    and cont.num_blocks == 0):
+                    break
+                end = fh.tell() + cont.length
+                while fh.tell() < end:
+                    blk = cio.read_block()
+                    methods.add(blk.method)
+        return methods
+
     from htslib_tpu.cram.structs import FQZ, TOK3
-    assert TOK3 in methods
-    assert FQZ in methods
+    assert TOK3 in methods_of(out)
+
+    # FQZ: position-correlated qualities (its context model's home turf)
+    from htslib_tpu.sam import SamHeader
+    from htslib_tpu.sam.record import BamRecord
+    rng = np.random.default_rng(7)
+    h2 = SamHeader("@SQ\tSN:c1\tLN:100000\n")
+    L = 100
+    base = (38 - (np.arange(L) * 12) // L).astype(np.int32)
+    out2 = str(tmp_path / "fqz31.cram")
+    with CramWriter(out2, h2, version=(3, 1), profile="archive") as cw:
+        for i in range(2000):
+            q = np.clip(base + rng.integers(-2, 3, L), 2, 40)
+            qual = "".join(chr(33 + int(x)) for x in q)
+            seq = "".join("ACGT"[int(x)] for x in rng.integers(0, 4, L))
+            cw.write(BamRecord.from_sam(
+                f"r{i}\t0\tc1\t{1 + i * 3}\t60\t{L}M\t*\t0\t0\t"
+                f"{seq}\t{qual}", h2))
+    assert FQZ in methods_of(out2)
+
+    # both files round-trip through the reference decoder
+    for f in (out, out2):
+        p = subprocess.run([TV, f], capture_output=True, timeout=120)
+        assert p.returncode == 0, p.stderr[:300]
