@@ -286,3 +286,40 @@ def test_multi_slice_containers(tmp_path):
         want = [rec.to_sam(hdr) for rec in recs
                 if rec.tid == 0 and rec.pos < 1500 and rec.endpos() > 900]
         assert sub == want
+
+
+def test_cram_profiles_matrix(tmp_path):
+    """CRAM_OPT_PROFILE settings (cram_io.c:5915): every profile
+    round-trips exactly, denser profiles do not grow the file, and the
+    codec enables follow the reference (fast drops the tokeniser,
+    small/archive enable bz2+fqz, archive adds arith)."""
+    import os
+
+    from htslib_tpu.cram import CramReader, CramWriter
+    from htslib_tpu.sam import SamReader
+    from tests.conftest import ref_path
+
+    with SamReader(ref_path("ce#1000.sam")) as sr:
+        recs = list(sr)
+        hdr = sr.header
+    want = [r.to_sam(hdr) for r in recs]
+    sizes = {}
+    for prof in ("fast", "normal", "small", "archive"):
+        out = str(tmp_path / f"{prof}.cram")
+        with CramWriter(out, hdr, ref=ref_path("ce.fa"),
+                        version=(3, 1), profile=prof) as cw:
+            enc = cw._enc
+            if prof == "fast":
+                assert not enc.use_tok and enc._level == 1
+            if prof in ("small", "archive"):
+                assert enc._use_bz2 and enc.use_fqz
+            if prof == "archive":
+                assert enc._use_arith
+            for r in recs:
+                cw.write(r)
+        sizes[prof] = os.path.getsize(out)
+        with CramReader(out, ref=ref_path("ce.fa")) as cr:
+            got = [rec.to_sam(cr.header) for rec in cr]
+        assert got == want, prof
+    assert sizes["archive"] < sizes["small"] <= sizes["normal"] \
+        < sizes["fast"]
