@@ -500,6 +500,15 @@ class CramEncoder:
                                     use_arith=self._use_arith,
                                     level=self._level)
 
+    def set_level(self, level: int) -> None:
+        """CRAM_OPT_COMPRESSION_LEVEL: gzip block level (and, past 7,
+        the lzma enable in the reference; we cap at libdeflate 12)."""
+        self._level = max(1, min(int(level), 12))
+        self.metrics = CodecMetrics(v31=self.version >= (3, 1),
+                                    use_bz2=self._use_bz2,
+                                    use_arith=self._use_arith,
+                                    level=self._level)
+
     def _write_file_def(self):
         self.fp.write(b"CRAM" + bytes(self.version) + b"htslib_tpu".ljust(20, b"\0"))
 

@@ -125,6 +125,8 @@ def hts_opt_apply(obj, opts: Optional[HtsOptList]) -> None:
             obj._enc.lossy_names = int(val)
         elif key == "profile" and hasattr(obj, "_enc"):
             obj._enc.set_profile(str(val))
+        elif key == "level" and hasattr(obj, "_enc"):
+            obj._enc.set_level(int(val))
         elif key == "no_ref" and hasattr(obj, "_enc"):
             if val:
                 obj._enc.refs = None
