@@ -6146,12 +6146,13 @@ int64_t htstpu_vcf_parse(
             n_fmt++;
             enc_size(indiv, (int64_t)width, BT_CHAR);
             for (int32_t s = 0; s < n_samples; s++) {
+              // a missing/'.' sample stores the literal '.' byte like
+              // the reference text parse (vcf.c:3541); bcf_str_missing
+              // 0x07 is written only by the update API, and the
+              // reference prints 0x07 back as an EMPTY value
               size_t ln = 0;
-              if (!strs[s].p) {
-                indiv.putc((char)0x07);   // STR_MISSING
-                ln = 1;
-              } else if (strs[s].n == 1 && strs[s].p[0] == '.') {
-                indiv.putc((char)0x07);
+              if (!strs[s].p || strs[s].n == 0) {
+                indiv.putc('.');
                 ln = 1;
               } else {
                 indiv.put(strs[s].p, strs[s].n);

@@ -380,14 +380,17 @@ class BcfRecord:
                         arr[si, :len(p)] = p
                 self.fmt.append(FmtEntry(kid, BCF_HT_REAL, arr))
             else:
-                svals = [b"." if r is None else r.encode() for r in raw]
+                # a missing/'.' sample value is stored as the literal
+                # '.' byte, exactly like the text parse leg (vcf.c:3541
+                # copies the char; bcf_str_missing 0x07 is only written
+                # by the update API) — the reference prints 0x07 as
+                # empty, so matching the wire matters for interop
+                svals = [b"." if r is None or r == "" else r.encode()
+                         for r in raw]
                 width = max((len(s) for s in svals), default=1) or 1
                 arr = np.zeros((n_sample, width), np.uint8)
                 for si, s in enumerate(svals):
-                    if s == b".":
-                        arr[si, 0] = STR_MISSING
-                    else:
-                        arr[si, :len(s)] = np.frombuffer(s, np.uint8)
+                    arr[si, :len(s)] = np.frombuffer(s, np.uint8)
                 self.fmt.append(FmtEntry(kid, BCF_HT_STR, arr))
 
     @staticmethod

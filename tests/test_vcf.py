@@ -556,3 +556,100 @@ def test_vcf44_gt_differential_fuzz(tmp_path):
                 else text)
         got = [l for l in text.splitlines() if not l.startswith("#")]
         assert got == want, trial
+
+
+@pytest.mark.skipif(not os.path.exists(
+    os.path.join(os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+                 "test", "test_view")), reason="reference htslib not built")
+def test_vcf_differential_fuzz(tmp_path):
+    """Random VCF records (INFO/FORMAT zoo incl. missing '.' strings,
+    symbolic alleles, negative and vector ints, missing floats)
+    compared three ways per trial: reference vcf->vcf text, the
+    reference reading OUR BCF, and our own BCF->VCF — all three must
+    print identically.  Caught the FORMAT-string missing-value wire
+    divergence (literal '.' vs bcf_str_missing 0x07)."""
+    import random
+    import subprocess
+
+    from htslib_tpu.vcf.io import bcf_file_to_vcf, vcf_file_to_bcf
+
+    tv = os.path.join(os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+                      "test", "test_view")
+    rnd = random.Random(31337)
+    hdr = ("##fileformat=VCFv4.2\n"
+           "##contig=<ID=1,length=100000>\n##contig=<ID=2,length=50000>\n"
+           '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+           '##INFO=<ID=AF,Number=A,Type=Float,Description="f">\n'
+           '##INFO=<ID=AA,Number=1,Type=String,Description="s">\n'
+           '##INFO=<ID=DB,Number=0,Type=Flag,Description="g">\n'
+           '##INFO=<ID=NL,Number=.,Type=Integer,Description="l">\n'
+           '##FILTER=<ID=q10,Description="q">\n'
+           '##FILTER=<ID=s50,Description="s">\n'
+           '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+           '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+           '##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="h">\n'
+           '##FORMAT=<ID=TS,Number=1,Type=String,Description="t">\n'
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+           "\tS1\tS2\n")
+
+    def rand_rec(i):
+        alt = rnd.choice(["T", "G,C", "<DEL>", "*", "TA"])
+        infos = []
+        if rnd.random() < .7:
+            infos.append("DP=%d" % rnd.randint(-100, 10000))
+        if rnd.random() < .5:
+            na = alt.count(",") + 1
+            infos.append("AF=" + ",".join(
+                rnd.choice(["0.5", ".", "1e-3", "-0.25"])
+                for _ in range(na)))
+        if rnd.random() < .4:
+            infos.append("AA=" + rnd.choice(["T", "xyz", "?"]))
+        if rnd.random() < .3:
+            infos.append("DB")
+        if rnd.random() < .3:
+            infos.append("NL=" + ",".join(
+                str(rnd.randint(-1000, 1000))
+                for _ in range(rnd.randint(1, 4))))
+        fmts = ["GT"]
+        s1 = [rnd.choice(["0/1", "1|0", ".", "0", "1/2"])]
+        s2 = [rnd.choice(["0/0", "./.", "1"])]
+        if rnd.random() < .6:
+            fmts.append("DP")
+            s1.append(str(rnd.randint(0, 99)))
+            s2.append(rnd.choice([".", "7"]))
+        if rnd.random() < .4:
+            fmts.append("HQ")
+            s1.append("%d,%d" % (rnd.randint(0, 60), rnd.randint(0, 60)))
+            s2.append(rnd.choice([".,.", "3,4", "."]))
+        if rnd.random() < .3:
+            fmts.append("TS")
+            s1.append(rnd.choice(["abc", "?", "x~y"]))
+            s2.append(rnd.choice(["zz", "."]))
+        return "\t".join(["1", str(rnd.randint(1, 90000)),
+                          rnd.choice([".", f"rs{i}"]),
+                          rnd.choice(["A", "C", "GT", "ACGT"]), alt,
+                          rnd.choice([".", "0", "29", "3.14"]),
+                          rnd.choice([".", "PASS", "q10", "q10;s50"]),
+                          ";".join(infos) if infos else ".",
+                          ":".join(fmts), ":".join(s1), ":".join(s2)])
+
+    for trial in range(5):
+        vcf = str(tmp_path / "f.vcf")
+        open(vcf, "w").write(hdr + "".join(
+            rand_rec(i) + "\n" for i in range(150)))
+        r1 = subprocess.run([tv, vcf], capture_output=True, timeout=60)
+        if r1.returncode != 0:
+            continue
+        want = [l for l in r1.stdout.decode().splitlines()
+                if not l.startswith("#")]
+        bcf = str(tmp_path / "f.bcf")
+        vcf_file_to_bcf(vcf, bcf)
+        r2 = subprocess.run([tv, bcf], capture_output=True, timeout=60)
+        assert r2.returncode == 0, r2.stderr[:300]
+        assert [l for l in r2.stdout.decode().splitlines()
+                if not l.startswith("#")] == want, trial
+        _, text = bcf_file_to_vcf(bcf)
+        text = (text.decode() if isinstance(text, (bytes, bytearray))
+                else text)
+        assert [l for l in text.splitlines()
+                if not l.startswith("#")] == want, trial
