@@ -225,7 +225,8 @@ class CodecMetrics:
     CANDIDATES_V31 = CANDIDATES + ("r16o0", "r16o1", "r16pack")
 
     def __init__(self, v31: bool = False, use_bz2: bool = False,
-                 use_arith: bool = False, level: int = 6):
+                 use_arith: bool = False, level: int = 6,
+                 use_lzma: bool = False):
         import threading
         self.best: Dict[int, str] = {}
         self.count: Dict[int, int] = defaultdict(int)
@@ -235,6 +236,8 @@ class CodecMetrics:
             cands = cands + ("arith1",)
         if use_bz2:
             cands = cands + ("bzip2",)
+        if use_lzma:
+            cands = cands + ("lzma",)
         self.candidates = cands
         # container builds run concurrently (cram_flush_container_mt);
         # the trial bookkeeping is shared per-fd state (cram_structs.h:868
@@ -267,7 +270,7 @@ class CodecMetrics:
             weight = {"raw": 1.0, "rans0": 1.0, "rans1": 1.01,
                       "gzip": 1.04, "r16o0": 1.0, "r16o1": 1.01,
                       "r16pack": 1.01, "arith1": 1.04,
-                      "bzip2": 1.07}[cand]
+                      "bzip2": 1.07, "lzma": 1.08}[cand]
             sizes[cand] = len(comp) * weight
             outs[cand] = (m, comp)
         winner = min(sizes, key=sizes.get)
@@ -286,6 +289,11 @@ class CodecMetrics:
 
             from htslib_tpu.cram.structs import BZIP2
             return BZIP2, _bz2.compress(data, 9)
+        if cand == "lzma":
+            import lzma as _lzma
+
+            from htslib_tpu.cram.structs import LZMA
+            return LZMA, _lzma.compress(data, format=_lzma.FORMAT_XZ)
         if cand.startswith("r16"):
             from htslib_tpu.cram.structs import RANSPR
             fl = {"r16o0": 0, "r16o1": 1, "r16pack": 0x81}[cand]
@@ -386,6 +394,7 @@ class CramEncoder:
         self.use_fqz = False
         self._use_bz2 = False
         self._use_arith = False
+        self._archive = False
         self._level = 6
         self._profile_pending = profile
         # TPU-serving profile: pin the QS series to 32-way order-0 rANS
@@ -477,6 +486,7 @@ class CramEncoder:
         arith, name tokeniser) and the default slice size."""
         if profile == "normal":
             return
+        self._archive = profile == "archive"
         if profile == "fast":
             self._level = 1
             self.use_tok = False
@@ -495,19 +505,22 @@ class CramEncoder:
                 self.seqs_per_slice = 100000
         else:
             raise ValueError(f"unknown CRAM profile {profile!r}")
-        self.metrics = CodecMetrics(v31=self.version >= (3, 1),
-                                    use_bz2=self._use_bz2,
-                                    use_arith=self._use_arith,
-                                    level=self._level)
+        self._rebuild_metrics()
 
     def set_level(self, level: int) -> None:
         """CRAM_OPT_COMPRESSION_LEVEL: gzip block level (and, past 7,
         the lzma enable in the reference; we cap at libdeflate 12)."""
         self._level = max(1, min(int(level), 12))
+        self._rebuild_metrics()
+
+    def _rebuild_metrics(self) -> None:
+        # archive at level > 7 also enables lzma (cram_io.c:5938)
         self.metrics = CodecMetrics(v31=self.version >= (3, 1),
                                     use_bz2=self._use_bz2,
                                     use_arith=self._use_arith,
-                                    level=self._level)
+                                    level=self._level,
+                                    use_lzma=self._archive
+                                    and self._level > 7)
 
     def _write_file_def(self):
         self.fp.write(b"CRAM" + bytes(self.version) + b"htslib_tpu".ljust(20, b"\0"))
