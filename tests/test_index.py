@@ -239,3 +239,32 @@ def test_parse_region_reference_battery():
             assert got is None, (reg, flags, got)
         else:
             assert got is not None and got[:3] == want, (reg, flags, got)
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(
+    os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+    "test", "test_view")), reason="reference htslib not built")
+def test_region_query_differential_fuzz():
+    """Random region queries on range.bam: our indexed fetch must
+    return exactly what the reference's test_view prints for the same
+    region string."""
+    import random
+    import subprocess
+
+    tv = os.path.join(os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build"),
+                      "test", "test_view")
+    rnd = random.Random(4242)
+    idx = HtsIndex.load(ref_path("range.bam.bai"))
+    with BamReader(ref_path("range.bam")) as r:
+        names = list(r.header.ref_names)
+    for _ in range(25):
+        reg = "%s:%d-%d" % (rnd.choice(names), (b := rnd.randint(1, 3000)),
+                            b + rnd.randint(0, 2000))
+        p = subprocess.run([tv, ref_path("range.bam"), reg],
+                           capture_output=True, timeout=60)
+        assert p.returncode == 0, (reg, p.stderr[:200])
+        want = [l for l in p.stdout.decode().splitlines()
+                if not l.startswith("@")]
+        with BamReader(ref_path("range.bam")) as r:
+            got = [rec.to_sam(r.header) for rec in bam_fetch(r, idx, reg)]
+        assert got == want, reg
