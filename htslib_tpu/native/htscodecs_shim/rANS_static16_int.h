@@ -50,6 +50,23 @@ int rans32x16_enc_o1_avx2(const uint8_t *in, int64_t n,
                           const int64_t C[256][256], uint8_t **out,
                           size_t *out_len);
 
+/* SSE4.1 tier (rANS_static32x16pr_sse4.c): same contracts as the AVX2
+ * entries; the front end tries AVX2 first, then SSE4, then scalar. */
+int rans32x16_have_sse4(void);
+int rans32x16_dec_o0_sse4(const uint8_t *buf, uint64_t len, uint64_t *p,
+                          int64_t n_out, const int64_t *f,
+                          const int64_t *cum, uint8_t *out);
+int rans32x16_dec_o1_sse4(const uint8_t *buf, uint64_t len, uint64_t *p,
+                          int64_t n_out, const int64_t F[256][256],
+                          const int64_t C[256][256], uint8_t *out);
+int rans32x16_enc_o0_sse4(const uint8_t *in, int64_t n, const int64_t *f,
+                          const int64_t *cum, uint8_t **out,
+                          size_t *out_len);
+int rans32x16_enc_o1_sse4(const uint8_t *in, int64_t n,
+                          const int64_t F[256][256],
+                          const int64_t C[256][256], uint8_t **out,
+                          size_t *out_len);
+
 #ifdef __cplusplus
 }
 #endif

