@@ -198,6 +198,114 @@ def test_two_process_jax_distributed(tmp_path):
     assert g0 == g1 and len(g0.split(",")) == 4
 
 
+_WORKER2 = r'''
+import sys
+pid, nprocs, port, outdir, bam, cram, bcf = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    sys.argv[5], sys.argv[6], sys.argv[7])
+import jax
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nprocs, process_id=pid)
+assert jax.process_count() == nprocs
+
+# 1) CRAM container shard lane: this process's shard only
+from htslib_tpu.parallel.distributed import (decode_cram_shard_to_sam,
+                                             plan_cram_shards)
+cplan = plan_cram_shards(cram, nprocs)
+cblob = decode_cram_shard_to_sam(cplan, cplan.shards[pid])
+open(f"{outdir}/cram{pid}.sam", "wb").write(cblob)
+
+# 2) BCF record shard lane: this process's shard only
+from htslib_tpu.parallel.distributed import (decode_bcf_shard_to_vcf,
+                                             plan_bcf_shards)
+bplan = plan_bcf_shards(bcf, nprocs)
+bblob = decode_bcf_shard_to_vcf(bplan, bplan.shards[pid])
+open(f"{outdir}/bcf{pid}.vcf", "wb").write(bblob)
+
+# 3) flagstat: local shard counters + cross-process reduction
+import numpy as np
+from jax.experimental import multihost_utils
+from htslib_tpu.parallel.distributed import (flagstat_shard,
+                                             plan_bam_shards)
+fplan = plan_bam_shards(bam, nprocs)
+local = flagstat_shard(fplan, fplan.shards[pid])
+summed = np.asarray(multihost_utils.process_allgather(
+    local.astype(np.int64))).sum(axis=0)
+open(f"{outdir}/flagstat{pid}.txt", "w").write(
+    ",".join(map(str, summed.tolist())))
+'''
+
+
+def test_two_process_cram_bcf_flagstat(tmp_path):
+    """Two OS processes under a jax.distributed coordinator run the
+    CRAM container shard lane, the BCF record shard lane, and the
+    shard-parallel flagstat reduction (VERDICT r4 item #8): each lane's
+    concatenated output must equal the single-process result, and both
+    workers must agree on the reduced counters."""
+    from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
+    from htslib_tpu.parallel.distributed import (distributed_flagstat,
+                                                 plan_bam_shards)
+    from htslib_tpu.sam import BamWriter, SamReader
+    from htslib_tpu.vcf import BcfHeader, BcfRecord, BcfWriter
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    src = ref_path("ce#1000.sam")
+    if not os.path.exists(src):
+        pytest.skip("no corpus")
+    bam = str(tmp_path / "t.bam")
+    with SamReader(src) as r:
+        hdr = r.header
+        recs = list(r)
+    with BamWriter(bam, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    cram = str(tmp_path / "t.cram")
+    bam_to_cram_file(bam, cram, seqs_per_slice=100, slices_per_container=1)
+    _, cram_single = cram_file_to_sam(cram)
+    bcf = str(tmp_path / "t.bcf")
+    vhdr = BcfHeader("\n".join([
+        "##fileformat=VCFv4.2", "##contig=<ID=1,length=1000000>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ]) + "\n")
+    with BcfWriter(bcf, vhdr) as w:
+        for i in range(400):
+            w.write(BcfRecord.from_vcf(
+                f"1\t{i * 3 + 1}\t.\tA\tC\t30\t.\tDP={i % 90}\tGT\t0/1",
+                vhdr))
+    _, vcf_single = bcf_file_to_vcf(bcf)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(":")
+                  if p and ".axon_site" not in p])
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER2, str(pid), "2", str(port),
+         str(tmp_path), bam, cram, bcf],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for pid in (0, 1)]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    got_cram = b"".join(
+        open(str(tmp_path / f"cram{i}.sam"), "rb").read() for i in (0, 1))
+    assert got_cram == cram_single.tobytes()
+    got_vcf = b"".join(
+        open(str(tmp_path / f"bcf{i}.vcf"), "rb").read() for i in (0, 1))
+    assert got_vcf == bytes(vcf_single)
+    want_fs = distributed_flagstat(bam, 1)
+    f0 = open(str(tmp_path / "flagstat0.txt")).read()
+    f1 = open(str(tmp_path / "flagstat1.txt")).read()
+    assert f0 == f1
+    assert [int(x) for x in f0.split(",")] == want_fs.tolist()
+
+
 def test_cram_container_shard_plan(tmp_path):
     """CRAM container-offset sharding (SURVEY §2.5 last row): N-shard
     decode concatenates byte-identically to the single-host output, and
