@@ -8,42 +8,104 @@ formatting, byte-exact vs the record-at-a-time reference path.
 Prints ONE JSON line:
   {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": ...}
 
-vs_baseline is measured against the reference htslib built and timed on
-THIS host (scripts/measure_baseline.py -> BASELINE_MEASURED.json,
-16-thread `test_view` BAM->SAM over the same generated input); falls
-back to the BASELINE.json north-star per-chip share (0.625 GB/s) when no
-measured baseline exists.  Device-path numbers (and why the headline
-stays on the host on this rig) live in docs/DEVICE_LIMITS.md and
-scripts/bench_device.py.
+Methodology (round 5, VERDICT r4 item #5): every lane with a reference
+counterpart runs INTERLEAVED best-of-N — reference trial, our trial,
+alternating in the same session — because this VM's speed drifts
+30-40% across a day (BASELINE.md) and only same-session pairs are
+comparable.  Each lane reports best, mean, spread (max-min)/2 for BOTH
+sides plus a label: "win" (>=1.3x, outside the rig's drift), "parity"
+(0.77-1.3x), or "loss".  The reference build is made on demand by
+scripts/build_reference_htslib.sh; when it cannot be built the lanes
+fall back to the stored BASELINE_MEASURED.json numbers and say so in
+`baseline`.
+
+Device-path numbers (and why the headline stays on the host on this
+rig) live in docs/DEVICE_LIMITS.md and scripts/bench_device.py.
 """
 import json
 import os
-import struct
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
 from htslib_tpu.util.memory import tune_host_allocator
 
 NORTH_STAR_PER_CHIP = 5.0 / 8  # GB/s
+BUILD = os.environ.get("HTSLIB_BUILD", "/tmp/htslib-build")
+TV = os.path.join(BUILD, "test", "test_view")
 
 
-def baseline_gbps():
-    """Measured htslib 16-thread BAM->SAM rate on this host, if the
-    baseline harness has been run (BASELINE.md); else the north star."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BASELINE_MEASURED.json")
+def ensure_reference_build(budget_s=600):
+    """Build the reference htslib for same-session interleaved trials.
+    Never raises; returns True when test_view is runnable."""
+    if os.path.exists(TV):
+        return True
     try:
-        with open(path) as fh:
-            m = json.load(fh)
-        return float(m["workloads"]["bam2sam@16"]["gbps_uncompressed"]), \
-            "htslib test_view -@16 (measured, BASELINE_MEASURED.json)"
-    except (OSError, KeyError, ValueError):
-        return NORTH_STAR_PER_CHIP, "north-star 5 GB/s / 8 chips"
+        subprocess.run(
+            ["sh", os.path.join(REPO, "scripts", "build_reference_htslib.sh")],
+            check=True, timeout=budget_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except Exception:
+        return False
+    return os.path.exists(TV)
+
+
+def stored_baseline():
+    """Fallback: stored measured htslib rates (BASELINE_MEASURED.json),
+    only used when the reference build is unavailable this session."""
+    try:
+        with open(os.path.join(REPO, "BASELINE_MEASURED.json")) as fh:
+            return json.load(fh).get("workloads", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _label(ratio):
+    if ratio is None:
+        return None
+    if ratio >= 1.3:
+        return "win"
+    if ratio >= 0.77:
+        return "parity"
+    return "loss"
+
+
+def _stats(times):
+    ts = sorted(times)
+    return {
+        "best_s": round(ts[0], 4),
+        "mean_s": round(sum(ts) / len(ts), 4),
+        "spread_s": round((ts[-1] - ts[0]) / 2, 4),
+        "trials": len(ts),
+    }
+
+
+def interleaved(ref_cmd, ours_fn, trials=4, ref_timeout=300):
+    """Alternate reference-subprocess and our-callable trials in one
+    session; returns (ours_stats, ref_stats|None, ratio|None) with
+    ratio = ref_best / ours_best (>1 means we win)."""
+    ours_t, ref_t = [], []
+    for _ in range(trials):
+        if ref_cmd is not None:
+            t0 = time.time()
+            subprocess.run(ref_cmd, check=True, timeout=ref_timeout,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            ref_t.append(time.time() - t0)
+        t0 = time.time()
+        ours_fn()
+        ours_t.append(time.time() - t0)
+    ours = _stats(ours_t)
+    if not ref_t:
+        return ours, None, None
+    ref = _stats(ref_t)
+    return ours, ref, round(ref["best_s"] / ours["best_s"], 3)
 
 
 def build_test_bam(path, n_records=400000, read_len=100, seed=42):
@@ -179,192 +241,234 @@ def build_test_bcf(path, n_records=100000, seed=6):
     return n_records
 
 
-def bench_mpileup(sam_path, trials=3):
-    """Whole-file pileup columns (native resolve_cigar2 + overlap
-    tweak engine) in MB of column text per second.  Returns
-    (serial_best, out_len, parallel_best): the headline ratio stays the
-    like-for-like single-engine comparison (the reference pileup has no
-    -@), with the coordinate-sharded parallel engine reported
-    alongside."""
-    from htslib_tpu.pileup import mpileup_text, mpileup_text_parallel
-    best = par = None
-    out_len = 0
-    for _ in range(trials):
-        t0 = time.time()
-        hdr, out = mpileup_text(sam_path)
-        dt = time.time() - t0
-        out_len = len(out)
-        best = dt if best is None else min(best, dt)
-        t0 = time.time()
-        mpileup_text_parallel(sam_path)
-        dt = time.time() - t0
-        par = dt if par is None else min(par, dt)
-    return best, out_len, par
-
-
-def bench_bcf2vcf(bcf_path, trials=3):
-    from htslib_tpu.vcf.io import bcf_file_to_vcf
-    best = None
-    out_len = 0
-    for _ in range(trials):
-        t0 = time.time()
-        hdr, out = bcf_file_to_vcf(bcf_path)
-        dt = time.time() - t0
-        out_len = len(out)
-        best = dt if best is None else min(best, dt)
-    return best, out_len
-
-
-def bench_host(bam_path, trials=6):
-    from htslib_tpu.sam import BamReader
-    from htslib_tpu.sam.batch import bam_file_to_sam
-    # uncompressed payload size for the GB/s numerator (same input-bytes
-    # convention as htslib test_view benchmarking)
-    with BamReader(bam_path) as r:
-        usize = len(r.fp.read_all())
-    best = None
-    out_len = 0
-    for _ in range(trials):
-        t0 = time.time()
-        hdr, out = bam_file_to_sam(bam_path)
-        dt = time.time() - t0
-        out_len = len(out)
-        best = dt if best is None else min(best, dt)
-    return usize, out_len, best
-
-
-def bench_sam2bam(bam_path, usize, trials=3):
-    """Reverse direction: SAM text -> compressed BAM via the fused
-    parse+deflate pipeline (sam.c:3325 + bgzf.c:1852 analogue)."""
-    from htslib_tpu.sam.batch import bam_file_to_sam, sam_to_bam_file
-    hdr, sam = bam_file_to_sam(bam_path)
-    text = sam.tobytes()
-    out = bam_path + ".rt.bam"
-    best = None
-    for _ in range(trials):
-        t0 = time.time()
-        sam_to_bam_file(text, hdr, out)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(usize / best / 1e9, 4)
-
-
-def bench_cram(bam_path, n_records, trials=5):
-    """CRAM encode (no_ref, file->file like the measured htslib
-    test_view -C baseline) and slice-parallel decode rates, for both
-    CRAM 3.0 and 3.1.  Encode is best-of-5: the lane is work-bound on
-    a 2-core host and sensitive to background noise."""
-    from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
-    cram = bam_path + ".cram"
-    best_enc = None
-    for _ in range(trials):
-        t0 = time.time()
-        bam_to_cram_file(bam_path, cram, nthreads=4)
-        dt = time.time() - t0
-        best_enc = dt if best_enc is None else min(best_enc, dt)
-    best_dec = None
-    for _ in range(trials):
-        t0 = time.time()
-        cram_file_to_sam(cram, window=4)
-        dt = time.time() - t0
-        best_dec = dt if best_dec is None else min(best_dec, dt)
-    out = {
-        "encode_krec_s": round(n_records / best_enc / 1e3, 1),
-        "decode_krec_s": round(n_records / best_dec / 1e3, 1),
-        "cram_mb": round(os.path.getsize(cram) / 1e6, 1),
-    }
-    # CRAM 3.1 lane (fqzcomp/tok3/rANS-Nx16 codec set)
-    cram31 = bam_path + ".31.cram"
-    best31e = None
-    for _ in range(max(trials - 1, 1)):
-        t0 = time.time()
-        bam_to_cram_file(bam_path, cram31, nthreads=4, version=(3, 1))
-        dt = time.time() - t0
-        best31e = dt if best31e is None else min(best31e, dt)
-    best31d = None
-    for _ in range(max(trials - 1, 1)):
-        t0 = time.time()
-        cram_file_to_sam(cram31, window=4)
-        dt = time.time() - t0
-        best31d = dt if best31d is None else min(best31d, dt)
-    out["v31"] = {
-        "encode_krec_s": round(n_records / best31e / 1e3, 1),
-        "decode_krec_s": round(n_records / best31d / 1e3, 1),
-        "cram_mb": round(os.path.getsize(cram31) / 1e6, 1),
-    }
-    return out
-
-
 def main():
     tune_host_allocator(1 << 30)
     tmpdir = tempfile.mkdtemp(prefix="htstpu_bench_")
     bam = os.path.join(tmpdir, "bench.bam")
     n = build_test_bam(bam)
-    usize, out_len, dt = bench_host(bam)
-    gbps = usize / dt / 1e9
-    base, base_src = baseline_gbps()
+
+    from htslib_tpu.sam import BamReader
+    from htslib_tpu.sam.batch import (bam_file_to_sam, bam_stream_to_sam,
+                                      sam_to_bam_file)
+    with BamReader(bam) as r:
+        usize = len(r.fp.read_all())
+
+    have_ref = ensure_reference_build()
+    stored = {} if have_ref else stored_baseline()
+    lanes = {}
+
+    # ---- BAM -> SAM (the headline) ----------------------------------
+    out_holder = {}
+
+    def ours_bam2sam():
+        hdr, out = bam_file_to_sam(bam)
+        out_holder["sam"] = out
+
+    ref_cmd = [TV, "-@", "16", bam] if have_ref else None
+    ours, ref, ratio = interleaved(ref_cmd, ours_bam2sam, trials=5)
+    out_len = len(out_holder["sam"])
+    gbps = usize / ours["best_s"] / 1e9
+    if ratio is None:
+        rb = stored.get("bam2sam@16", {}).get("gbps_uncompressed")
+        ratio = round(gbps / rb, 3) if rb else None
+    lanes["bam2sam"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "gbps": round(gbps, 4),
+        "ref_gbps": round(usize / ref["best_s"] / 1e9, 4) if ref else None,
+    }
+
+    # ---- SAM -> BAM -------------------------------------------------
+    sam_path = os.path.join(tmpdir, "bench.sam")
+    with open(sam_path, "wb") as f:
+        hdr0, samtext = bam_file_to_sam(bam)
+        f.write(hdr0.text.encode())
+        f.write(samtext)
+    text = bytes(samtext)
+    rt_bam = os.path.join(tmpdir, "rt.bam")
+
+    def ours_sam2bam():
+        sam_to_bam_file(text, hdr0, rt_bam)
+
+    ref_cmd = [TV, "-S", "-b", "-@", "16", sam_path] if have_ref else None
+    ours, ref, ratio = interleaved(ref_cmd, ours_sam2bam, trials=5)
+    if ratio is None:
+        rs = stored.get("sam2bam@16", {}).get("seconds")
+        ratio = round(rs / ours["best_s"], 3) if rs else None
+    lanes["sam2bam"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "gbps": round(usize / ours["best_s"] / 1e9, 4),
+    }
+
+    # ---- CRAM 3.0 encode/decode ------------------------------------
+    from htslib_tpu.cram.batch import bam_to_cram_file, cram_file_to_sam
+    cram = os.path.join(tmpdir, "bench.cram")
+
+    def ours_cram_enc():
+        bam_to_cram_file(bam, cram, nthreads=4)
+
+    ref_cmd = ([TV, "-C", "-o", "no_ref=1", "-@", "16", bam]
+               if have_ref else None)
+    ours, ref, ratio = interleaved(ref_cmd, ours_cram_enc, trials=4)
+    if ratio is None:
+        rs = stored.get("cram_encode@16", {}).get("seconds")
+        ratio = round(rs / ours["best_s"], 3) if rs else None
+    lanes["cram_encode"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "krec_s": round(n / ours["best_s"] / 1e3, 1),
+        "cram_mb": round(os.path.getsize(cram) / 1e6, 1),
+    }
+
+    # decode: BOTH sides decode the reference-encoded CRAM when the
+    # reference build exists (identical input bytes; least favourable
+    # to us), else our own file
+    ref_cram = os.path.join(tmpdir, "ref.cram")
+    dec_src = cram
+    if have_ref:
+        with open(ref_cram, "wb") as f:
+            subprocess.run([TV, "-C", "-o", "no_ref=1", bam], check=True,
+                           stdout=f, stderr=subprocess.DEVNULL)
+        dec_src = ref_cram
+
+    def ours_cram_dec():
+        cram_file_to_sam(dec_src, window=4)
+
+    ref_cmd = [TV, "-@", "16", dec_src] if have_ref else None
+    ours, ref, ratio = interleaved(ref_cmd, ours_cram_dec, trials=4)
+    if ratio is None:
+        rs = stored.get("cram_decode@16", {}).get("seconds")
+        ratio = round(rs / ours["best_s"], 3) if rs else None
+    lanes["cram_decode"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "krec_s": round(n / ours["best_s"] / 1e3, 1),
+        "input": "reference-encoded CRAM" if have_ref else "own CRAM",
+    }
+
+    # ---- CRAM 3.1 (no reference counterpart: the reference build's
+    # 3.1 write path exists but the lane is ours-only; report rates) ---
+    cram31 = os.path.join(tmpdir, "bench31.cram")
+    t31 = []
+    for _ in range(3):
+        t0 = time.time()
+        bam_to_cram_file(bam, cram31, nthreads=4, version=(3, 1))
+        t31.append(time.time() - t0)
+    enc31 = _stats(t31)
+    t31d = []
+    for _ in range(3):
+        t0 = time.time()
+        cram_file_to_sam(cram31, window=4)
+        t31d.append(time.time() - t0)
+    dec31 = _stats(t31d)
+    lanes["cram31"] = {
+        "encode": enc31, "decode": dec31,
+        "encode_krec_s": round(n / enc31["best_s"] / 1e3, 1),
+        "decode_krec_s": round(n / dec31["best_s"] / 1e3, 1),
+        "cram_mb": round(os.path.getsize(cram31) / 1e6, 1),
+    }
+
+    # ---- mpileup ----------------------------------------------------
+    from htslib_tpu.pileup import mpileup_text, mpileup_text_parallel
+    deep = os.path.join(tmpdir, "deep.sam")
+    build_deep_sam(deep)
+    mp_holder = {}
+
+    def ours_mpileup():
+        hdr, out = mpileup_text(deep)
+        mp_holder["out"] = out
+
+    plp = os.path.join(BUILD, "test", "pileup")
+    ref_cmd = [plp, "-m", deep] if (have_ref and os.path.exists(plp)) \
+        else None
+    ours, ref, ratio = interleaved(ref_cmd, ours_mpileup, trials=3)
+    mp_out = len(mp_holder["out"])
+    mbps = mp_out / ours["best_s"] / 1e6
+    if ratio is None:
+        rr = stored.get("mpileup@1", {}).get("out_mbps")
+        ratio = round(mbps / rr, 3) if rr else None
+    tpar = []
+    for _ in range(3):
+        t0 = time.time()
+        mpileup_text_parallel(deep)
+        tpar.append(time.time() - t0)
+    par = _stats(tpar)
+    lanes["mpileup"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "out_mbps": round(mbps, 1),
+        "parallel": par,
+        "parallel_out_mbps": round(mp_out / par["best_s"] / 1e6, 1),
+        "parallel_ratio": (round(ref["best_s"] / par["best_s"], 3)
+                           if ref else None),
+    }
+
+    # ---- BCF -> VCF -------------------------------------------------
+    from htslib_tpu.vcf.io import bcf_file_to_vcf
+    bcf = os.path.join(tmpdir, "bench.bcf")
+    build_test_bcf(bcf)
+    bv_holder = {}
+
+    def ours_bcf2vcf():
+        hdr, out = bcf_file_to_vcf(bcf)
+        bv_holder["out"] = out
+
+    htsfile = os.path.join(BUILD, "htsfile")
+    ref_cmd = [htsfile, "-c", bcf] if (have_ref
+                                       and os.path.exists(htsfile)) else None
+    ours, ref, ratio = interleaved(ref_cmd, ours_bcf2vcf, trials=3)
+    bv_mbps = len(bv_holder["out"]) / ours["best_s"] / 1e6
+    if ratio is None:
+        rr = stored.get("bcf2vcf@1", {}).get("out_mbps")
+        ratio = round(bv_mbps / rr, 3) if rr else None
+    lanes["bcf2vcf"] = {
+        "ours": ours, "ref": ref, "ratio": ratio,
+        "label": _label(ratio),
+        "out_mbps": round(bv_mbps, 1),
+    }
+
+    gbps = lanes["bam2sam"]["gbps"]
     result = {
         "metric": "BAM->SAM decode throughput (1 host, batch pipeline)",
-        "value": round(gbps, 4),
+        "value": gbps,
         "unit": "GB/s",
-        "vs_baseline": round(gbps / base, 4),
+        "vs_baseline": lanes["bam2sam"]["ratio"],
         "detail": {
             "records": n,
             "uncompressed_mb": round(usize / 1e6, 1),
             "sam_out_mb": round(out_len / 1e6, 1),
-            "seconds": round(dt, 3),
-            "baseline": base_src,
-            "baseline_gbps": round(base, 4),
-            "vs_north_star_per_chip": round(gbps / NORTH_STAR_PER_CHIP, 4),
-            "sam2bam_gbps": bench_sam2bam(bam, usize),
-            "cram": bench_cram(bam, n),
+            "method": ("interleaved best-of-N vs reference built this "
+                       "session" if have_ref
+                       else "stored BASELINE_MEASURED.json (reference "
+                            "build unavailable this session)"),
+            "baseline": ("htslib test_view -@16, same-session interleaved"
+                         if have_ref else
+                         "htslib test_view -@16 (stored measurement)"),
+            # the headline lane runs entirely in the native host library;
+            # the chip contributes no bytes to it (VERDICT r4 weak #3)
+            "vs_north_star_per_chip_host_cpu_equiv": round(
+                gbps / NORTH_STAR_PER_CHIP, 4),
+            "lanes": lanes,
         },
     }
 
-    # mpileup + VCF lanes (VERDICT r2 #6), vs the measured reference
-    # rates when scripts/measure_baseline.py has recorded them
-    deep = os.path.join(tmpdir, "deep.sam")
-    build_deep_sam(deep)
-    mp_dt, mp_out, mp_par = bench_mpileup(deep)
-    bcf = os.path.join(tmpdir, "bench.bcf")
-    build_test_bcf(bcf)
-    bv_dt, bv_out = bench_bcf2vcf(bcf)
-    mbase = {}
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BASELINE_MEASURED.json")) as fh:
-            mbase = json.load(fh).get("workloads", {})
-    except (OSError, ValueError):
-        pass
-
-    def ratio(ours_mbps, key):
-        ref = mbase.get(key, {}).get("out_mbps")
-        return round(ours_mbps / ref, 2) if ref else None
-
-    result["detail"]["mpileup"] = {
-        "seconds": round(mp_dt, 3),
-        "out_mbps": round(mp_out / mp_dt / 1e6, 1),
-        "vs_htslib_pileup": ratio(mp_out / mp_dt / 1e6, "mpileup@1"),
-        "parallel_out_mbps": round(mp_out / mp_par / 1e6, 1),
-        "parallel_vs_htslib": ratio(mp_out / mp_par / 1e6, "mpileup@1"),
-    }
-    result["detail"]["bcf2vcf"] = {
-        "seconds": round(bv_dt, 3),
-        "out_mbps": round(bv_out / bv_dt / 1e6, 1),
-        "vs_htslib_htsfile": ratio(bv_out / bv_dt / 1e6, "bcf2vcf@1"),
-    }
-
-    # device section (VERDICT r2 #2): merge the chip measurements taken
-    # by scripts/bench_device.py (DEVICE_BENCH.json).  Not re-measured
+    # device section: merge the chip measurements taken by
+    # scripts/bench_device.py (DEVICE_BENCH.json).  Not re-measured
     # inline: kernel compiles through the axon tunnel take minutes and
     # a wedged tunnel would sink the whole bench run.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "DEVICE_BENCH.json")) as fh:
+        with open(os.path.join(REPO, "DEVICE_BENCH.json")) as fh:
             result["device"] = json.load(fh)
             result["device"]["source"] = "scripts/bench_device.py"
     except (OSError, ValueError):
         pass
+
+    # persist the same capture locally so the README table generator
+    # can only ever render artifact-derived numbers
+    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+        fh.write("\n")
     print(json.dumps(result))
 
 
