@@ -29,7 +29,7 @@ def _prepare_group(group: List[bytes]):
     (mirrors ops/rans_pallas.decode_nx16_o0_batch's front end)."""
     from htslib_tpu.codecs.rans4x16 import _read_freq_table, u7_get
     from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TOTFREQ,
-                                            _WIN, pack_tables)
+                                            _WINR, pack_tables)
 
     freqs = np.zeros((BLOCKS, 256), np.int64)
     states = np.zeros((BLOCKS, NWAY), np.int64)
@@ -61,17 +61,21 @@ def _prepare_group(group: List[bytes]):
         a_pad <<= 1
     lo_b, dfc_b = pack_tables(freqs, a_pad)
     L = BLOCKS * NWAY
-    lo = np.repeat(lo_b, NWAY, axis=1)
-    dfc = np.repeat(dfc_b, NWAY, axis=1)
-    x = np.broadcast_to(states.reshape(1, L), (8, L)) \
+    # state-major lanes (lane j*BLOCKS + b): tables tile, states
+    # transpose (matches _seg_kernel's pltpu.repeat window expansion)
+    lo = np.tile(lo_b, (1, NWAY))
+    dfc = np.tile(dfc_b, (1, NWAY))
+    x = np.broadcast_to(states.T.reshape(1, L), (8, L)) \
         .astype(np.uint32).view(np.int32).copy()
-    max_words = max((len(pl_) + 1) // 2 for pl_ in payloads)
-    W = max_words + 2 * _WIN
+    max_rows = max((len(pl_) + 3) // 4 for pl_ in payloads)
+    W = max_rows + 2 * _WINR
+    # two LE u16 refill words per i32 row (the kernel's packed window
+    # layout; same 2 bytes/word tunnel density as the old u16 rows)
     data_w = np.zeros((W, BLOCKS), np.int32)
     for gi, pl_ in enumerate(payloads):
-        pad = np.zeros(((len(pl_) + 1) // 2) * 2, np.uint8)
+        pad = np.zeros(((len(pl_) + 3) // 4) * 4, np.uint8)
         pad[:len(pl_)] = pl_
-        data_w[:len(pad) // 2, gi] = pad.view("<u2").astype(np.int32)
+        data_w[:len(pad) // 4, gi] = pad.view("<u4").view(np.int32)
     return data_w, lo, dfc, x, out_szs, a_pad, W
 
 
@@ -84,23 +88,24 @@ def _stats_run(a_pad: int, interpret: bool = False):
     import jax
     import jax.numpy as jnp
 
-    from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, SEG, _WIN,
+    from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, SEG, _WINR,
                                             _compiled_seg)
     L = BLOCKS * NWAY
     # per-seg window: the kernel's VMEM input is lane-padded [.,4]->128,
     # so the full stream cannot live in VMEM — each iteration slices a
-    # bounded window per block out of HBM instead.  Typical consumption
-    # is <= 1 word/state/round; 1.25x slack covers refill bursts (the
-    # exactness check in callers guards the pathological 2x case).
-    S = SEG * NWAY + SEG * 8 + 2 * _WIN
+    # bounded window per block out of HBM instead (i32 rows packing two
+    # u16 words).  Typical consumption is <= 1 word/state/round; 1.25x
+    # slack covers refill bursts (the exactness check in callers guards
+    # the pathological 2x case).
+    S = SEG * NWAY // 2 + SEG * 4 + 2 * _WINR
     run_seg = _compiled_seg(S, a_pad, interpret)
 
     @jax.jit
     def run(data, lo, dfc, x, cur, ulen_lane, n_segs, off_lane):
         r = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 0)
-        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) % NWAY
+        # state-major lanes: state index = lane // BLOCKS
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) // BLOCKS
         bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
-        zero_cur = jnp.zeros((1, BLOCKS), jnp.int32)
 
         # while_loop, not fori_loop: a static trip count lets XLA unroll
         # the kernel calls and multiply their VMEM input allocations
@@ -109,16 +114,19 @@ def _stats_run(a_pad: int, interpret: bool = False):
 
         def body(carry):
             si, x_c, cur_abs, hist = carry
-            cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b), (S, 1))
+            # cur_abs is in WORD units; slice at the packed row and pass
+            # the intra-row parity through the kernel's cursor input
+            cols = [jax.lax.dynamic_slice(
+                        data, (cur_abs[0, b] // 2, b), (S, 1))
                     for b in range(BLOCKS)]
-            win = jnp.concatenate(cols, axis=1).astype(jnp.int32)
-            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur)
+            win = jnp.concatenate(cols, axis=1)
+            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, cur_abs % 2)
             pos = (si * SEG + r) * NWAY + gpos
             valid = pos < ulen_lane
             q = jnp.clip(syms - off_lane[None, :], 0, QBINS - 1)
             onehot = (q[None, :, :] == bins) & valid[None, :, :]
             hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
-            return si + 1, x2, cur_abs + cur_rel, hist
+            return si + 1, x2, cur_abs - cur_abs % 2 + cur_rel, hist
 
         hist0 = jnp.zeros((QBINS, L), jnp.int32)
         carry = jax.lax.while_loop(
@@ -149,19 +157,18 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
     for gbase in range(0, len(blocks), BLOCKS):
         group = blocks[gbase:gbase + BLOCKS]
         data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group(group)
-        from htslib_tpu.ops.rans_pallas import _WIN
-        S = SEG * NWAY + SEG * 8 + 2 * _WIN
+        from htslib_tpu.ops.rans_pallas import _WINR
+        S = SEG * NWAY // 2 + SEG * 4 + 2 * _WINR
+        # packed i32 rows already carry 2 bytes per refill word — the
+        # same tunnel density as the old u16 layout
         data_w = np.concatenate(
             [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
-        # u16 rows: ship the 16-bit refill words at their real size
-        # (the i32 layout cost 2x tunnel bandwidth)
-        data_w = data_w.astype(np.uint16)
         ulen_lane = np.zeros((SEG, L), np.int32)
         off_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS):
-            ulen_lane[:, b * NWAY:(b + 1) * NWAY] = out_szs[b]
+            ulen_lane[:, b::BLOCKS] = out_szs[b]     # state-major lanes
             if offsets is not None and gbase + b < len(offsets):
-                off_lane[b * NWAY:(b + 1) * NWAY] = offsets[gbase + b]
+                off_lane[b::BLOCKS] = offsets[gbase + b]
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
         run = _stats_run(a_pad, interpret)
@@ -189,7 +196,7 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
         timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
         timing["compressed_bytes"] += sum(len(b) for b in group)
         for b in range(len(group)):
-            hists.append(np_h[:, b * NWAY:(b + 1) * NWAY].sum(axis=1))
+            hists.append(np_h[:, b::BLOCKS].sum(axis=1))
     if timing["decode_s"] > 0:
         timing["MBps_uncompressed_resident"] = round(
             timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)

@@ -27,9 +27,12 @@ from typing import List
 
 import numpy as np
 
-from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, RANS16_L, TOTFREQ,
+from htslib_tpu.ops.rans_pallas import (NWAY, RANS16_L, TOTFREQ,
                                         _row_fold)
 
+BLOCKS = 4        # encode lane width (decoupled from the decode
+                  # kernel's BLOCKS: the [SEG_E, L] word+mask outputs
+                  # are 2x the decoder's VMEM appetite per lane)
 SEG_E = 2048      # rounds per kernel call
 
 

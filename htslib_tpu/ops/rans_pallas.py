@@ -43,7 +43,7 @@ TOTFREQ = 4096
 TF_SHIFT = 12
 RANS16_L = 1 << 15
 NWAY = 32
-BLOCKS = 4          # streams decoded per kernel call (4 x 32 = 128 lanes)
+BLOCKS = 32         # streams decoded per kernel call (32 x 32 = 1024 lanes: the dependent-op chain is LATENCY-bound, so wide interleaving is the main throughput lever — see PROBE_RANS_ABLATE.json)
 SEG = 2048          # rounds per kernel call
 
 
@@ -89,6 +89,20 @@ def _tree_sum0(a):
     return a
 
 
+def _tree_acc(parts):
+    """Sum a list of [8, L] tiles as a binary tree: the kernel round is
+    LATENCY-bound on its dependent-op chain (probe_rans_ablate), so a
+    log2-depth reduction beats the linear accumulate chain."""
+    parts = list(parts)
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1]
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _lane_cumsum_exclusive(v):
     """Exclusive cumsum along the lane axis via log2 masked rolls."""
     lanes = v.shape[1]
@@ -117,11 +131,9 @@ def _resolve8(x8, lo, dfc):
     telescoping sum accumulates in 8-row chunks then row-folds."""
     m = x8 & (TOTFREQ - 1)
     A = lo.shape[0]
-    e8 = None
-    for ch in range(A // 8):
-        sl = slice(ch * 8, ch * 8 + 8)
-        w = jnp.where(m >= lo[sl], dfc[sl], 0)
-        e8 = w if e8 is None else e8 + w
+    e8 = _tree_acc([jnp.where(m >= lo[ch * 8:ch * 8 + 8],
+                              dfc[ch * 8:ch * 8 + 8], 0)
+                    for ch in range(A // 8)])
     e = _row_fold(e8)                      # rows all equal packed value
     eu = pltpu.bitcast(e, jnp.uint32)
     sym = pltpu.bitcast(eu >> 24, jnp.int32)
@@ -130,28 +142,38 @@ def _resolve8(x8, lo, dfc):
     return sym, f * (x8 >> TF_SHIFT) + m - c
 
 
-_TILE = 8     # rounds per aligned output-tile store / window reload
-_WIN = 256    # window words per block (>= _TILE * NWAY consumption)
+_TILE = 8     # rounds per window reload
+_WIN = 256    # window WORDS per block (>= _TILE * NWAY consumption)
+_WINR = 136   # window i32 rows: 2 u16 words packed per row (>= 129 =
+              # ceil((_WIN+1)/2) for an odd word cursor), 17 8-row chunks
+_OTILE = 8    # rounds per aligned output store (8 sub-tiles batched:
+              # dynamic-offset stores cost ~1 us each — measured in
+              # scripts/probe_rans_ablate.py — so store 1/8 as often)
 
 
-def _group_cumsum_exclusive(v, gpos, nway=NWAY):
-    """Exclusive cumsum along lanes, restarting at every nway-lane
-    group boundary (inputs are zero outside their group)."""
+def _group_cumsum_exclusive(v, gpos, nway=NWAY, stride=1):
+    """Exclusive cumsum along lanes over each group's members,
+    restarting at every group boundary (inputs are zero outside their
+    group).  Lane layout is STATE-MAJOR: group member j of block b sits
+    at lane j*stride + b, so member steps roll by `stride` lanes (the
+    layout that makes window expansion a single pltpu.repeat)."""
     acc = v
     s = 1
     while s < nway:
-        acc = acc + jnp.where(gpos >= s, pltpu.roll(acc, s, axis=1), 0)
+        acc = acc + jnp.where(gpos >= s,
+                              pltpu.roll(acc, s * stride, axis=1), 0)
         s <<= 1
     return acc - v
 
 
-def _group_total(incl, gpos, nway=NWAY):
-    """Broadcast each nway-lane group's last-lane value (nondecreasing
-    within the group) to the whole group via backward max-fill."""
+def _group_total(incl, gpos, nway=NWAY, stride=1):
+    """Broadcast each group's last-member value (nondecreasing within
+    the group) to the whole group via backward max-fill (state-major
+    lane layout, stride lanes between members)."""
     v = incl
     s = 1
     while s < nway:
-        cand = pltpu.roll(v, v.shape[1] - s, axis=1)   # circular -s
+        cand = pltpu.roll(v, v.shape[1] - s * stride, axis=1)
         v = jnp.where(gpos + s < nway, jnp.maximum(v, cand), v)
         s <<= 1
     return v
@@ -159,69 +181,98 @@ def _group_total(incl, gpos, nway=NWAY):
 
 def _seg_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
                 out_ref, x_out_ref, cur_out_ref):
-    """One SEG-round decode segment.  data [W, BLOCKS] i32 u16-words;
-    lo/dfc [A, L]; x [8, L] replicated rows; cur [1, BLOCKS].
+    """One SEG-round decode segment.  data [Wp, BLOCKS] i32 rows each
+    packing TWO little-endian u16 refill words (word 2k in bits 0-15,
+    word 2k+1 in bits 16-31); lo/dfc [A, L]; x [8, L] replicated rows;
+    cur [1, BLOCKS] in WORD units.
 
-    Perf notes (measured on v5e): any op on a sub-tile [1, L] array
-    costs ~170 ns (vs ~10 ns for a full (8,128)-tile op) and a dynamic
-    sub-tile store ~8 us, so the whole round pipeline lives on
-    replicated-row [8, L] tiles, output rounds accumulate into one
-    aligned [8, L] tile store, and the refill window reloads once per
-    tile with all bookkeeping vectorised."""
+    Perf notes (measured on v5e; scripts/probe_rans_ablate.py is the
+    per-stage breakdown): any op on a sub-tile [1, L] array costs
+    ~170 ns (vs ~10-35 ns for a full (8,128)-tile op), a dynamic-offset
+    store ~1 us, and the one-hot window select dominates the round
+    (55% of it at one word per row), so (a) everything lives on
+    replicated-row [8, L] tiles, (b) the window packs two words per
+    i32 row to halve the select chunk count, and (c) output rounds
+    batch into one aligned [_OTILE, L] store per 8 window tiles."""
     L = BLOCKS * NWAY
     lo = lo_ref[:]
     dfc = dfc_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
-    gpos = lane % NWAY
-    masks = [(lane >= b * NWAY) & (lane < (b + 1) * NWAY)
-             for b in range(BLOCKS)]
+    # STATE-MAJOR lane layout: state j of block b sits at lane
+    # j*BLOCKS + b, so pltpu.repeat(win_c, NWAY) lines each block's
+    # compact window column up with all of its lanes
+    gpos = lane // BLOCKS
+    masks = [(lane % BLOCKS) == b for b in range(BLOCKS)]
 
     def one_round(x8, woff, win):
+        """woff here includes each block's cursor parity: it is the
+        word offset relative to the window's first PACKED row."""
         sym, x8 = _resolve8(x8, lo, dfc)
         need = (x8 < RANS16_L).astype(jnp.int32)         # [8, L]
-        pre = _group_cumsum_exclusive(need, gpos)
-        idx = woff + pre                                 # in [0, _WIN)
-        w8 = None
-        for ch in range(_WIN // 8):
-            sl = slice(ch * 8, ch * 8 + 8)
-            hit = jnp.where(idx == row + ch * 8, win[sl], 0)
-            w8 = hit if w8 is None else w8 + hit
-        words = _row_fold(w8)
+        pre = _group_cumsum_exclusive(need, gpos, stride=BLOCKS)
+        idx = woff + pre                                 # word offset
+        rowi = pltpu.bitcast(
+            pltpu.bitcast(idx, jnp.uint32) >> 1, jnp.int32)
+        w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                                  win[ch * 8:ch * 8 + 8], 0)
+                        for ch in range(_WINR // 8)])
+        pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
+        words = pltpu.bitcast(
+            jnp.where((idx & 1) > 0, pair >> 16, pair & 0xFFFF),
+            jnp.int32)
         x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
-        woff = woff + _group_total(pre + need, gpos)
+        woff = woff + _group_total(pre + need, gpos, stride=BLOCKS)
         return sym, x8, woff
 
     def body(t, carry):
         x8 = carry[0]
-        curs = carry[1:]
-        # reload each block's window at its cursor (1 slice per block
-        # per tile; consumption <= _TILE * NWAY = _WIN)
-        win = jnp.zeros((_WIN, L), jnp.int32)
-        for b in range(BLOCKS):
-            win_b = data_ref[pl.ds(curs[b], _WIN), b:b + 1]   # [_WIN, 1]
-            win = jnp.where((jax.lax.broadcasted_iota(
-                jnp.int32, (_WIN, L), 1) // NWAY) == b, win_b, win)
-        woff = jnp.zeros((8, L), jnp.int32)
-        tile = jnp.zeros((8, L), jnp.int32)
-        for r in range(_TILE):
-            sym, x8, woff = one_round(x8, woff, win)
-            tile = jnp.where(row == r, sym, tile)
-        out_ref[pl.ds(t * _TILE, _TILE), :] = tile
-        # advance cursors (clamped so corrupt headers cannot push the
-        # window slice past the padded data end)
-        w_max = data_ref.shape[0] - _WIN
-        new = tuple(jnp.minimum(
-            curs[b] + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY),
-            w_max) for b in range(BLOCKS))
-        return (x8,) + new
+        par = carry[1]          # [8, L] per-lane cursor parity vector
+        curs = carry[2:]
+        tiles = []
+        new = curs
+        for tt in range(_OTILE // _TILE):
+            curs_t = new
+            # reload each block's window at its packed-row cursor into
+            # a COMPACT [_WINR, BLOCKS] tile, then one lane-repeat
+            # expansion to [_WINR, L] (the per-block one-hot distribute
+            # loop cost O(BLOCKS * _WINR) vector ops — the dominant
+            # term at 32 blocks)
+            win_c = jnp.concatenate(
+                [data_ref[pl.ds(
+                    jax.lax.shift_right_logical(curs_t[b], 1), _WINR),
+                    b:b + 1] for b in range(BLOCKS)], axis=1)
+            win = pltpu.repeat(win_c, NWAY, axis=1)
+            woff = par
+            for r in range(_TILE):
+                sym, x8, woff = one_round(x8, woff, win)
+                tiles.append(jnp.where(row == r, sym, 0))
+            # woff = parity + consumed words: its low bit is the next
+            # tile's parity, and its per-block total advances the
+            # scalar row cursors (clamped so corrupt headers cannot
+            # push the window slice past the padded data end).  With
+            # state-major lanes, block b's group total sits in lane b
+            # directly — a scalar extract, not a masked reduction.
+            par = woff & 1
+            w_max = (data_ref.shape[0] - _WINR) * 2
+            new = tuple(jnp.minimum(
+                curs_t[b] - (curs_t[b] & 1) + woff[0, b], w_max)
+                for b in range(BLOCKS))
+        out = jnp.concatenate(
+            [sum(tiles[k * 8:(k + 1) * 8][r] for r in range(8))
+             for k in range(_OTILE // _TILE)], axis=0)
+        out_ref[pl.ds(t * _OTILE, _OTILE), :] = out
+        return (x8, par) + new
 
     curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS))
-    carry = jax.lax.fori_loop(0, SEG // _TILE, body,
-                              (x_ref[:],) + curs0)
+    par0 = jnp.zeros((8, L), jnp.int32)
+    for b in range(BLOCKS):
+        par0 = jnp.where(masks[b], cur_ref[0, b] & 1, par0)
+    carry = jax.lax.fori_loop(0, SEG // _OTILE, body,
+                              (x_ref[:], par0) + curs0)
     x_out_ref[:] = carry[0]
     cur_out_ref[:] = jnp.concatenate(
-        [jnp.full((1, 1), carry[1 + b], jnp.int32)
+        [jnp.full((1, 1), carry[2 + b], jnp.int32)
          for b in range(BLOCKS)], axis=1)
 
 
@@ -291,20 +342,23 @@ def decode_nx16_o0_batch(blocks: List[bytes],
             a_pad <<= 1                 # power of two for the tree sum
         lo_b, dfc_b = pack_tables(freqs, a_pad)  # [a_pad, BLOCKS]
         L = BLOCKS * NWAY
-        lo = np.repeat(lo_b, NWAY, axis=1)       # [256, L]
-        dfc = np.repeat(dfc_b, NWAY, axis=1)
-        x = np.broadcast_to(states.reshape(1, L), (8, L))\
+        # state-major lanes: lane j*BLOCKS + b belongs to (block b,
+        # state j) — tables tile, states transpose
+        lo = np.tile(lo_b, (1, NWAY))            # [a_pad, L]
+        dfc = np.tile(dfc_b, (1, NWAY))
+        x = np.broadcast_to(states.T.reshape(1, L), (8, L))\
             .astype(np.uint32).view(np.int32).copy()
 
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
-        max_words = max((len(p) + 1) // 2 for p in payloads)
-        W = max_words + 2 * _WIN    # window-slice slack past stream end
+        max_rows = max((len(p) + 3) // 4 for p in payloads)
+        W = max_rows + 2 * _WINR    # window-slice slack past stream end
+        # two LE u16 words per i32 row (halves the kernel's select)
         data_w = np.zeros((W, BLOCKS), np.int32)
         for gi, p in enumerate(payloads):
-            pad = np.zeros(((len(p) + 1) // 2) * 2, np.uint8)
+            pad = np.zeros(((len(p) + 3) // 4) * 4, np.uint8)
             pad[:len(p)] = p
-            data_w[:len(pad) // 2, gi] = pad.view("<u2").astype(np.int32)
+            data_w[:len(pad) // 4, gi] = pad.view("<u4").view(np.int32)
         cur = np.zeros((1, BLOCKS), np.int32)
 
         run = _compiled_seg(W, a_pad, interpret)
@@ -319,7 +373,7 @@ def decode_nx16_o0_batch(blocks: List[bytes],
             segs.append(np.asarray(syms))
         allsym = np.concatenate(segs, axis=0)    # [rounds, L]
         for gi in range(G):
-            cols = allsym[:, gi * NWAY:(gi + 1) * NWAY]
+            cols = allsym[:, gi::BLOCKS]         # states 0..NWAY-1
             stream = cols.reshape(-1).astype(np.uint8)
             out[base + gi] = stream[:out_szs[gi]].tobytes()
     return out
