@@ -212,37 +212,42 @@ def _stats_run4(a_pad: int, interpret: bool = False):
     import jax.numpy as jnp
 
     from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, SEG4,
-                                               _WIN4, _compiled_seg4)
+                                               _WINR4, _compiled_seg4)
     L = BLOCKS4 * NWAY4
-    S = SEG4 * NWAY4 * 2 + 2 * _WIN4      # max bytes/block/seg + slack
+    # byte-packed rows (4 bytes/row): max consumption/block/seg is
+    # SEG4 * NWAY4 * 2 bytes -> /4 rows, plus window slack
+    S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
     run_seg = _compiled_seg4(S, a_pad, interpret)
 
     @jax.jit
     def run(data, lo, dfc, x, cur, ulen_lane, n_segs, cnt_lane):
         r = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 0)
-        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 1) % NWAY4
+        # state-major lanes: state index = lane // BLOCKS4
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 1) \
+            // BLOCKS4
         bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
-        zero_cur = jnp.zeros((1, BLOCKS4), jnp.int32)
 
         def cond(carry):
             return carry[0] < n_segs
 
         def body(carry):
             si, x_c, cur_abs, hist = carry
-            cols = [jax.lax.dynamic_slice(data, (cur_abs[0, b], b),
-                                          (S, 1))
+            # cur_abs in BYTE units: slice at the packed row, pass the
+            # intra-row parity through the kernel's cursor input
+            cols = [jax.lax.dynamic_slice(
+                        data, (cur_abs[0, b] // 4, b), (S, 1))
                     for b in range(BLOCKS4)]
-            win = jnp.concatenate(cols, axis=1).astype(jnp.int32)
+            win = jnp.concatenate(cols, axis=1)
             cnt_seg = jnp.maximum(cnt_lane - si * SEG4, 0)
             cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
-            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, zero_cur,
+            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, cur_abs % 4,
                                         cnt8)
             pos = (si * SEG4 + r) * NWAY4 + gpos
             valid = pos < ulen_lane
             q = jnp.clip(syms, 0, QBINS - 1)
             onehot = (q[None, :, :] == bins) & valid[None, :, :]
             hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
-            return si + 1, x2, cur_abs + cur_rel, hist
+            return si + 1, x2, cur_abs - cur_abs % 4 + cur_rel, hist
 
         hist0 = jnp.zeros((QBINS, L), jnp.int32)
         carry = jax.lax.while_loop(
@@ -264,7 +269,7 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
 
     from htslib_tpu.codecs.rans4x8 import _read_freqs
     from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, RANS8_L,
-                                               SEG4, _WIN4,
+                                               SEG4, _WINR4,
                                                _prepare_group4)
 
     L = BLOCKS4 * NWAY4
@@ -274,15 +279,15 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
     for gbase in range(0, len(blocks), BLOCKS4):
         group = blocks[gbase:gbase + BLOCKS4]
         data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group4(group)
-        S = SEG4 * NWAY4 * 2 + 2 * _WIN4
+        S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
         data_w = np.concatenate(
             [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
         ulen_lane = np.zeros((SEG4, L), np.int32)
         cnt_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS4):
-            ulen_lane[:, b * NWAY4:(b + 1) * NWAY4] = \
-                (out_szs[b] // NWAY4) * NWAY4
-            cnt_lane[b * NWAY4:(b + 1) * NWAY4] = out_szs[b] // NWAY4
+            # state-major lanes: block b's states at lanes b::BLOCKS4
+            ulen_lane[:, b::BLOCKS4] = (out_szs[b] // NWAY4) * NWAY4
+            cnt_lane[b::BLOCKS4] = out_szs[b] // NWAY4
         rounds_needed = max(1, max(out_szs) // NWAY4)
         n_segs = (rounds_needed + SEG4 - 1) // SEG4
         run = _stats_run4(a_pad, interpret)
@@ -310,8 +315,7 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
         timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
         timing["compressed_bytes"] += sum(len(b) for b in group)
         for gi in range(len(group)):
-            h = np_h[:, gi * NWAY4:(gi + 1) * NWAY4].sum(axis=1) \
-                .astype(np.int64)
+            h = np_h[:, gi::BLOCKS4].sum(axis=1).astype(np.int64)
             # host tail: the last out_sz % 4 symbols
             n = out_szs[gi]
             nmain = n // NWAY4
@@ -326,7 +330,7 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
                         [D, np.zeros(TOTFREQ_8 - len(D), np.uint8)])
                 arr = np.frombuffer(data, np.uint8)
                 ptr = p0 + 16 + int(cur_fin[gi])
-                xs = x_fin[gi * NWAY4:(gi + 1) * NWAY4].copy()
+                xs = x_fin[gi::BLOCKS4].copy()
                 for k in range(n - nmain * NWAY4):
                     m = int(xs[k]) & (TOTFREQ_8 - 1)
                     sym = int(D[m])

@@ -3,134 +3,126 @@ chip (htscodecs rANS_static.c via cram/cram_io.c:1668), so VANILLA 3.0
 CRAM data series (no special write profile) feed the on-device
 decode->reduce pipelines.
 
-Same architecture as the Nx16 kernel (`ops/rans_pallas.py`): gatherless
-VMEM-table resolve (12-bit slots, identical packing), replicated-row
-[8, 128] tiles, per-block stream cursors.  Differences: 4 interleaved
-states per stream (so 32 blocks fill the 128 lanes), byte-granular
-renormalisation against L = 1<<23 (up to TWO 8-bit refills per state
-per round -> two masked refill passes), and a larger round tile
-(_TILE4) to amortise the 32 per-block window reloads.
+Same architecture as the Nx16 kernel (`ops/rans_pallas.py`, round-5
+form): gatherless VMEM-table resolve (12-bit slots, identical packing),
+replicated-row [8, L] tiles, STATE-MAJOR lanes (state j of block b at
+lane j*BLOCKS4 + b) so the per-block window expands with one
+pltpu.repeat, byte-PACKED windows (4 stream bytes per i32 row), and
+tree-shaped accumulations (the round is latency/issue-bound —
+scripts/probe_rans_ablate.py).  4x8-specific: 4 interleaved states per
+stream (256 blocks fill 1024 lanes), byte-granular renormalisation
+against L = 1<<23 with up to TWO refills per state per round — the
+refill count n = (x<2^23)+(x<2^15) is value-independent, so ONE scan
+pass covers both bytes (two window selects, one cumsum/total).
 """
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from htslib_tpu.ops.rans_pallas import (TOTFREQ, TF_SHIFT, _resolve8,
-                                        _row_fold, pack_tables)
+from htslib_tpu.ops.rans_pallas import (TOTFREQ, TF_SHIFT,
+                                        _group_cumsum_exclusive,
+                                        _group_total, _resolve8,
+                                        _row_fold, _tree_acc, pack_tables)
 
 RANS8_L = 1 << 23
 NWAY4 = 4
-BLOCKS4 = 32
+BLOCKS4 = 64       # streams per kernel call (64 x 4 = 256 lanes; more
+                   # blocks would widen further but the per-block scalar
+                   # cursor machinery — carry entries + window slices —
+                   # scales linearly and dominates compile time)
 SEG4 = 1024        # rounds per kernel call (x4 states = 4096 syms/blk)
 _TILE4 = 16        # rounds per window reload
-_WIN4 = 192        # window rows; consumption/block/tile <= 4*2*16 = 128
-
-
-def _grp_cumsum_excl(v, gpos, nway):
-    import jax.numpy as jnp
-
-    from jax.experimental.pallas import tpu as pltpu
-    acc = v
-    s = 1
-    while s < nway:
-        acc = acc + jnp.where(gpos >= s, pltpu.roll(acc, s, axis=1), 0)
-        s <<= 1
-    return acc - v
-
-
-def _grp_total(incl, gpos, nway):
-    import jax.numpy as jnp
-
-    from jax.experimental.pallas import tpu as pltpu
-    v = incl
-    s = 1
-    while s < nway:
-        cand = pltpu.roll(v, v.shape[1] - s, axis=1)
-        v = jnp.where(gpos + s < nway, jnp.maximum(v, cand), v)
-        s <<= 1
-    return v
+_WINR4 = 40        # window i32 rows, 4 stream BYTES packed per row
+                   # (>= ceil((16*4*2 + 3)/4) = 33 for an odd cursor)
 
 
 def _seg4_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref, cnt_ref,
                  out_ref, x_out_ref, cur_out_ref):
-    import jax
-    import jax.numpy as jnp
-    import jax.experimental.pallas as pl
-
     L = BLOCKS4 * NWAY4
     lo = lo_ref[:]
     dfc = dfc_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
-    gpos = lane % NWAY4
-    masks = [(lane >= b * NWAY4) & (lane < (b + 1) * NWAY4)
-             for b in range(BLOCKS4)]
+    gpos = lane // BLOCKS4            # state index within the stream
+    blk = lane % BLOCKS4
 
     cnt = cnt_ref[:]
-
-    def refill_pass(x8, woff, win, active):
-        need = jnp.where(active & (x8 < RANS8_L), 1, 0)
-        pre = _grp_cumsum_excl(need, gpos, NWAY4)
-        idx = woff + pre
-        b8 = None
-        for ch in range(_WIN4 // 8):
-            sl = slice(ch * 8, ch * 8 + 8)
-            hit = jnp.where(idx == row + ch * 8, win[sl], 0)
-            b8 = hit if b8 is None else b8 + hit
-        byte = _row_fold(b8)
-        x8 = jnp.where(need > 0, (x8 << 8) | byte, x8)
-        woff = woff + _grp_total(pre + need, gpos, NWAY4)
-        return x8, woff
 
     def one_round(x8, woff, win, active):
         sym, x_new = _resolve8(x8, lo, dfc)
         x8 = jnp.where(active, x_new, x8)         # frozen lanes keep x
-        x8, woff = refill_pass(x8, woff, win, active)   # byte 1
-        x8, woff = refill_pass(x8, woff, win, active)   # byte 2 (rare)
+        # refill count is value-independent: 0, 1 or 2 bytes
+        need = jnp.where(active & (x8 < RANS8_L), 1, 0) \
+            + jnp.where(active & (x8 < (1 << 15)), 1, 0)
+        pre = _group_cumsum_exclusive(need, gpos, NWAY4, stride=BLOCKS4)
+        idx = woff + pre                           # byte offset
+        idx2 = idx + 1
+
+        def fetch(ix):
+            rowi = pltpu.bitcast(
+                pltpu.bitcast(ix, jnp.uint32) >> 2, jnp.int32)
+            q8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                                      win[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(_WINR4 // 8)])
+            quad = pltpu.bitcast(_row_fold(q8), jnp.uint32)
+            sh = pltpu.bitcast((ix & 3) << 3, jnp.uint32)
+            return pltpu.bitcast((quad >> sh) & 0xFF, jnp.int32)
+
+        b1 = fetch(idx)
+        b2 = fetch(idx2)
+        x8 = jnp.where(need >= 1, (x8 << 8) | b1, x8)
+        x8 = jnp.where(need == 2, (x8 << 8) | b2, x8)
+        woff = woff + _group_total(pre + need, gpos, NWAY4,
+                                   stride=BLOCKS4)
         return sym, x8, woff
 
     def body(t, carry):
         x8 = carry[0]
-        curs = carry[1:]
-        win = jnp.zeros((_WIN4, L), jnp.int32)
-        for b in range(BLOCKS4):
-            win_b = data_ref[pl.ds(curs[b], _WIN4), b:b + 1]
-            win = jnp.where((jax.lax.broadcasted_iota(
-                jnp.int32, (_WIN4, L), 1) // NWAY4) == b, win_b, win)
-        woff = jnp.zeros((8, L), jnp.int32)
-        tile = jnp.zeros((8, L), jnp.int32)
+        par = carry[1]
+        curs = carry[2:]
+        win_c = jnp.concatenate(
+            [data_ref[pl.ds(
+                jax.lax.shift_right_logical(curs[b], 2), _WINR4),
+                b:b + 1] for b in range(BLOCKS4)], axis=1)
+        win = pltpu.repeat(win_c, NWAY4, axis=1)
+        woff = par
+        tiles = []
         for r in range(_TILE4):
             active = (t * _TILE4 + r) < cnt
             sym, x8, woff = one_round(x8, woff, win, active)
-            tile = jnp.where(row == (r % 8), sym, tile)
-            if (r % 8) == 7:
-                out_ref[pl.ds(t * _TILE4 + (r - 7), 8), :] = tile
-        w_max = data_ref.shape[0] - _WIN4
+            tiles.append(jnp.where(row == (r % 8), sym, 0))
+        out = jnp.concatenate(
+            [sum(tiles[k * 8:(k + 1) * 8][r] for r in range(8))
+             for k in range(_TILE4 // 8)], axis=0)
+        out_ref[pl.ds(t * _TILE4, _TILE4), :] = out
+        par = woff & 3
+        w_max = (data_ref.shape[0] - _WINR4) * 4
         new = tuple(jnp.minimum(
-            curs[b] + jnp.sum(jnp.where(masks[b], woff, 0)) // (8 * NWAY4),
-            w_max) for b in range(BLOCKS4))
-        return (x8,) + new
+            curs[b] - (curs[b] & 3) + woff[0, b], w_max)
+            for b in range(BLOCKS4))
+        return (x8, par) + new
 
     curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS4))
+    par0 = jnp.zeros((8, L), jnp.int32)
+    for b in range(BLOCKS4):
+        par0 = jnp.where(blk == b, cur_ref[0, b] & 3, par0)
     carry = jax.lax.fori_loop(0, SEG4 // _TILE4, body,
-                              (x_ref[:],) + curs0)
+                              (x_ref[:], par0) + curs0)
     x_out_ref[:] = carry[0]
-    import jax.numpy as jnp2
-    cur_out_ref[:] = jnp2.concatenate(
-        [jnp2.full((1, 1), carry[1 + b], jnp2.int32)
+    cur_out_ref[:] = jnp.concatenate(
+        [jnp.full((1, 1), carry[2 + b], jnp.int32)
          for b in range(BLOCKS4)], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
 def _compiled_seg4(W: int, a_pad: int, interpret: bool = False):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     L = BLOCKS4 * NWAY4
 
     @jax.jit
@@ -152,7 +144,8 @@ def _compiled_seg4(W: int, a_pad: int, interpret: bool = False):
 
 def _prepare_group4(group: List[bytes]):
     """Parse up to BLOCKS4 rANS 4x8 order-0 streams (9-byte prefix +
-    freq table + 4 LE u32 states + byte payload)."""
+    freq table + 4 LE u32 states + byte payload) into the kernel's
+    byte-packed state-major device layout."""
     import struct
 
     from htslib_tpu.codecs.rans4x8 import _read_freqs
@@ -188,18 +181,20 @@ def _prepare_group4(group: List[bytes]):
     while a_pad < a_max:
         a_pad <<= 1
     lo_b, dfc_b = pack_tables(freqs, a_pad)
-    lo = np.repeat(lo_b, NWAY4, axis=1)
-    dfc = np.repeat(dfc_b, NWAY4, axis=1)
+    # state-major lanes: tables tile, states transpose
+    lo = np.tile(lo_b, (1, NWAY4))
+    dfc = np.tile(dfc_b, (1, NWAY4))
     L = BLOCKS4 * NWAY4
-    x = np.broadcast_to(states.reshape(1, L), (8, L)) \
+    x = np.broadcast_to(states.T.reshape(1, L), (8, L)) \
         .astype(np.uint32).view(np.int32).copy()
-    max_b = max(len(pl_) for pl_ in payloads)
-    W = max_b + 2 * _WIN4
-    # uint8 rows: the host->device transfer ships the streams at their
-    # actual byte size (an i32-per-byte layout cost 4x tunnel bandwidth)
-    data_w = np.zeros((W, BLOCKS4), np.uint8)
+    max_rows = max((len(pl_) + 3) // 4 for pl_ in payloads)
+    W = max_rows + 2 * _WINR4
+    # four LE stream bytes per i32 row (same tunnel density as u8)
+    data_w = np.zeros((W, BLOCKS4), np.int32)
     for gi, pl_ in enumerate(payloads):
-        data_w[:len(pl_), gi] = pl_
+        pad = np.zeros(((len(pl_) + 3) // 4) * 4, np.uint8)
+        pad[:len(pl_)] = pl_
+        data_w[:len(pad) // 4, gi] = pad.view("<u4").view(np.int32)
     return data_w, lo, dfc, x, out_szs, a_pad, W
 
 
@@ -208,8 +203,6 @@ def decode_4x8_o0_batch(blocks: List[bytes],
     """Wire-exact rANS 4x8 order-0 decode on device, BLOCKS4 streams
     per pass (the CRAM 3.0 wire; codecs/rans4x8.py is the host
     model)."""
-    import jax.numpy as jnp
-
     out: List[bytes] = [b""] * len(blocks)
     L = BLOCKS4 * NWAY4
     for base in range(0, len(blocks), BLOCKS4):
@@ -218,14 +211,14 @@ def decode_4x8_o0_batch(blocks: List[bytes],
         rounds_needed = max(1, max(out_szs) // NWAY4)   # main rounds
         n_segs = (rounds_needed + SEG4 - 1) // SEG4
         run = _compiled_seg4(W, a_pad, interpret)
-        data_j = jnp.asarray(data_w.astype(np.int32))
+        data_j = jnp.asarray(data_w)
         lo_j = jnp.asarray(lo)
         dfc_j = jnp.asarray(dfc)
         x_j = jnp.asarray(x)
         cur_j = jnp.asarray(np.zeros((1, BLOCKS4), np.int32))
         cnt_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS4):
-            cnt_lane[b * NWAY4:(b + 1) * NWAY4] = out_szs[b] // NWAY4
+            cnt_lane[b::BLOCKS4] = out_szs[b] // NWAY4
         segs = []
         for si in range(n_segs):
             cnt_seg = np.broadcast_to(
@@ -240,14 +233,13 @@ def decode_4x8_o0_batch(blocks: List[bytes],
         for gi, data in enumerate(group):
             n = out_szs[gi]
             nmain = n // NWAY4
-            cols = allsym[:nmain, gi * NWAY4:(gi + 1) * NWAY4]
+            cols = allsym[:nmain, gi::BLOCKS4]     # states 0..3
             stream = np.empty(n, np.uint8)
             stream[:nmain * NWAY4] = cols.reshape(-1).astype(np.uint8)
             if n - nmain * NWAY4:
                 # tail: finish states 0..n%4-1 on host from the final
                 # kernel state (byte-exact continuation)
                 from htslib_tpu.codecs.rans4x8 import _read_freqs
-                import struct as _st
                 f, p0 = _read_freqs(data, 9)
                 cum = np.zeros(257, np.int64)
                 np.cumsum(f, out=cum[1:])
@@ -257,7 +249,7 @@ def decode_4x8_o0_batch(blocks: List[bytes],
                         [D, np.zeros(TOTFREQ - len(D), np.uint8)])
                 arr = np.frombuffer(data, np.uint8)
                 ptr = p0 + 16 + int(cur_fin[gi])
-                xs = x_fin[gi * NWAY4:(gi + 1) * NWAY4].copy()
+                xs = x_fin[gi::BLOCKS4].copy()
                 for k in range(n - nmain * NWAY4):
                     j = k
                     m = int(xs[j]) & (TOTFREQ - 1)
