@@ -986,9 +986,17 @@ class CramEncoder:
             method, comp = self.metrics.choose(cid, data)
             if (self.device_profile and self.version >= (3, 1)
                     and cid == SERIES["QS"] and len(data) >= 64):
+                # pin QS to a device-decodable 32-way wire; O1 (0x05)
+                # usually wins on real correlated qualities and the
+                # Pallas O1 kernel (ops/rans_o1_pallas.py) decodes it
                 from htslib_tpu.cram.structs import RANSPR
                 try:
-                    method, comp = RANSPR, _rans4x16_compress(data, 0x04)
+                    cands = [_rans4x16_compress(data, 0x04)]
+                    try:
+                        cands.append(_rans4x16_compress(data, 0x05))
+                    except (ValueError, ZeroDivisionError):
+                        pass
+                    method, comp = RANSPR, min(cands, key=len)
                 except (ValueError, ZeroDivisionError):
                     pass
             elif (self.use_fqz and self.version >= (3, 1)

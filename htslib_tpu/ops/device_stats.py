@@ -80,7 +80,7 @@ def _prepare_group(group: List[bytes]):
 
 
 @functools.lru_cache(maxsize=None)
-def _stats_run(a_pad: int, interpret: bool = False):
+def _stats_run(a_pad: int, interpret: bool = False, qbins: int = QBINS):
     """Jitted whole-stream run: fori_loop over SEG-round Pallas decode
     segments + on-device masked histogram accumulate.  One dispatch per
     stream group (the ~5 ms tunnel dispatch floor amortises over every
@@ -105,7 +105,7 @@ def _stats_run(a_pad: int, interpret: bool = False):
         r = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 0)
         # state-major lanes: state index = lane // BLOCKS
         gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) // BLOCKS
-        bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
+        bins = jnp.arange(qbins, dtype=jnp.int32)[:, None, None]
 
         # while_loop, not fori_loop: a static trip count lets XLA unroll
         # the kernel calls and multiply their VMEM input allocations
@@ -123,12 +123,12 @@ def _stats_run(a_pad: int, interpret: bool = False):
             syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, cur_abs % 2)
             pos = (si * SEG + r) * NWAY + gpos
             valid = pos < ulen_lane
-            q = jnp.clip(syms - off_lane[None, :], 0, QBINS - 1)
+            q = jnp.clip(syms - off_lane[None, :], 0, qbins - 1)
             onehot = (q[None, :, :] == bins) & valid[None, :, :]
             hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
             return si + 1, x2, cur_abs - cur_abs % 2 + cur_rel, hist
 
-        hist0 = jnp.zeros((QBINS, L), jnp.int32)
+        hist0 = jnp.zeros((qbins, L), jnp.int32)
         carry = jax.lax.while_loop(
             cond, body, (jnp.int32(0), x, cur, hist0))
         return carry[3]
@@ -137,8 +137,8 @@ def _stats_run(a_pad: int, interpret: bool = False):
 
 
 def qualstats_device(blocks: List[bytes], interpret: bool = False,
-                     reps: int = 1,
-                     offsets: List[int] = None) -> Tuple[np.ndarray, dict]:
+                     reps: int = 1, offsets: List[int] = None,
+                     qbins: int = QBINS) -> Tuple[np.ndarray, dict]:
     """Per-stream symbol histograms for rANS Nx16 O0 32-way streams,
     decoded AND reduced on device.  `offsets[i]` is subtracted from
     stream i's symbols before binning (e.g. 33 for ASCII base series).
@@ -171,7 +171,7 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
                 off_lane[b::BLOCKS] = offsets[gbase + b]
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
-        run = _stats_run(a_pad, interpret)
+        run = _stats_run(a_pad, interpret, qbins)
 
         data_j = jnp.asarray(data_w)
         lo_j = jnp.asarray(lo)
@@ -350,22 +350,219 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
 TOTFREQ_8 = 4096
 
 
+@functools.lru_cache(maxsize=None)
+def _stats_run_o1(a2_pad: int, a_pad: int, blocks: int,
+                  interpret: bool = False, qbins: int = QBINS):
+    """O1 variant of _stats_run: rANS Nx16 ORDER-1 32-way streams
+    (ops/rans_o1_pallas) decoded and histogram-reduced on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from htslib_tpu.ops.rans_o1_pallas import (NWAY, SEG1, _WINR1,
+                                               _compiled_seg1)
+    L = blocks * NWAY
+    S = SEG1 * NWAY // 2 + SEG1 * 4 + 2 * _WINR1
+    run_seg = _compiled_seg1(a2_pad, a_pad, blocks, interpret)
+
+    @jax.jit
+    def run(data, lo2, d2, ad, x, cur, ctx, cnt_lane, n_segs):
+        r = jax.lax.broadcasted_iota(jnp.int32, (SEG1, L), 0)
+        bins = jnp.arange(qbins, dtype=jnp.int32)[:, None, None]
+
+        def cond(carry):
+            return carry[0] < n_segs
+
+        def body(carry):
+            si, x_c, cur_abs, ctx_c, hist = carry
+            cols = [jax.lax.dynamic_slice(
+                        data, (cur_abs[0, b] // 2, b), (S, 1))
+                    for b in range(blocks)]
+            win = jnp.concatenate(cols, axis=1)
+            cnt_seg = jnp.maximum(cnt_lane - si * SEG1, 0)
+            cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
+            syms, x2, cur_rel, ctx2 = run_seg(
+                win, lo2, d2, ad, x_c, cur_abs % 2, ctx_c, cnt8)
+            valid = (si * SEG1 + r) < cnt_lane[None, :]
+            q = jnp.clip(syms, 0, qbins - 1)
+            onehot = (q[None, :, :] == bins) & valid[None, :, :]
+            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
+            return (si + 1, x2, cur_abs - cur_abs % 2 + cur_rel, ctx2,
+                    hist)
+
+        hist0 = jnp.zeros((qbins, L), jnp.int32)
+        carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, cur, ctx, hist0))
+        return carry[4], carry[1], carry[2], carry[3]
+
+    return run
+
+
+def qualstats_device_o1(blocks_in: List[bytes], interpret: bool = False,
+                        reps: int = 1,
+                        qbins: int = QBINS) -> Tuple[np.ndarray, dict]:
+    """Per-stream histograms for rANS Nx16 ORDER-1 32-way streams,
+    decoded AND reduced on device; the <=31-byte tail continues on the
+    host from the returned state and final contexts."""
+    import time
+
+    import jax.numpy as jnp
+
+    from htslib_tpu.ops.rans_o1_pallas import (NWAY, RANS16_L, SEG1,
+                                               TF_SHIFT, TOTFREQ, _WINR1,
+                                               _parse_o1_header,
+                                               _prepare_group_o1, o1_pads,
+                                               pick_width)
+
+    all_parsed = [_parse_o1_header(d) for d in blocks_in]
+    a2_pad, a_pad = o1_pads(all_parsed)
+    blocks = pick_width(a2_pad)
+    L = blocks * NWAY
+    hists = []
+    timing = {"uncompressed_bytes": 0, "compressed_bytes": 0,
+              "decode_s": 0.0}
+    S = SEG1 * NWAY // 2 + SEG1 * 4 + 2 * _WINR1
+    run = _stats_run_o1(a2_pad, a_pad, blocks, interpret, qbins)
+    for gbase in range(0, len(blocks_in), blocks):
+        group = blocks_in[gbase:gbase + blocks]
+        (data_w, lo2, d2, ad, x0, out_szs, W, maps,
+         parsed) = _prepare_group_o1(group, blocks, a2_pad, a_pad)
+        data_w = np.concatenate(
+            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
+        segs_rounds = [n // NWAY for n in out_szs]
+        cnt_lane = np.zeros(L, np.int32)
+        for b in range(blocks):
+            cnt_lane[b::blocks] = segs_rounds[b]
+        rounds_needed = max(1, max(segs_rounds))
+        n_segs = (rounds_needed + SEG1 - 1) // SEG1
+        args = (jnp.asarray(data_w), jnp.asarray(lo2), jnp.asarray(d2),
+                jnp.asarray(ad), jnp.asarray(x0),
+                jnp.asarray(np.zeros((1, blocks), np.int32)),
+                jnp.asarray(np.zeros((8, L), np.int32)),
+                jnp.asarray(cnt_lane), jnp.int32(n_segs))
+        hist, x_f, cur_f, ctx_f = run(*args)
+        np_h = np.asarray(hist)
+        x_fin = np.asarray(x_f)[0].astype(np.int64) & 0xFFFFFFFF
+        cur_fin = np.asarray(cur_f)[0]
+        ctx_fin = np.asarray(ctx_f)[0]
+        t0 = time.time()
+        for _ in range(reps):
+            hist, x_f, cur_f, ctx_f = run(*args)
+            np_h = np.asarray(hist)
+        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
+        timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
+        timing["compressed_bytes"] += sum(len(b) for b in group)
+        for gi in range(len(group)):
+            h = np_h[:, gi::blocks].sum(axis=1).astype(np.int64)
+            n = out_szs[gi]
+            seg = n // NWAY
+            if n - NWAY * seg:
+                # host tail on the LAST state; ctx byte comes from the
+                # kernel's final dense context via the union alphabet
+                ulen, F, states, payload = parsed[gi]
+                densemap, alphabet = maps[gi]
+                C = np.zeros((256, 257), np.int64)
+                for ctx in range(256):
+                    C[ctx, 1:] = np.cumsum(F[ctx])
+                xs = int(x_fin[(NWAY - 1) * blocks + gi]) if seg \
+                    else int(states[NWAY - 1])
+                ptr = int(cur_fin[gi]) * 2 if seg else 0
+                ctx = int(alphabet[int(ctx_fin[(NWAY - 1) * blocks
+                                               + gi])]) if seg else 0
+                for i in range(NWAY * seg, n):
+                    m = xs & (TOTFREQ - 1)
+                    s = int(np.searchsorted(C[ctx], m, "right")) - 1
+                    h[min(s, qbins - 1)] += 1
+                    xs = (int(F[ctx, s]) * (xs >> TF_SHIFT)
+                          + m - int(C[ctx, s]))
+                    while xs < RANS16_L and ptr + 2 <= len(payload):
+                        xs = ((xs << 16) | int(payload[ptr])
+                              | (int(payload[ptr + 1]) << 8))
+                        ptr += 2
+                    ctx = s
+            hists.append(h)
+    if timing["decode_s"] > 0:
+        timing["MBps_uncompressed_resident"] = round(
+            timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)
+    return np.stack(hists), timing
+
+
+def _pack_rewrap(raw: bytes):
+    """Split a PACK-transformed Nx16 stream (flags & 0x80) into its
+    pack map and a synthetic PLAIN stream for the core coder (the wire
+    after the pack meta is exactly a plain stream body: freq table +
+    states + payload), so the device kernels decode the packed bytes
+    and the histogram is remapped on the host.  Returns
+    (syms, width_bits, ulen, plen, core_stream)."""
+    from htslib_tpu.codecs.rans4x16 import u7_get, u7_put
+    flags = raw[0]
+    if flags & 0x78:        # STRIPE/NOSZ/CAT/RLE not handled here
+        raise ValueError("unsupported pack combination")
+    p = 1
+    ulen, p = u7_get(raw, p)
+    P = raw[p]
+    p += 1
+    syms = bytes(raw[p:p + P])
+    p += P
+    plen, p = u7_get(raw, p)
+    if P <= 1:
+        raise ValueError("constant pack: no core stream")
+    if P <= 2:
+        w = 1
+    elif P <= 4:
+        w = 2
+    elif P <= 16:
+        w = 4
+    else:
+        raise ValueError("pack width > 4 bits")
+    core = bytearray([flags & 0x05])
+    u7_put(core, plen)
+    core += raw[p:]
+    return syms, w, ulen, plen, bytes(core)
+
+
+def _pack_hist_remap(core_hist: np.ndarray, syms: bytes, w: int,
+                     ulen: int, plen: int, qbins: int) -> np.ndarray:
+    """Histogram of packed core bytes [256] -> histogram of unpacked
+    symbols [qbins] (pad slots decode as syms[0] and are subtracted)."""
+    per = 8 // w
+    mask = (1 << w) - 1
+    out = np.zeros(qbins, np.int64)
+    for v in range(256):
+        c = int(core_hist[v])
+        if not c:
+            continue
+        for slot in range(per):
+            sub = (v >> (slot * w)) & mask
+            if sub < len(syms):
+                out[min(syms[sub], qbins - 1)] += c
+    pad = plen * per - ulen
+    if pad > 0:
+        out[min(syms[0], qbins - 1)] -= pad
+    return out
+
+
 def cram_qual_hist(path: str, interpret: bool = False,
                    stats: dict = None) -> np.ndarray:
     """Whole-file quality histogram for a CRAM: QS data-series blocks
     stream straight from the containers into the on-chip decode->reduce
-    pipelines.  Two device-decodable wires: rANS Nx16 32-way order-0
-    (CramWriter(device_profile=True), CRAM 3.1) AND VANILLA rANS 4x8
-    order-0 (the standard CRAM 3.0 qual coding — no write profile
-    needed).  Anything else decodes on the host.  Returns one [QBINS]
-    histogram (the samtools stats QUAL pass)."""
+    pipelines.  Device-decodable wires: rANS Nx16 32-way order-0 AND
+    order-1 (CramWriter(device_profile=True) pins QS to whichever is
+    smaller; foreign 3.1 files with X32 streams also qualify), their
+    PACK-transformed variants (core decoded on chip, histogram remapped
+    on the host), and VANILLA rANS 4x8 order-0 (the standard CRAM 3.0
+    qual coding — no write profile needed).  Anything else decodes on
+    the host.  Returns one [QBINS] histogram (the samtools stats QUAL
+    pass)."""
     from htslib_tpu.cram import CRAM_EOF_START, CramReader
     from htslib_tpu.cram.encode import SERIES
     from htslib_tpu.cram.structs import CT_EXTERNAL, RANS, RANSPR
 
     qs_id = SERIES["QS"]
     dev16: List[bytes] = []
+    dev16_o1: List[bytes] = []
     dev8: List[bytes] = []
+    pack16: List[tuple] = []      # (core, syms, w, ulen, plen, is_o1)
+    host_blocks: List[bytes] = []
     host_hist = np.zeros(QBINS, np.int64)
     n_dev = n_host = 0
     with CramReader(path) as r:
@@ -378,29 +575,72 @@ def cram_qual_hist(path: str, interpret: bool = False,
             end = c.data_offset + c.length
             while r.fp.tell() < end:
                 blk = r.io.read_block()
-                if (blk.content_type == CT_EXTERNAL
-                        and blk.content_id == qs_id):
-                    raw = bytes(blk.data)
-                    if (blk.method == RANSPR and len(raw) > 1
-                            and raw[0] == 0x04):
+                if (blk.content_type != CT_EXTERNAL
+                        or blk.content_id != qs_id):
+                    continue
+                raw = bytes(blk.data)
+                routed = False
+                if blk.method == RANSPR and len(raw) > 1:
+                    f = raw[0]
+                    if f == 0x04:
                         dev16.append(raw)
-                        n_dev += 1
-                    elif (blk.method == RANS and len(raw) > 9
-                            and raw[0] == 0):
-                        dev8.append(raw)
-                        n_dev += 1
-                    else:
-                        q = np.minimum(
-                            np.frombuffer(blk.uncompress(), np.uint8),
-                            QBINS - 1)
-                        host_hist += np.bincount(q, minlength=QBINS)[:QBINS]
-                        n_host += 1
+                        routed = True
+                    elif f == 0x05:
+                        try:
+                            from htslib_tpu.ops.rans_o1_pallas import (
+                                _parse_o1_header, o1_pads)
+                            o1_pads([_parse_o1_header(raw)])
+                            dev16_o1.append(raw)
+                            routed = True
+                        except ValueError:
+                            pass
+                    elif f in (0x84, 0x85):
+                        try:
+                            syms, w, ulen, plen, core = _pack_rewrap(raw)
+                            if f == 0x85:
+                                from htslib_tpu.ops.rans_o1_pallas import (
+                                    _parse_o1_header, o1_pads)
+                                o1_pads([_parse_o1_header(core)])
+                            pack16.append((core, syms, w, ulen, plen,
+                                           f == 0x85))
+                            routed = True
+                        except ValueError:
+                            pass
+                elif (blk.method == RANS and len(raw) > 9
+                        and raw[0] == 0):
+                    dev8.append(raw)
+                    routed = True
+                if routed:
+                    n_dev += 1
+                else:
+                    host_blocks.append(raw if blk.method == RANSPR
+                                       else blk.uncompress())
+                    q = np.minimum(
+                        np.frombuffer(blk.uncompress(), np.uint8),
+                        QBINS - 1)
+                    host_hist += np.bincount(q, minlength=QBINS)[:QBINS]
+                    n_host += 1
     if dev16:
         dh, _ = qualstats_device(dev16, interpret=interpret)
+        host_hist += dh.sum(axis=0)
+    if dev16_o1:
+        dh, _ = qualstats_device_o1(dev16_o1, interpret=interpret)
         host_hist += dh.sum(axis=0)
     if dev8:
         dh, _ = qualstats_device_4x8(dev8, interpret=interpret)
         host_hist += dh.sum(axis=0)
+    if pack16:
+        o0_cores = [p for p in pack16 if not p[5]]
+        o1_cores = [p for p in pack16 if p[5]]
+        for cores, runner in ((o0_cores, qualstats_device),
+                              (o1_cores, qualstats_device_o1)):
+            if not cores:
+                continue
+            ch, _ = runner([p[0] for p in cores], interpret=interpret,
+                           qbins=256)
+            for (core, syms, w, ulen, plen, _o1), h in zip(cores, ch):
+                host_hist += _pack_hist_remap(h, syms, w, ulen, plen,
+                                              QBINS)
     if stats is not None:
         stats["device_blocks"] = n_dev
         stats["host_blocks"] = n_host
