@@ -991,12 +991,18 @@ class CramEncoder:
                 # Pallas O1 kernel (ops/rans_o1_pallas.py) decodes it
                 from htslib_tpu.cram.structs import RANSPR
                 try:
-                    cands = [_rans4x16_compress(data, 0x04)]
+                    comp = _rans4x16_compress(data, 0x04)
                     try:
-                        cands.append(_rans4x16_compress(data, 0x05))
+                        # O1 only when it buys >=3%: its device decode
+                        # runs at a lower rate than O0's (denser
+                        # stacked tables), so a marginal size win is
+                        # not worth the slower wire
+                        c1 = _rans4x16_compress(data, 0x05)
+                        if len(c1) < 0.97 * len(comp):
+                            comp = c1
                     except (ValueError, ZeroDivisionError):
                         pass
-                    method, comp = RANSPR, min(cands, key=len)
+                    method = RANSPR
                 except (ValueError, ZeroDivisionError):
                     pass
             elif (self.use_fqz and self.version >= (3, 1)

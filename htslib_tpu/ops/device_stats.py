@@ -89,7 +89,7 @@ def _stats_run(a_pad: int, interpret: bool = False, qbins: int = QBINS):
     import jax.numpy as jnp
 
     from htslib_tpu.ops.rans_pallas import (BLOCKS, NWAY, SEG, _WINR,
-                                            _compiled_seg)
+                                            _compiled_seg_hist)
     L = BLOCKS * NWAY
     # per-seg window: the kernel's VMEM input is lane-padded [.,4]->128,
     # so the full stream cannot live in VMEM — each iteration slices a
@@ -98,15 +98,10 @@ def _stats_run(a_pad: int, interpret: bool = False, qbins: int = QBINS):
     # slack covers refill bursts (the exactness check in callers guards
     # the pathological 2x case).
     S = SEG * NWAY // 2 + SEG * 4 + 2 * _WINR
-    run_seg = _compiled_seg(S, a_pad, interpret)
+    run_seg = _compiled_seg_hist(a_pad, qbins, interpret)
 
     @jax.jit
-    def run(data, lo, dfc, x, cur, ulen_lane, n_segs, off_lane):
-        r = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 0)
-        # state-major lanes: state index = lane // BLOCKS
-        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG, L), 1) // BLOCKS
-        bins = jnp.arange(qbins, dtype=jnp.int32)[:, None, None]
-
+    def run(data, lo, dfc, x, cur, ulen8, n_segs, off8):
         # while_loop, not fori_loop: a static trip count lets XLA unroll
         # the kernel calls and multiply their VMEM input allocations
         def cond(carry):
@@ -120,13 +115,11 @@ def _stats_run(a_pad: int, interpret: bool = False, qbins: int = QBINS):
                         data, (cur_abs[0, b] // 2, b), (S, 1))
                     for b in range(BLOCKS)]
             win = jnp.concatenate(cols, axis=1)
-            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, cur_abs % 2)
-            pos = (si * SEG + r) * NWAY + gpos
-            valid = pos < ulen_lane
-            q = jnp.clip(syms - off_lane[None, :], 0, qbins - 1)
-            onehot = (q[None, :, :] == bins) & valid[None, :, :]
-            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
-            return si + 1, x2, cur_abs - cur_abs % 2 + cur_rel, hist
+            hseg, x2, cur_rel = run_seg(
+                win, lo, dfc, x_c, cur_abs % 2, ulen8, off8,
+                jnp.full((1, 1), si * SEG, jnp.int32))
+            return (si + 1, x2, cur_abs - cur_abs % 2 + cur_rel,
+                    hist + hseg)
 
         hist0 = jnp.zeros((qbins, L), jnp.int32)
         carry = jax.lax.while_loop(
@@ -154,49 +147,62 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
     hists = []
     timing = {"uncompressed_bytes": 0, "compressed_bytes": 0,
               "decode_s": 0.0}
+    # PIPELINED dispatch: prepare+upload+launch every group first (JAX
+    # dispatch is async, so group k+1's host framing and upload overlap
+    # group k's on-chip decode), then collect the tiny histograms
+    pending = []
     for gbase in range(0, len(blocks), BLOCKS):
         group = blocks[gbase:gbase + BLOCKS]
         data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group(group)
         from htslib_tpu.ops.rans_pallas import _WINR
         S = SEG * NWAY // 2 + SEG * 4 + 2 * _WINR
-        # packed i32 rows already carry 2 bytes per refill word — the
-        # same tunnel density as the old u16 layout
-        data_w = np.concatenate(
-            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
-        ulen_lane = np.zeros((SEG, L), np.int32)
-        off_lane = np.zeros(L, np.int32)
+        # upload ONLY the used columns (packed i32 rows = 2 bytes per
+        # refill word, the entropy floor) and pad rows+columns on the
+        # device: the h2d tunnel is the file-level lane's binding
+        # constraint, so the transfer must carry no zeros
+        g_cols = len(group)
+        data_j = jnp.asarray(data_w[:, :g_cols])
+        # quantise the padded height so arbitrary stream sizes reuse
+        # one compiled shape (every new shape is a multi-second
+        # recompile through the tunnel)
+        H = ((data_w.shape[0] + S) // 16384 + 1) * 16384
+        data_j = jnp.pad(
+            data_j, ((0, H - data_w.shape[0]), (0, BLOCKS - g_cols)))
+        ulen_lane = np.zeros((8, L), np.int32)
+        off_lane = np.zeros((8, L), np.int32)
         for b in range(BLOCKS):
             ulen_lane[:, b::BLOCKS] = out_szs[b]     # state-major lanes
             if offsets is not None and gbase + b < len(offsets):
-                off_lane[b::BLOCKS] = offsets[gbase + b]
+                off_lane[:, b::BLOCKS] = offsets[gbase + b]
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
         run = _stats_run(a_pad, interpret, qbins)
+        args = (data_j, jnp.asarray(lo), jnp.asarray(dfc),
+                jnp.asarray(x0),
+                jnp.asarray(np.zeros((1, BLOCKS), np.int32)),
+                jnp.asarray(ulen_lane), jnp.int32(n_segs),
+                jnp.asarray(off_lane))
+        # dispatch now (async): the next group's framing and upload
+        # overlap this group's decode
+        pending.append((run, args, run(*args), len(group), out_szs,
+                        sum(len(b) for b in group)))
 
-        data_j = jnp.asarray(data_w)
-        lo_j = jnp.asarray(lo)
-        dfc_j = jnp.asarray(dfc)
-        ulen_j = jnp.asarray(ulen_lane)
-        x_init = jnp.asarray(x0)
-        cur_init = jnp.asarray(np.zeros((1, BLOCKS), np.int32))
-
-        off_j = jnp.asarray(off_lane)
-
-        def run_once():
-            return run(data_j, lo_j, dfc_j, x_init, cur_init, ulen_j,
-                       jnp.int32(n_segs), off_j)
-
-        hist = run_once()
+    t0 = time.time()
+    for run, args, hist, g_len, out_szs, comp_bytes in pending:
         np_h = np.asarray(hist)          # sync (tiny download)
-        # steady-state with resident inputs
+        timing["uncompressed_bytes"] += sum(out_szs[:g_len])
+        timing["compressed_bytes"] += comp_bytes
+        for b in range(g_len):
+            hists.append(np_h[:, b::BLOCKS].sum(axis=1))
+    timing["decode_s"] = time.time() - t0
+    # steady-state re-measure with warm, device-resident inputs
+    if reps > 1:
         t0 = time.time()
         for _ in range(reps):
-            np_h = np.asarray(run_once())
-        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
-        timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
-        timing["compressed_bytes"] += sum(len(b) for b in group)
-        for b in range(len(group)):
-            hists.append(np_h[:, b::BLOCKS].sum(axis=1))
+            for run, args, *_m in pending:
+                h = run(*args)
+            np.asarray(h)
+        timing["decode_s"] = (time.time() - t0) / reps
     if timing["decode_s"] > 0:
         timing["MBps_uncompressed_resident"] = round(
             timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)
@@ -280,8 +286,6 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
         group = blocks[gbase:gbase + BLOCKS4]
         data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group4(group)
         S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
-        data_w = np.concatenate(
-            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
         ulen_lane = np.zeros((SEG4, L), np.int32)
         cnt_lane = np.zeros(L, np.int32)
         for b in range(BLOCKS4):
@@ -292,11 +296,13 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
         n_segs = (rounds_needed + SEG4 - 1) // SEG4
         run = _stats_run4(a_pad, interpret)
 
-        # upload only the used columns; pad to BLOCKS4 on device
+        # upload only the used columns; pad rows+cols on device with a
+        # quantised height so one compiled shape serves any file
         g_cols = len(group)
         data_j = jnp.asarray(data_w[:, :g_cols])
-        if g_cols < BLOCKS4:
-            data_j = jnp.pad(data_j, ((0, 0), (0, BLOCKS4 - g_cols)))
+        H = ((data_w.shape[0] + S) // 16384 + 1) * 16384
+        data_j = jnp.pad(
+            data_j, ((0, H - data_w.shape[0]), (0, BLOCKS4 - g_cols)))
         args = (data_j, jnp.asarray(lo), jnp.asarray(dfc),
                 jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, BLOCKS4), np.int32)),
@@ -426,15 +432,20 @@ def qualstats_device_o1(blocks_in: List[bytes], interpret: bool = False,
         group = blocks_in[gbase:gbase + blocks]
         (data_w, lo2, d2, ad, x0, out_szs, W, maps,
          parsed) = _prepare_group_o1(group, blocks, a2_pad, a_pad)
-        data_w = np.concatenate(
-            [data_w, np.zeros((S, data_w.shape[1]), np.int32)], axis=0)
+        # used columns only + device-side padding, height quantised so
+        # one compiled shape serves arbitrary stream sizes
+        g_cols = len(group)
+        data_j = jnp.asarray(data_w[:, :g_cols])
+        H = ((data_w.shape[0] + S) // 16384 + 1) * 16384
+        data_j = jnp.pad(
+            data_j, ((0, H - data_w.shape[0]), (0, blocks - g_cols)))
         segs_rounds = [n // NWAY for n in out_szs]
         cnt_lane = np.zeros(L, np.int32)
         for b in range(blocks):
             cnt_lane[b::blocks] = segs_rounds[b]
         rounds_needed = max(1, max(segs_rounds))
         n_segs = (rounds_needed + SEG1 - 1) // SEG1
-        args = (jnp.asarray(data_w), jnp.asarray(lo2), jnp.asarray(d2),
+        args = (data_j, jnp.asarray(lo2), jnp.asarray(d2),
                 jnp.asarray(ad), jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, blocks), np.int32)),
                 jnp.asarray(np.zeros((8, L), np.int32)),

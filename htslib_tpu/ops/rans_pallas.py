@@ -276,6 +276,110 @@ def _seg_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
          for b in range(BLOCKS)], axis=1)
 
 
+def _seg_hist_kernel(qbins, data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
+                     ulen_ref, off_ref, base_ref,
+                     hist_ref, x_out_ref, cur_out_ref):
+    """Decode+HISTOGRAM segment: identical round pipeline to
+    _seg_kernel, but symbols accumulate into per-bin register tiles
+    instead of a [SEG, L] output — the decoded bytes never exist in
+    HBM at all (the XLA one-hot stage they previously fed materialised
+    qbins*SEG*L elements per segment and dominated the file-level
+    lane's device time).  ulen [8, L] = per-lane stream byte count;
+    off [8, L] subtracted before binning; base [1, 1] = absolute round
+    index of this segment's first round."""
+    L = BLOCKS * NWAY
+    lo = lo_ref[:]
+    dfc = dfc_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+    gpos = lane // BLOCKS
+    blk = lane % BLOCKS
+    ulen8 = ulen_ref[:]
+    off8 = off_ref[:]
+    base = base_ref[0, 0]
+
+    def one_round(x8, woff, win):
+        sym, x8 = _resolve8(x8, lo, dfc)
+        need = (x8 < RANS16_L).astype(jnp.int32)
+        pre = _group_cumsum_exclusive(need, gpos, stride=BLOCKS)
+        idx = woff + pre
+        rowi = pltpu.bitcast(
+            pltpu.bitcast(idx, jnp.uint32) >> 1, jnp.int32)
+        w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                                  win[ch * 8:ch * 8 + 8], 0)
+                        for ch in range(_WINR // 8)])
+        pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
+        words = pltpu.bitcast(
+            jnp.where((idx & 1) > 0, pair >> 16, pair & 0xFFFF),
+            jnp.int32)
+        x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
+        woff = woff + _group_total(pre + need, gpos, stride=BLOCKS)
+        return sym, x8, woff
+
+    def body(t, carry):
+        x8 = carry[0]
+        par = carry[1]
+        hists = carry[2]
+        curs = carry[3:]
+        win_c = jnp.concatenate(
+            [data_ref[pl.ds(
+                jax.lax.shift_right_logical(curs[b], 1), _WINR),
+                b:b + 1] for b in range(BLOCKS)], axis=1)
+        win = pltpu.repeat(win_c, NWAY, axis=1)
+        woff = par
+        for r in range(_TILE):
+            sym, x8, woff = one_round(x8, woff, win)
+            pos = (base + t * _TILE + r) * NWAY + gpos
+            valid = pos < ulen8
+            q = jnp.clip(sym - off8, 0, qbins - 1)
+            hists = tuple(
+                hists[ch] + jnp.where(valid & (q == row + ch * 8), 1, 0)
+                for ch in range(qbins // 8))
+        par = woff & 1
+        w_max = (data_ref.shape[0] - _WINR) * 2
+        new = tuple(jnp.minimum(
+            curs[b] - (curs[b] & 1) + woff[0, b], w_max)
+            for b in range(BLOCKS))
+        return (x8, par, hists) + new
+
+    curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS))
+    par0 = jnp.zeros((8, L), jnp.int32)
+    for b in range(BLOCKS):
+        par0 = jnp.where(blk == b, cur_ref[0, b] & 1, par0)
+    hist0 = tuple(jnp.zeros((8, L), jnp.int32)
+                  for _ in range(qbins // 8))
+    carry = jax.lax.fori_loop(0, SEG // _TILE, body,
+                              (x_ref[:], par0, hist0) + curs0)
+    x_out_ref[:] = carry[0]
+    for ch in range(qbins // 8):
+        hist_ref[ch * 8:(ch + 1) * 8, :] = carry[2][ch]
+    cur_out_ref[:] = jnp.concatenate(
+        [jnp.full((1, 1), carry[3 + b], jnp.int32)
+         for b in range(BLOCKS)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_seg_hist(a_pad: int, qbins: int = 64,
+                       interpret: bool = False):
+    L = BLOCKS * NWAY
+
+    @jax.jit
+    def run_seg(data, lo, dfc, x, cur, ulen8, off8, base):
+        return pl.pallas_call(
+            functools.partial(_seg_hist_kernel, qbins),
+            out_shape=(
+                jax.ShapeDtypeStruct((qbins, L), jnp.int32),
+                jax.ShapeDtypeStruct((8, L), jnp.int32),
+                jax.ShapeDtypeStruct((1, BLOCKS), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+            interpret=interpret,
+        )(data, lo, dfc, x, cur, ulen8, off8, base)
+
+    return run_seg
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_seg(W: int, a_pad: int = 256, interpret: bool = False):
     L = BLOCKS * NWAY
