@@ -177,7 +177,10 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
         rounds_needed = max(1, (max(out_szs) + NWAY - 1) // NWAY)
         n_segs = (rounds_needed + SEG - 1) // SEG
         run = _stats_run(a_pad, interpret, qbins)
-        args = (data_j, jnp.asarray(lo), jnp.asarray(dfc),
+        # upload COMPACT [A, BLOCKS] tables and tile on device: the
+        # host-tiled [A, L] copies were 32x redundant tunnel bytes
+        args = (data_j, jnp.tile(jnp.asarray(lo[:, :BLOCKS]), (1, NWAY)),
+                jnp.tile(jnp.asarray(dfc[:, :BLOCKS]), (1, NWAY)),
                 jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, BLOCKS), np.int32)),
                 jnp.asarray(ulen_lane), jnp.int32(n_segs),
@@ -210,65 +213,76 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
 
 
 @functools.lru_cache(maxsize=None)
-def _stats_run4(a_pad: int, interpret: bool = False):
-    """4x8 variant of _stats_run: vanilla CRAM 3.0 rANS order-0 blocks
-    (32 streams x 4 states) decoded and histogram-reduced on device,
-    streams in HBM with bounded per-segment windows."""
+def _stats_run4(a2_pad: int, a_pad: int, o1: bool,
+                interpret: bool = False, qbins: int = QBINS):
+    """4x8 variant of _stats_run: vanilla CRAM 3.0 rANS blocks —
+    order-0 OR order-1 — decoded and histogram-reduced entirely inside
+    the Pallas kernel (streams in HBM, bounded per-segment windows)."""
     import jax
     import jax.numpy as jnp
 
     from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, SEG4,
-                                               _WINR4, _compiled_seg4)
+                                               _WINR4,
+                                               _compiled_seg4_hist)
     L = BLOCKS4 * NWAY4
-    # byte-packed rows (4 bytes/row): max consumption/block/seg is
-    # SEG4 * NWAY4 * 2 bytes -> /4 rows, plus window slack
     S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
-    run_seg = _compiled_seg4(S, a_pad, interpret)
+    run_seg = _compiled_seg4_hist(a2_pad, a_pad, o1, qbins, interpret)
 
     @jax.jit
-    def run(data, lo, dfc, x, cur, ulen_lane, n_segs, cnt_lane):
-        r = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 0)
-        # state-major lanes: state index = lane // BLOCKS4
-        gpos = jax.lax.broadcasted_iota(jnp.int32, (SEG4, L), 1) \
-            // BLOCKS4
-        bins = jnp.arange(QBINS, dtype=jnp.int32)[:, None, None]
-
+    def run(data, lo, dfc, ad, x, cur, ctx, cnt_lane, n_segs):
         def cond(carry):
             return carry[0] < n_segs
 
         def body(carry):
-            si, x_c, cur_abs, hist = carry
-            # cur_abs in BYTE units: slice at the packed row, pass the
-            # intra-row parity through the kernel's cursor input
+            si, x_c, cur_abs, ctx_c, hist = carry
+            # cur_abs in BYTE units: slice at the packed row, parity
+            # through the kernel's cursor input
             cols = [jax.lax.dynamic_slice(
                         data, (cur_abs[0, b] // 4, b), (S, 1))
                     for b in range(BLOCKS4)]
             win = jnp.concatenate(cols, axis=1)
             cnt_seg = jnp.maximum(cnt_lane - si * SEG4, 0)
             cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
-            syms, x2, cur_rel = run_seg(win, lo, dfc, x_c, cur_abs % 4,
-                                        cnt8)
-            pos = (si * SEG4 + r) * NWAY4 + gpos
-            valid = pos < ulen_lane
-            q = jnp.clip(syms, 0, QBINS - 1)
-            onehot = (q[None, :, :] == bins) & valid[None, :, :]
-            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
-            return si + 1, x2, cur_abs - cur_abs % 4 + cur_rel, hist
+            hseg, x2, cur_rel, ctx2 = run_seg(
+                win, lo, dfc, ad, x_c, cur_abs % 4, ctx_c, cnt8)
+            return (si + 1, x2, cur_abs - cur_abs % 4 + cur_rel, ctx2,
+                    hist + hseg)
 
-        hist0 = jnp.zeros((QBINS, L), jnp.int32)
+        hist0 = jnp.zeros((qbins, L), jnp.int32)
         carry = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), x, cur, hist0))
-        return carry[3], carry[1], carry[2]
+            cond, body, (jnp.int32(0), x, cur, jnp.zeros((8, L),
+                                                         jnp.int32),
+                         hist0))
+        return carry[4], carry[1], carry[2], carry[3]
 
     return run
 
 
+def _parse_4x8_o1(data: bytes):
+    """Parse a 4x8 ORDER-1 stream: returns (out_sz, F [256,256],
+    states [4], payload_offset)."""
+    import struct
+
+    from htslib_tpu.codecs.rans4x8 import _read_freqs_o1
+    if data[0] != 1:
+        raise ValueError("not a 4x8 order-1 stream")
+    comp_sz, out_sz = struct.unpack_from("<II", data, 1)
+    F, p = _read_freqs_o1(data, 9)
+    states = np.zeros(4, np.int64)
+    for j in range(4):
+        states[j] = int.from_bytes(data[p + 4 * j:p + 4 * j + 4],
+                                   "little")
+    return out_sz, F, states, p + 16
+
+
 def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
-                         reps: int = 1) -> Tuple[np.ndarray, dict]:
-    """Per-stream histograms for rANS 4x8 ORDER-0 streams (the CRAM 3.0
-    wire — vanilla files, no write profile needed), decoded AND reduced
-    on device.  The <=3 odd tail symbols per stream are finished on the
-    host from the returned kernel state."""
+                         reps: int = 1, qbins: int = QBINS,
+                         o1: bool = False) -> Tuple[np.ndarray, dict]:
+    """Per-stream histograms for rANS 4x8 streams (the CRAM 3.0 wire —
+    vanilla files, no write profile needed), ORDER-0 or ORDER-1
+    (`o1`), decoded AND reduced on device.  The <=3 odd tail symbols
+    per stream are finished on the host from the returned state (and,
+    for order-1, the returned final context)."""
     import time
 
     import jax.numpy as jnp
@@ -276,81 +290,184 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
     from htslib_tpu.codecs.rans4x8 import _read_freqs
     from htslib_tpu.ops.rans4x8_pallas import (BLOCKS4, NWAY4, RANS8_L,
                                                SEG4, _WINR4,
-                                               _prepare_group4)
+                                               _prepare_group4,
+                                               build_o1_tables_4x8)
+    from htslib_tpu.ops.rans_o1_pallas import A2_MAX
 
     L = BLOCKS4 * NWAY4
+    S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
     hists = []
     timing = {"uncompressed_bytes": 0, "compressed_bytes": 0,
               "decode_s": 0.0}
+
+    if o1:
+        parsed = [_parse_4x8_o1(d) for d in blocks]
+        a2_pad = a_pad = 8
+        for out_sz, F, states, poff in parsed:
+            used_ctx = np.nonzero(F.sum(axis=1))[0]
+            syms = np.nonzero(F.sum(axis=0))[0]
+            A = len(np.union1d(used_ctx, syms))
+            while a_pad < A:
+                a_pad <<= 1
+            nrows = int((F > 0).sum())
+            while a2_pad < nrows:
+                a2_pad <<= 1
+        if a2_pad > A2_MAX:
+            raise ValueError("alphabet too large for the device O1 "
+                             "kernel")
+    else:
+        a2_pad = a_pad = None   # set per group by _prepare_group4
+
+    pending = []
     for gbase in range(0, len(blocks), BLOCKS4):
         group = blocks[gbase:gbase + BLOCKS4]
-        data_w, lo, dfc, x0, out_szs, a_pad, W = _prepare_group4(group)
-        S = SEG4 * NWAY4 * 2 // 4 + 2 * _WINR4
-        ulen_lane = np.zeros((SEG4, L), np.int32)
-        cnt_lane = np.zeros(L, np.int32)
-        for b in range(BLOCKS4):
-            # state-major lanes: block b's states at lanes b::BLOCKS4
-            ulen_lane[:, b::BLOCKS4] = (out_szs[b] // NWAY4) * NWAY4
-            cnt_lane[b::BLOCKS4] = out_szs[b] // NWAY4
-        rounds_needed = max(1, max(out_szs) // NWAY4)
-        n_segs = (rounds_needed + SEG4 - 1) // SEG4
-        run = _stats_run4(a_pad, interpret)
-
-        # upload only the used columns; pad rows+cols on device with a
-        # quantised height so one compiled shape serves any file
+        if o1:
+            g_parsed = parsed[gbase:gbase + BLOCKS4]
+            out_szs = [0] * BLOCKS4
+            lo = np.zeros((a2_pad, BLOCKS4), np.int32)
+            dfc = np.zeros((a2_pad, BLOCKS4), np.int32)
+            ad_c = np.zeros((a_pad, BLOCKS4), np.int32)
+            states_all = np.zeros((BLOCKS4, NWAY4), np.int64)
+            payloads = []
+            maps = []
+            for gi in range(BLOCKS4):
+                if gi < len(g_parsed):
+                    out_sz, F, states, poff = g_parsed[gi]
+                    l2, dd2, add, densemap, alphabet =                         build_o1_tables_4x8(F, a2_pad, a_pad)
+                    lo[:, gi] = l2
+                    dfc[:, gi] = dd2
+                    ad_c[:, gi] = add
+                    out_szs[gi] = out_sz
+                    states_all[gi] = states
+                    d = group[gi]
+                    payloads.append(
+                        np.frombuffer(d, np.uint8, len(d) - poff, poff))
+                    maps.append((densemap, alphabet))
+                else:
+                    lo[0, gi] = 0
+                    dfc[0, gi] = TOTFREQ_8 - 1
+                    lo[1:, gi] = 1 << 30
+                    states_all[gi] = RANS8_L
+                    payloads.append(np.zeros(0, np.uint8))
+                    maps.append((None, np.zeros(1, np.int64)))
+            lo_t = np.tile(lo, (1, NWAY4))
+            dfc_t = np.tile(dfc, (1, NWAY4))
+            ad_t = np.tile(ad_c, (1, NWAY4))
+            x0 = np.broadcast_to(states_all.T.reshape(1, L), (8, L)) \
+                .astype(np.uint32).view(np.int32).copy()
+            max_rows = max((len(p_) + 3) // 4 for p_ in payloads)
+            W = max_rows + 2 * _WINR4
+            data_w = np.zeros((W, BLOCKS4), np.int32)
+            for gi, p_ in enumerate(payloads):
+                pad = np.zeros(((len(p_) + 3) // 4) * 4, np.uint8)
+                pad[:len(p_)] = p_
+                data_w[:len(pad) // 4, gi] = pad.view("<u4").view(
+                    np.int32)
+            grp_pads = (a2_pad, a_pad)
+            extra = (payloads, maps)
+        else:
+            data_w, lo_t, dfc_t, x0, out_szs, a_pad_g, W =                 _prepare_group4(group)
+            ad_t = np.zeros((8, L), np.int32)
+            grp_pads = (a_pad_g, 8)
+            extra = (None, None)
         g_cols = len(group)
         data_j = jnp.asarray(data_w[:, :g_cols])
         H = ((data_w.shape[0] + S) // 16384 + 1) * 16384
         data_j = jnp.pad(
             data_j, ((0, H - data_w.shape[0]), (0, BLOCKS4 - g_cols)))
-        args = (data_j, jnp.asarray(lo), jnp.asarray(dfc),
+        cnt_lane = np.zeros(L, np.int32)
+        for b in range(BLOCKS4):
+            cnt_lane[b::BLOCKS4] = out_szs[b] // NWAY4
+        rounds_needed = max(1, max(out_szs) // NWAY4)
+        n_segs = (rounds_needed + SEG4 - 1) // SEG4
+        run = _stats_run4(grp_pads[0], grp_pads[1], o1, interpret,
+                          qbins)
+        args = (data_j,
+                jnp.tile(jnp.asarray(lo_t[:, :BLOCKS4]), (1, NWAY4)),
+                jnp.tile(jnp.asarray(dfc_t[:, :BLOCKS4]), (1, NWAY4)),
+                (jnp.tile(jnp.asarray(ad_t[:, :BLOCKS4]), (1, NWAY4))
+                 if ad_t.shape[1] >= BLOCKS4 * NWAY4
+                 else jnp.asarray(ad_t)),
                 jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, BLOCKS4), np.int32)),
-                jnp.asarray(ulen_lane), jnp.int32(n_segs),
-                jnp.asarray(cnt_lane))
+                jnp.asarray(np.zeros((8, L), np.int32)),
+                jnp.asarray(cnt_lane), jnp.int32(n_segs))
+        pending.append((run, args, run(*args), group, out_szs, extra,
+                        gbase))
 
-        hist, x_f, cur_f = run(*args)
+    t0 = time.time()
+    for run, args, res, group, out_szs, extra, gbase in pending:
+        hist, x_f, cur_f, ctx_f = res
         np_h = np.asarray(hist)
         x_fin = np.asarray(x_f)[0].astype(np.int64) & 0xFFFFFFFF
         cur_fin = np.asarray(cur_f)[0]
-        t0 = time.time()
-        for _ in range(reps):
-            hist, x_f, cur_f = run(*args)
-            np_h = np.asarray(hist)
-        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
+        ctx_fin = np.asarray(ctx_f)[0]
         timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
         timing["compressed_bytes"] += sum(len(b) for b in group)
         for gi in range(len(group)):
             h = np_h[:, gi::BLOCKS4].sum(axis=1).astype(np.int64)
-            # host tail: the last out_sz % 4 symbols
             n = out_szs[gi]
             nmain = n // NWAY4
             if n - nmain * NWAY4:
                 data = group[gi]
-                f, p0 = _read_freqs(data, 9)
-                cum = np.zeros(257, np.int64)
-                np.cumsum(f, out=cum[1:])
-                D = np.repeat(np.arange(256, dtype=np.uint8), f)
-                if len(D) < TOTFREQ_8:
-                    D = np.concatenate(
-                        [D, np.zeros(TOTFREQ_8 - len(D), np.uint8)])
-                arr = np.frombuffer(data, np.uint8)
-                ptr = p0 + 16 + int(cur_fin[gi])
-                xs = x_fin[gi::BLOCKS4].copy()
-                for k in range(n - nmain * NWAY4):
-                    m = int(xs[k]) & (TOTFREQ_8 - 1)
-                    sym = int(D[m])
-                    h[min(sym, QBINS - 1)] += 1
-                    xs[k] = (int(f[sym]) * (int(xs[k]) >> 12)
-                             + m - int(cum[sym]))
-                    while xs[k] < RANS8_L and ptr < len(arr):
-                        xs[k] = (int(xs[k]) << 8) | int(arr[ptr])
-                        ptr += 1
+                if o1:
+                    payloads, maps = extra
+                    out_sz, F, states, poff =                         _parse_4x8_o1(data)
+                    C = np.zeros((256, 257), np.int64)
+                    np.cumsum(F, axis=1, out=C[:, 1:])
+                    _dm, alphabet = maps[gi]
+                    payload = payloads[gi]
+                    xs = int(x_fin[3 * BLOCKS4 + gi]) if nmain \
+                        else int(states[3])
+                    ptr = int(cur_fin[gi]) if nmain else 0
+                    ctx = int(alphabet[int(ctx_fin[3 * BLOCKS4 + gi])])\
+                        if nmain else 0
+                    for k in range(nmain * NWAY4, n):
+                        m = xs & (TOTFREQ_8 - 1)
+                        s = int(np.searchsorted(C[ctx], m,
+                                                "right")) - 1
+                        h[min(s, qbins - 1)] += 1
+                        xs = (int(F[ctx, s]) * (xs >> 12)
+                              + m - int(C[ctx, s]))
+                        while xs < RANS8_L and ptr < len(payload):
+                            xs = (xs << 8) | int(payload[ptr])
+                            ptr += 1
+                        ctx = s
+                else:
+                    f, p0 = _read_freqs(data, 9)
+                    cum = np.zeros(257, np.int64)
+                    np.cumsum(f, out=cum[1:])
+                    D = np.repeat(np.arange(256, dtype=np.uint8), f)
+                    if len(D) < TOTFREQ_8:
+                        D = np.concatenate(
+                            [D, np.zeros(TOTFREQ_8 - len(D),
+                                         np.uint8)])
+                    arr = np.frombuffer(data, np.uint8)
+                    ptr = p0 + 16 + int(cur_fin[gi])
+                    xs = x_fin[gi::BLOCKS4].copy()
+                    for k in range(n - nmain * NWAY4):
+                        m = int(xs[k]) & (TOTFREQ_8 - 1)
+                        sym = int(D[m])
+                        h[min(sym, qbins - 1)] += 1
+                        xs[k] = (int(f[sym]) * (int(xs[k]) >> 12)
+                                 + m - int(cum[sym]))
+                        while xs[k] < RANS8_L and ptr < len(arr):
+                            xs[k] = (int(xs[k]) << 8) | int(arr[ptr])
+                            ptr += 1
             hists.append(h)
+    timing["decode_s"] = time.time() - t0
+    if reps > 1:
+        t0 = time.time()
+        for _ in range(reps):
+            for run, args, *_m in pending:
+                res = run(*args)
+            np.asarray(res[0])
+        timing["decode_s"] = (time.time() - t0) / reps
     if timing["decode_s"] > 0:
         timing["MBps_uncompressed_resident"] = round(
             timing["uncompressed_bytes"] / timing["decode_s"] / 1e6, 2)
     return np.stack(hists), timing
+
 
 
 TOTFREQ_8 = 4096
@@ -365,16 +482,14 @@ def _stats_run_o1(a2_pad: int, a_pad: int, blocks: int,
     import jax.numpy as jnp
 
     from htslib_tpu.ops.rans_o1_pallas import (NWAY, SEG1, _WINR1,
-                                               _compiled_seg1)
+                                               _compiled_seg1_hist)
     L = blocks * NWAY
     S = SEG1 * NWAY // 2 + SEG1 * 4 + 2 * _WINR1
-    run_seg = _compiled_seg1(a2_pad, a_pad, blocks, interpret)
+    run_seg = _compiled_seg1_hist(a2_pad, a_pad, blocks, qbins,
+                                  interpret)
 
     @jax.jit
     def run(data, lo2, d2, ad, x, cur, ctx, cnt_lane, n_segs):
-        r = jax.lax.broadcasted_iota(jnp.int32, (SEG1, L), 0)
-        bins = jnp.arange(qbins, dtype=jnp.int32)[:, None, None]
-
         def cond(carry):
             return carry[0] < n_segs
 
@@ -386,14 +501,10 @@ def _stats_run_o1(a2_pad: int, a_pad: int, blocks: int,
             win = jnp.concatenate(cols, axis=1)
             cnt_seg = jnp.maximum(cnt_lane - si * SEG1, 0)
             cnt8 = jnp.broadcast_to(cnt_seg[None, :], (8, L))
-            syms, x2, cur_rel, ctx2 = run_seg(
+            hseg, x2, cur_rel, ctx2 = run_seg(
                 win, lo2, d2, ad, x_c, cur_abs % 2, ctx_c, cnt8)
-            valid = (si * SEG1 + r) < cnt_lane[None, :]
-            q = jnp.clip(syms, 0, qbins - 1)
-            onehot = (q[None, :, :] == bins) & valid[None, :, :]
-            hist = hist + jnp.sum(onehot.astype(jnp.int32), axis=1)
             return (si + 1, x2, cur_abs - cur_abs % 2 + cur_rel, ctx2,
-                    hist)
+                    hist + hseg)
 
         hist0 = jnp.zeros((qbins, L), jnp.int32)
         carry = jax.lax.while_loop(
@@ -445,8 +556,11 @@ def qualstats_device_o1(blocks_in: List[bytes], interpret: bool = False,
             cnt_lane[b::blocks] = segs_rounds[b]
         rounds_needed = max(1, max(segs_rounds))
         n_segs = (rounds_needed + SEG1 - 1) // SEG1
-        args = (data_j, jnp.asarray(lo2), jnp.asarray(d2),
-                jnp.asarray(ad), jnp.asarray(x0),
+        args = (data_j,
+                jnp.tile(jnp.asarray(lo2[:, :blocks]), (1, NWAY)),
+                jnp.tile(jnp.asarray(d2[:, :blocks]), (1, NWAY)),
+                jnp.tile(jnp.asarray(ad[:, :blocks]), (1, NWAY)),
+                jnp.asarray(x0),
                 jnp.asarray(np.zeros((1, blocks), np.int32)),
                 jnp.asarray(np.zeros((8, L), np.int32)),
                 jnp.asarray(cnt_lane), jnp.int32(n_segs))
@@ -572,6 +686,7 @@ def cram_qual_hist(path: str, interpret: bool = False,
     dev16: List[bytes] = []
     dev16_o1: List[bytes] = []
     dev8: List[bytes] = []
+    dev8_o1: List[bytes] = []
     pack16: List[tuple] = []      # (core, syms, w, ulen, plen, is_o1)
     host_blocks: List[bytes] = []
     host_hist = np.zeros(QBINS, np.int64)
@@ -621,6 +736,21 @@ def cram_qual_hist(path: str, interpret: bool = False,
                         and raw[0] == 0):
                     dev8.append(raw)
                     routed = True
+                elif (blk.method == RANS and len(raw) > 9
+                        and raw[0] == 1):
+                    try:
+                        from htslib_tpu.ops.rans_o1_pallas import A2_MAX
+                        out_sz, F, _st, _po = _parse_4x8_o1(raw)
+                        nrows = int((F > 0).sum())
+                        a2 = 8
+                        while a2 < nrows:
+                            a2 <<= 1
+                        if a2 > A2_MAX:
+                            raise ValueError("too dense")
+                        dev8_o1.append(raw)
+                        routed = True
+                    except ValueError:
+                        pass
                 if routed:
                     n_dev += 1
                 else:
@@ -639,6 +769,10 @@ def cram_qual_hist(path: str, interpret: bool = False,
         host_hist += dh.sum(axis=0)
     if dev8:
         dh, _ = qualstats_device_4x8(dev8, interpret=interpret)
+        host_hist += dh.sum(axis=0)
+    if dev8_o1:
+        dh, _ = qualstats_device_4x8(dev8_o1, interpret=interpret,
+                                     o1=True)
         host_hist += dh.sum(axis=0)
     if pack16:
         o0_cores = [p for p in pack16 if not p[5]]

@@ -121,6 +121,150 @@ def _seg4_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref, cnt_ref,
          for b in range(BLOCKS4)], axis=1)
 
 
+def _seg4_hist_kernel(qbins, o1, data_ref, lo_ref, dfc_ref, ad_ref,
+                      x_ref, cur_ref, ctx_ref, cnt_ref,
+                      hist_ref, x_out_ref, cur_out_ref, ctx_out_ref):
+    """Decode+HISTOGRAM segment for the 4x8 wire, order-0 OR order-1
+    (o1 static flag).  Order-1 fuses the context into the telescoping
+    key exactly as ops/rans_o1_pallas.py: lo carries ctx_idx*4096+cum
+    boundaries over stacked sparse (ctx,sym) rows, the packed delta
+    word's top byte is the DENSE symbol index (next context), and `ad`
+    telescopes the union alphabet back to symbol values.  cnt [8, L] =
+    remaining main rounds per lane (validity + freeze mask); the
+    state-3 tail finishes on the host from the returned state/ctx."""
+    L = BLOCKS4 * NWAY4
+    lo = lo_ref[:]
+    dfc = dfc_ref[:]
+    ad = ad_ref[:]
+    A2 = lo.shape[0]
+    A = ad.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+    gpos = lane // BLOCKS4
+    blk = lane % BLOCKS4
+    cnt = cnt_ref[:]
+
+    def one_round(x8, ctxd, woff, win, active):
+        if o1:
+            key = ctxd * TOTFREQ + (x8 & (TOTFREQ - 1))
+        else:
+            key = x8 & (TOTFREQ - 1)
+        e8 = _tree_acc([jnp.where(key >= lo[ch * 8:ch * 8 + 8],
+                                  dfc[ch * 8:ch * 8 + 8], 0)
+                        for ch in range(A2 // 8)])
+        e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
+        idx = pltpu.bitcast(e >> 24, jnp.int32)
+        f = pltpu.bitcast(e & 0xFFF, jnp.int32) + 1
+        c = pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32)
+        m = x8 & (TOTFREQ - 1)
+        x_new = f * (x8 >> TF_SHIFT) + m - c
+        if o1:
+            s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
+                                      ad[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(A // 8)])
+            sym = _row_fold(s8)
+            ctxd = jnp.where(active, idx, ctxd)
+        else:
+            sym = idx
+        x8 = jnp.where(active, x_new, x8)
+        # byte refill: n = (x<2^23)+(x<2^15), value-independent
+        need = jnp.where(active & (x8 < RANS8_L), 1, 0) \
+            + jnp.where(active & (x8 < (1 << 15)), 1, 0)
+        pre = _group_cumsum_exclusive(need, gpos, NWAY4, stride=BLOCKS4)
+        idxb = woff + pre
+
+        def fetch(ix):
+            rowi = pltpu.bitcast(
+                pltpu.bitcast(ix, jnp.uint32) >> 2, jnp.int32)
+            q8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                                      win[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(_WINR4 // 8)])
+            quad = pltpu.bitcast(_row_fold(q8), jnp.uint32)
+            sh = pltpu.bitcast((ix & 3) << 3, jnp.uint32)
+            return pltpu.bitcast((quad >> sh) & 0xFF, jnp.int32)
+
+        b1 = fetch(idxb)
+        b2 = fetch(idxb + 1)
+        x8 = jnp.where(need >= 1, (x8 << 8) | b1, x8)
+        x8 = jnp.where(need == 2, (x8 << 8) | b2, x8)
+        woff = woff + _group_total(pre + need, gpos, NWAY4,
+                                   stride=BLOCKS4)
+        return sym, x8, ctxd, woff
+
+    def body(t, carry):
+        x8, ctxd, par = carry[0], carry[1], carry[2]
+        hists = carry[3]
+        curs = carry[4:]
+        win_c = jnp.concatenate(
+            [data_ref[pl.ds(
+                jax.lax.shift_right_logical(curs[b], 2), _WINR4),
+                b:b + 1] for b in range(BLOCKS4)], axis=1)
+        win = pltpu.repeat(win_c, NWAY4, axis=1)
+        woff = par
+        for r in range(_TILE4):
+            active = (t * _TILE4 + r) < cnt
+            sym, x8, ctxd, woff = one_round(x8, ctxd, woff, win, active)
+            q = jnp.clip(sym, 0, qbins - 1)
+            hists = tuple(
+                hists[ch] + jnp.where(active & (q == row + ch * 8), 1, 0)
+                for ch in range(qbins // 8))
+        par = woff & 3
+        w_max = (data_ref.shape[0] - _WINR4) * 4
+        new = tuple(jnp.minimum(
+            curs[b] - (curs[b] & 3) + woff[0, b], w_max)
+            for b in range(BLOCKS4))
+        return (x8, ctxd, par, hists) + new
+
+    curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS4))
+    par0 = jnp.zeros((8, L), jnp.int32)
+    for b in range(BLOCKS4):
+        par0 = jnp.where(blk == b, cur_ref[0, b] & 3, par0)
+    hist0 = tuple(jnp.zeros((8, L), jnp.int32)
+                  for _ in range(qbins // 8))
+    carry = jax.lax.fori_loop(0, SEG4 // _TILE4, body,
+                              (x_ref[:], ctx_ref[:], par0, hist0)
+                              + curs0)
+    x_out_ref[:] = carry[0]
+    ctx_out_ref[:] = carry[1]
+    for ch in range(qbins // 8):
+        hist_ref[ch * 8:(ch + 1) * 8, :] = carry[3][ch]
+    cur_out_ref[:] = jnp.concatenate(
+        [jnp.full((1, 1), carry[4 + b], jnp.int32)
+         for b in range(BLOCKS4)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_seg4_hist(a2_pad: int, a_pad: int, o1: bool,
+                        qbins: int = 64, interpret: bool = False):
+    L = BLOCKS4 * NWAY4
+
+    @jax.jit
+    def run_seg(data, lo, dfc, ad, x, cur, ctx, cnt):
+        return pl.pallas_call(
+            functools.partial(_seg4_hist_kernel, qbins, o1),
+            out_shape=(
+                jax.ShapeDtypeStruct((qbins, L), jnp.int32),
+                jax.ShapeDtypeStruct((8, L), jnp.int32),
+                jax.ShapeDtypeStruct((1, BLOCKS4), jnp.int32),
+                jax.ShapeDtypeStruct((8, L), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+            interpret=interpret,
+        )(data, lo, dfc, ad, x, cur, ctx, cnt)
+
+    return run_seg
+
+
+def build_o1_tables_4x8(F: np.ndarray, a2_pad: int, a_pad: int):
+    """Stacked sparse (ctx,sym) tables for the 4x8 order-1 wire —
+    same construction as ops/rans_o1_pallas.build_o1_tables (the 4x8
+    per-context tables may sum to <= 4096; uncovered top slots are
+    never hit by valid streams)."""
+    from htslib_tpu.ops.rans_o1_pallas import build_o1_tables
+    return build_o1_tables(F, a2_pad, a_pad)
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_seg4(W: int, a_pad: int, interpret: bool = False):
     L = BLOCKS4 * NWAY4

@@ -183,6 +183,128 @@ def _make_seg1_kernel(BLOCKS1):
   return _seg1_kernel
 
 
+def _make_seg1_hist_kernel(BLOCKS1, qbins):
+    """Decode+HISTOGRAM variant of the O1 segment kernel: symbols
+    accumulate into per-bin register tiles (no [SEG1, L] output, no
+    XLA one-hot stage — the file-level lane's dominant overhead)."""
+    def _seg1_hist(data_ref, lo2_ref, d2_ref, ad_ref, x_ref, cur_ref,
+                   ctx_ref, cnt_ref, hist_ref, x_out_ref, cur_out_ref,
+                   ctx_out_ref):
+        L = BLOCKS1 * NWAY
+        lo2 = lo2_ref[:]
+        d2 = d2_ref[:]
+        ad = ad_ref[:]
+        A2 = lo2.shape[0]
+        A = ad.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, L), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+        gpos = lane // BLOCKS1
+        blk = lane % BLOCKS1
+        cnt = cnt_ref[:]
+
+        def one_round(x8, ctxd, woff, win, active):
+            key = ctxd * TOTFREQ + (x8 & (TOTFREQ - 1))
+            e8 = _tree_acc([jnp.where(key >= lo2[ch * 8:ch * 8 + 8],
+                                      d2[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(A2 // 8)])
+            e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
+            idx = pltpu.bitcast(e >> 24, jnp.int32)
+            f = pltpu.bitcast(e & 0xFFF, jnp.int32) + 1
+            c = pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32)
+            m = x8 & (TOTFREQ - 1)
+            x_new = f * (x8 >> TF_SHIFT) + m - c
+            s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
+                                      ad[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(A // 8)])
+            sym = _row_fold(s8)
+            x8 = jnp.where(active, x_new, x8)
+            ctxd = jnp.where(active, idx, ctxd)
+            need = jnp.where(active & (x8 < RANS16_L), 1, 0)
+            pre = _group_cumsum_exclusive(need, gpos, NWAY,
+                                          stride=BLOCKS1)
+            widx = woff + pre
+            rowi = pltpu.bitcast(
+                pltpu.bitcast(widx, jnp.uint32) >> 1, jnp.int32)
+            w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                                      win[ch * 8:ch * 8 + 8], 0)
+                            for ch in range(_WINR1 // 8)])
+            pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
+            words = pltpu.bitcast(
+                jnp.where((widx & 1) > 0, pair >> 16, pair & 0xFFFF),
+                jnp.int32)
+            x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
+            woff = woff + _group_total(pre + need, gpos, NWAY,
+                                       stride=BLOCKS1)
+            return sym, x8, ctxd, woff
+
+        def body(t, carry):
+            x8, ctxd, par = carry[0], carry[1], carry[2]
+            hists = carry[3]
+            curs = carry[4:]
+            win_c = jnp.concatenate(
+                [data_ref[pl.ds(
+                    jax.lax.shift_right_logical(curs[b], 1), _WINR1),
+                    b:b + 1] for b in range(BLOCKS1)], axis=1)
+            win = pltpu.repeat(win_c, NWAY, axis=1)
+            woff = par
+            for r in range(_TILE1):
+                active = (t * _TILE1 + r) < cnt
+                sym, x8, ctxd, woff = one_round(x8, ctxd, woff, win,
+                                                active)
+                q = jnp.clip(sym, 0, qbins - 1)
+                hists = tuple(
+                    hists[ch] + jnp.where(
+                        active & (q == row + ch * 8), 1, 0)
+                    for ch in range(qbins // 8))
+            par = woff & 1
+            w_max = (data_ref.shape[0] - _WINR1) * 2
+            new = tuple(jnp.minimum(
+                curs[b] - (curs[b] & 1) + woff[0, b], w_max)
+                for b in range(BLOCKS1))
+            return (x8, ctxd, par, hists) + new
+
+        curs0 = tuple(cur_ref[0, b] for b in range(BLOCKS1))
+        par0 = jnp.zeros((8, L), jnp.int32)
+        for b in range(BLOCKS1):
+            par0 = jnp.where(blk == b, cur_ref[0, b] & 1, par0)
+        hist0 = tuple(jnp.zeros((8, L), jnp.int32)
+                      for _ in range(qbins // 8))
+        carry = jax.lax.fori_loop(0, SEG1 // _TILE1, body,
+                                  (x_ref[:], ctx_ref[:], par0, hist0)
+                                  + curs0)
+        x_out_ref[:] = carry[0]
+        ctx_out_ref[:] = carry[1]
+        for ch in range(qbins // 8):
+            hist_ref[ch * 8:(ch + 1) * 8, :] = carry[3][ch]
+        cur_out_ref[:] = jnp.concatenate(
+            [jnp.full((1, 1), carry[4 + b], jnp.int32)
+             for b in range(BLOCKS1)], axis=1)
+    return _seg1_hist
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_seg1_hist(a2_pad: int, a_pad: int, BLOCKS1: int,
+                        qbins: int = 64, interpret: bool = False):
+    L = BLOCKS1 * NWAY
+
+    @jax.jit
+    def run_seg(data, lo2, d2, ad, x, cur, ctx, cnt):
+        return pl.pallas_call(
+            _make_seg1_hist_kernel(BLOCKS1, qbins),
+            out_shape=(
+                jax.ShapeDtypeStruct((qbins, L), jnp.int32),
+                jax.ShapeDtypeStruct((8, L), jnp.int32),
+                jax.ShapeDtypeStruct((1, BLOCKS1), jnp.int32),
+                jax.ShapeDtypeStruct((8, L), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+            interpret=interpret,
+        )(data, lo2, d2, ad, x, cur, ctx, cnt)
+
+    return run_seg
+
+
 def pick_width(a2_pad: int) -> int:
     """Kernel width (blocks of 32 states) vs stacked-table height: the
     [a2_pad, L] tables x2 must fit VMEM next to the window and output

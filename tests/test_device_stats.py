@@ -190,3 +190,101 @@ assert all(g == d for g, d in zip(got, datas))
 print("OK", len(datas))
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_qualstats_device_o1_interpret():
+    """rANS Nx16 ORDER-1 32-way streams (the mode real encoders pick
+    for correlated qualities) decode AND reduce on the (interpret-mode)
+    device, including host-finished tails and the dense-context carry
+    (ops/rans_o1_pallas.py)."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs.rans4x16 import compress
+from htslib_tpu.ops.device_stats import qualstats_device_o1, qualstats_host
+rng = np.random.RandomState(5)
+def walk(n):
+    return np.clip(np.cumsum(rng.randint(-2, 3, n)) + 20, 0,
+                   44).astype(np.uint8).tobytes()
+datas = [walk(30000 + i * 777) for i in range(3)] + [walk(97), walk(64)]
+encs = [compress(d, 0x05) for d in datas]
+assert all(e[0] == 0x05 for e in encs)
+hist, t = qualstats_device_o1(encs, interpret=True)
+want = qualstats_host(datas)
+assert (hist == want).all()
+print("OK", int(hist.sum()))
+""")
+    assert "OK" in out
+
+
+@pytest.mark.slow
+def test_qualstats_device_4x8_o1_interpret():
+    """Vanilla CRAM 3.0 ORDER-1 wire (rans4x8 order=1) through the
+    stacked-context hist kernel, tails finished on the host from the
+    returned final context."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs import rans4x8
+from htslib_tpu.ops.device_stats import qualstats_device_4x8, qualstats_host
+rng = np.random.RandomState(6)
+def walk(n):
+    return np.clip(np.cumsum(rng.randint(-2, 3, n)) + 20, 0,
+                   44).astype(np.uint8).tobytes()
+datas = [walk(20000 + i * 773) for i in range(3)] + [walk(4003)]
+encs = [rans4x8.compress(d, 1) for d in datas]
+assert all(e[0] == 1 for e in encs)
+hist, t = qualstats_device_4x8(encs, interpret=True, o1=True)
+want = qualstats_host(datas)
+assert (hist == want).all()
+print("OK", int(hist.sum()))
+""")
+    assert "OK" in out
+
+
+@pytest.mark.slow
+def test_pack_rewrap_remap():
+    """PACK-transformed Nx16 streams: core rewrapped as a plain stream
+    and the 256-bin core histogram remapped exactly to symbol bins
+    (incl. pad-slot subtraction)."""
+    import numpy as np
+
+    from htslib_tpu.codecs.rans4x16 import compress, uncompress
+    from htslib_tpu.ops.device_stats import (QBINS, _pack_hist_remap,
+                                             _pack_rewrap, qualstats_host)
+    rng = np.random.RandomState(7)
+    for P, fl in ((2, 0x84), (4, 0x84), (13, 0x85)):
+        data = bytes((rng.randint(0, P, 30001) * 3 + 5).astype(np.uint8))
+        enc = compress(data, fl)
+        assert enc[0] == fl
+        syms, w, ulen, plen, core = _pack_rewrap(enc)
+        # host-decode the rewrapped core and histogram it (the device
+        # kernels' wire-exactness is covered by the kernel tests)
+        core_bytes = uncompress(core)
+        assert len(core_bytes) == plen
+        core_hist = np.bincount(np.frombuffer(core_bytes, np.uint8),
+                                minlength=256)
+        got = _pack_hist_remap(core_hist, syms, w, ulen, plen, QBINS)
+        want = qualstats_host([data])[0]
+        assert (got == want).all(), (P, hex(fl))
+
+
+def test_o1_decode_batch_interpret():
+    """Wire-exact O1 bytes-out decode vs the host codec."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs.rans4x16 import compress, uncompress
+from htslib_tpu.ops.rans_o1_pallas import decode_nx16_o1_batch
+rng = np.random.RandomState(8)
+def walk(n):
+    return np.clip(np.cumsum(rng.randint(-2, 3, n)) + 16, 0,
+                   40).astype(np.uint8).tobytes()
+cases = [walk(5000), walk(3001), walk(97), walk(64),
+         bytes(np.full(500, 7, np.uint8))]
+encs = [compress(d, 0x05) for d in cases]
+for e, d in zip(encs, cases):
+    assert uncompress(e) == d
+out = decode_nx16_o1_batch(encs, interpret=True)
+assert all(o == d for o, d in zip(out, cases))
+print("OK")
+""")
+    assert "OK" in out
