@@ -1,18 +1,14 @@
 #!/usr/bin/env python
-"""Device-path benchmark (VERDICT r2 tasks #1/#2): measures on the
-attached TPU and writes DEVICE_BENCH.json at the repo root, which
-bench.py folds into its `device` section.
+"""Device-path benchmark: measures on the attached TPU and writes
+DEVICE_BENCH.json at the repo root, which bench.py folds into its
+`device` section.
 
-Measurements:
-  lookup rate   — the Pallas gatherless resolve kernel
-                  (ops/rans_pallas.py) vs an XLA take_along_axis chain
-                  of the same shape: the "break the gather wall" figure
-  rans decode   — wire-exact Pallas Nx16 O0 decode, end-to-end (incl.
-                  the host<->device tunnel) and kernel-only; the XLA
-                  lowering (ops/rans.py) on the same blocks
-  inflate       — device DEFLATE (ops/inflate.py) GB/s over BGZF blocks
-  rooflines     — fractions of the measured streaming rate (the
-                  elementwise ceiling) and the tunnel d2h wall
+Round-5 form: the rANS kernel family (O0/O1, Nx16/4x8, decode+encode)
+after the width/latency redesign (docs/DEVICE_LIMITS.md round-5
+section), whole-CRAM-file lanes over BOTH a realistic
+(correlated-quality) and a uniform-random file, with the same-minute
+tunnel rates recorded next to them (the file lanes are h2d-bound and
+the tunnel drifts 2-3x within a session).
 
 Every step has an internal wall-clock budget: a killed client wedges
 the axon tunnel for ~an hour (memory: axon-tunnel-fragility), so this
@@ -29,11 +25,33 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 T0 = time.time()
-BUDGET = float(os.environ.get("HTS_TPU_DEVICE_BUDGET", 480))
+BUDGET = float(os.environ.get("HTS_TPU_DEVICE_BUDGET", 900))
 
 
 def left():
     return BUDGET - (time.time() - T0)
+
+
+def build_realistic_bam(path, n_records=100000, read_len=100, seed=11):
+    """build_test_bam records with Illumina-like correlated qualities
+    (per-read random walk) — real quality strings are strongly
+    serially correlated, which is what makes O1/compression real."""
+    from bench import build_test_bam
+
+    from htslib_tpu.sam import BamReader, BamWriter
+    rng = np.random.default_rng(seed)
+    build_test_bam(path + ".tmp", n_records, read_len, seed)
+    with BamReader(path + ".tmp") as r:
+        hdr = r.header
+        recs = list(r)
+    steps = rng.integers(-2, 3, (n_records, read_len))
+    quals = np.clip(np.cumsum(steps, axis=1) + 32, 2, 40).astype(np.uint8)
+    with BamWriter(path, hdr, level=6) as w:
+        for i, rec in enumerate(recs):
+            rec.qual = quals[i].tobytes()
+            w.write(rec)
+    os.unlink(path + ".tmp")
+    return n_records
 
 
 def main():
@@ -49,9 +67,27 @@ def main():
     def sync(v):
         return int(jnp.sum(v.reshape(-1)[:8] & 0xFF).block_until_ready())
 
-    # ---- 1. lookup rate: pallas resolve vs XLA gather chain ----------
+    def tunnel_rates():
+        x = np.random.randint(0, 255, 4 << 20, dtype=np.uint8)
+        jnp.asarray(x[:1024]).block_until_ready()
+        t0 = time.time()
+        xj = jnp.asarray(x)
+        xj.block_until_ready()
+        h2d = len(x) / (time.time() - t0) / 1e6
+        t0 = time.time()
+        np.asarray(xj)
+        d2h = len(x) / (time.time() - t0) / 1e6
+        return round(h2d, 1), round(d2h, 1)
+
+    rng = np.random.RandomState(7)
+
+    def walk(n, lo=2, hi=41, start=32):
+        return np.clip(np.cumsum(rng.randint(-2, 3, n)) + start, lo,
+                       hi - 1).astype(np.uint8).tobytes()
+
+    # ---- 1. resolve primitive (the gather-wall figure) ---------------
     from htslib_tpu.ops.rans_pallas import TOTFREQ, make_resolve_bench
-    R = 32768     # amortise the ~8 ms tunnel dispatch floor
+    R = 32768
     fn, args, _ = make_resolve_bench(G=128, rounds=R, unroll=4)
     r = fn(*args)
     sync(r)
@@ -64,7 +100,6 @@ def main():
     pallas_rate = 128 * R / dt / 1e9
     out["pallas_resolve_Glookups_s"] = round(pallas_rate, 4)
 
-    rng = np.random.RandomState(7)
     packed = jnp.asarray(
         rng.randint(0, 2 ** 31, (128, TOTFREQ)).astype(np.int32))
     x0 = jnp.asarray(rng.randint(1 << 23, 1 << 30, (128,)).astype(np.int32))
@@ -85,112 +120,85 @@ def main():
     for _ in range(reps):
         r = xla_chain(packed, x0)
     sync(r)
-    dt2 = (time.time() - t0) / reps
-    xla_rate = 128 * R / dt2 / 1e9
+    xla_rate = 128 * R / ((time.time() - t0) / reps) / 1e9
     out["xla_gather_Glookups_s"] = round(xla_rate, 4)
     out["pallas_vs_xla_lookups"] = round(pallas_rate / xla_rate, 1)
 
-    # ---- 1b. DEFLATE canonical-Huffman resolve ----------------------
-    if left() > 300:
-        from htslib_tpu.ops.huffman_pallas import (MAXBITS,
-                                                   make_huffman_resolve_bench)
-        fnh, argsh, _, v0h = make_huffman_resolve_bench(L=128, rounds=R,
-                                                        unroll=4)
-        r = fnh(*argsh)
-        sync(r)
-        t0 = time.time()
-        for _ in range(reps):
-            r = fnh(*argsh)
-        sync(r)
-        dth = (time.time() - t0) / reps
-        hp = 128 * R / dth / 1e9
-        out["pallas_huffman_Gresolves_s"] = round(hp, 4)
+    # ---- 2. the rANS kernel family, device-resident rates ------------
+    from htslib_tpu.codecs import rans4x8 as r8
+    from htslib_tpu.codecs.rans4x16 import compress as r16c
+    from htslib_tpu.ops.device_stats import (qualstats_device,
+                                             qualstats_device_4x8,
+                                             qualstats_device_o1,
+                                             qualstats_host)
+    import htslib_tpu.ops.rans_pallas as rp
 
-        flat = jnp.asarray(rng.randint(0, 1 << 24,
-                                       (128, 1 << MAXBITS)).astype(np.int32))
-        vx = jnp.asarray(v0h[0])
-
-        @jax.jit
-        def xla_huff(tbl, v):
-            def body(_, v):
-                e = jnp.take_along_axis(tbl, v[:, None] & 0x7FFF,
-                                        axis=1)[:, 0]
-                return ((v * 5 + (e & 0x1FF) * 40503) >> 7) & 0x7FFF
-            return jax.lax.fori_loop(0, R, body, v)
-
-        r2 = xla_huff(flat, vx)
-        sync(r2)
-        t0 = time.time()
-        for _ in range(reps):
-            r2 = xla_huff(flat, vx)
-        sync(r2)
-        hx = 128 * R / ((time.time() - t0) / reps) / 1e9
-        out["xla_huffman_Gresolves_s"] = round(hx, 4)
-        out["pallas_vs_xla_huffman"] = round(hp / hx, 1)
-
-    # ---- 2. rANS Nx16 O0 decode: pallas vs the XLA lowering ----------
-    if left() > 240:
-        from htslib_tpu.codecs.rans4x16 import compress
-        from htslib_tpu.ops.rans_pallas import BLOCKS, decode_nx16_o0_batch
-        datas = [rng.randint(0, 40, 128 * 1024).astype(np.uint8).tobytes()
-                 for _ in range(BLOCKS)]
-        encs = [compress(d, 0x04) for d in datas]
-        tot = sum(len(d) for d in datas)
-        got = decode_nx16_o0_batch(encs)
+    if left() > 500:
+        # O0 Nx16 decode (wire-exact bytes out) + stats lane
+        datas = [rng.randint(0, 45, 1 << 20).astype(np.uint8).tobytes()
+                 for _ in range(rp.BLOCKS)]
+        encs = [r16c(d, 0x04) for d in datas]
+        got = rp.decode_nx16_o0_batch(encs[:4])
         out["pallas_rans_exact"] = bool(
-            all(o == d for o, d in zip(got, datas)))
-        t0 = time.time()
-        for _ in range(3):
-            decode_nx16_o0_batch(encs)
-        dt = (time.time() - t0) / 3
-        out["pallas_rans_nx16_MBps_e2e"] = round(tot / dt / 1e6, 2)
-
-        if left() > 120:
-            from htslib_tpu.ops.rans import uncompress_nx16_batch
-            got2 = uncompress_nx16_batch(encs)
-            t0 = time.time()
-            uncompress_nx16_batch(encs)
-            dtx = time.time() - t0
-            out["xla_rans_nx16_MBps_e2e"] = round(tot / dtx / 1e6, 2)
-            out["pallas_vs_xla_rans"] = round(dtx / dt, 2)
-
-    # ---- 2b. end-to-end on-chip workload: decode -> reduce ----------
-    # (VERDICT r3 task #2: a real workload through the chip whose
-    # output is small — compressed qual streams up once, decoded and
-    # histogram-reduced on device, ~1 KB of counts back)
-    if left() > 240:
-        from htslib_tpu.codecs.rans4x16 import compress
-        from htslib_tpu.ops.device_stats import (qualstats_device,
-                                                 qualstats_host)
-        qdatas = [rng.randint(0, 45, 4 * 1024 * 1024).astype(np.uint8)
-                  .tobytes() for _ in range(4)]
-        qencs = [compress(d, 0x04) for d in qdatas]
-        hist, t = qualstats_device(qencs, reps=3)
-        want = qualstats_host(qdatas)
-        out["e2e_qualstats_exact"] = bool((hist == want).all())
-        out["e2e_qualstats_MBps_uncompressed_onchip"] = \
+            all(o == d for o, d in zip(got, datas[:4])))
+        hist, t = qualstats_device(encs, reps=3)
+        out["rans_nx16_o0_exact"] = bool(
+            (hist == qualstats_host(datas)).all())
+        out["rans_nx16_o0_MBps_resident"] = \
             t["MBps_uncompressed_resident"]
-        out["e2e_qualstats_MBps_input_bytes_onchip"] = round(
-            t["compressed_bytes"] / t["decode_s"] / 1e6, 2)
-        out["e2e_qualstats_GBps_onchip"] = round(
-            t["uncompressed_bytes"] / t["decode_s"] / 1e9, 4)
-        # the vanilla CRAM 3.0 wire (rANS 4x8 O0, 32 blocks x 4 states)
-        from htslib_tpu.codecs import rans4x8 as _r8
-        from htslib_tpu.ops.device_stats import qualstats_device_4x8
-        q8 = [rng.randint(0, 45, 1 << 20).astype(np.uint8).tobytes()
-              for _ in range(32)]
-        e8 = [_r8.compress(d, 0) for d in q8]
-        h8, t8 = qualstats_device_4x8(e8, reps=3)
-        out["e2e_qualstats_4x8_exact"] = bool(
-            (h8 == qualstats_host(q8)).all())
-        out["e2e_qualstats_4x8_MBps_onchip"] = \
-            t8["MBps_uncompressed_resident"]
+        # back-compat keys for older tooling
+        out["e2e_qualstats_exact"] = out["rans_nx16_o0_exact"]
+        out["e2e_qualstats_MBps_uncompressed_onchip"] = \
+            out["rans_nx16_o0_MBps_resident"]
 
-    # ---- 2b1. whole-CRAM-file qual stats through the chip -----------
-    # (CramWriter(device_profile=True) pins the QS series to the
-    # device-decodable 32-way O0 wire; QS blocks stream from the
-    # containers straight into the on-chip decode->reduce pipeline)
-    if left() > 200:
+    if left() > 420:
+        # O1 Nx16 decode (sparse real-data tables)
+        datas = [walk(1 << 20) for _ in range(32)]
+        encs = [r16c(d, 0x05) for d in datas]
+        h, t = qualstats_device_o1(encs, reps=3)
+        out["rans_nx16_o1_exact"] = bool(
+            (h == qualstats_host(datas)).all())
+        out["rans_nx16_o1_MBps_resident"] = \
+            t["MBps_uncompressed_resident"]
+
+    if left() > 360:
+        # 4x8 both orders (the CRAM 3.0 wire)
+        datas = [rng.randint(0, 45, 1 << 19).astype(np.uint8).tobytes()
+                 for _ in range(64)]
+        e0 = [r8.compress(d, 0) for d in datas]
+        h0, t0_ = qualstats_device_4x8(e0, reps=3)
+        out["rans_4x8_o0_exact"] = bool(
+            (h0 == qualstats_host(datas)).all())
+        out["rans_4x8_o0_MBps_resident"] = \
+            t0_["MBps_uncompressed_resident"]
+        out["e2e_qualstats_4x8_exact"] = out["rans_4x8_o0_exact"]
+        out["e2e_qualstats_4x8_MBps_onchip"] = \
+            out["rans_4x8_o0_MBps_resident"]
+        w1 = [walk(1 << 19) for _ in range(64)]
+        e1 = [r8.compress(d, 1) for d in w1]
+        h1, t1_ = qualstats_device_4x8(e1, o1=True, reps=3)
+        out["rans_4x8_o1_exact"] = bool(
+            (h1 == qualstats_host(w1)).all())
+        out["rans_4x8_o1_MBps_resident"] = \
+            t1_["MBps_uncompressed_resident"]
+
+    # ---- 2b. device rANS ENCODE --------------------------------------
+    if left() > 300:
+        from htslib_tpu.ops.rans_enc_pallas import (BLOCKS_E,
+                                                    encode_nx16_o0_batch)
+        edatas = [rng.randint(0, 45, 1 << 20).astype(np.uint8)
+                  .tobytes() for _ in range(BLOCKS_E)]
+        te = {}
+        egot = encode_nx16_o0_batch(edatas, timing=te)
+        out["rans_enc_exact"] = bool(
+            all(g == r16c(d, 0x04) for g, d in zip(egot, edatas)))
+        out["rans_enc_MBps_resident"] = round(
+            te["bytes"] / te["enc_resident_s"] / 1e6, 2)
+        out["rans_enc_MBps_e2e"] = round(
+            te["bytes"] / te["enc_s"] / 1e6, 2)
+
+    # ---- 3. whole-CRAM-file qual stats through the chip --------------
+    if left() > 240:
         try:
             import tempfile
 
@@ -198,52 +206,51 @@ def main():
             from htslib_tpu.ops.device_stats import cram_qual_hist
             from bench import build_test_bam
             tdir = tempfile.mkdtemp(prefix="htstpu_devcram_")
-            dbam = os.path.join(tdir, "d.bam")
-            build_test_bam(dbam, n_records=100000)
-            dcram = os.path.join(tdir, "d.cram")
-            bam_to_cram_file(dbam, dcram, version=(3, 1),
-                             device_profile=True)
-            st = {}
-            cram_qual_hist(dcram, stats=st)        # warm/compile
-            t0 = time.time()
-            hist = cram_qual_hist(dcram, stats=st)
-            dt = time.time() - t0
-            out["cram_qualstats_file_MBps"] = round(
-                int(hist.sum()) / dt / 1e6, 2)
-            out["cram_qualstats_device_blocks"] = st.get("device_blocks")
-            # vanilla CRAM 3.0 (no write profile): the 4x8 kernel route
-            pcram = os.path.join(tdir, "p30.cram")
-            bam_to_cram_file(dbam, pcram)
-            st2 = {}
-            cram_qual_hist(pcram, stats=st2)       # warm/compile
-            t0 = time.time()
-            h2 = cram_qual_hist(pcram, stats=st2)
-            dt2 = time.time() - t0
-            out["cram30_qualstats_file_MBps"] = round(
-                int(h2.sum()) / dt2 / 1e6, 2)
-            out["cram30_qualstats_device_blocks"] = \
-                st2.get("device_blocks")
+            rbam = os.path.join(tdir, "real.bam")
+            build_realistic_bam(rbam)
+            ubam = os.path.join(tdir, "uni.bam")
+            build_test_bam(ubam, n_records=100000)
+            cases = [
+                ("cram31_real", rbam, dict(version=(3, 1),
+                                           device_profile=True)),
+                ("cram30_real", rbam, dict()),
+                ("cram31_uniform", ubam, dict(version=(3, 1),
+                                              device_profile=True)),
+                ("cram30_uniform", ubam, dict()),
+            ]
+            for name, bam, kw in cases:
+                if left() < 120:
+                    break
+                cram = os.path.join(tdir, name + ".cram")
+                bam_to_cram_file(bam, cram, **kw)
+                st = {}
+                cram_qual_hist(cram, stats=st)        # warm/compile
+                h2d, d2h = tunnel_rates()
+                best = None
+                for _ in range(3):
+                    t0 = time.time()
+                    h = cram_qual_hist(cram, stats=st)
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                out[name + "_qualstats_file_MBps"] = round(
+                    int(h.sum()) / best / 1e6, 2)
+                out[name + "_device_blocks"] = st.get("device_blocks")
+                out[name + "_host_blocks"] = st.get("host_blocks")
+                out[name + "_h2d_MBps_same_minute"] = h2d
+            # back-compat keys
+            out["cram_qualstats_file_MBps"] = out.get(
+                "cram31_real_qualstats_file_MBps")
+            out["cram_qualstats_device_blocks"] = out.get(
+                "cram31_real_device_blocks")
+            out["cram30_qualstats_file_MBps"] = out.get(
+                "cram30_real_qualstats_file_MBps")
+            out["cram30_qualstats_device_blocks"] = out.get(
+                "cram30_real_device_blocks")
         except Exception as e:
-            out["cram_qualstats_error"] = f"{type(e).__name__}: {e}"[:120]
+            out["cram_qualstats_error"] = f"{type(e).__name__}: {e}"[:160]
 
-    # ---- 2b2. device rANS encode (the compression half) -------------
-    if left() > 200:
-        from htslib_tpu.codecs.rans4x16 import compress as r16c
-        from htslib_tpu.ops.rans_enc_pallas import encode_nx16_o0_batch
-        edatas = [rng.randint(0, 45, 256 * 1024).astype(np.uint8)
-                  .tobytes() for _ in range(4)]
-        egot = encode_nx16_o0_batch(edatas)
-        out["rans_enc_exact"] = bool(
-            all(g == r16c(d, 0x04) for g, d in zip(egot, edatas)))
-        te = {}
-        encode_nx16_o0_batch(edatas, timing=te)
-        out["rans_enc_MBps_e2e"] = round(
-            te["bytes"] / te["enc_s"] / 1e6, 2)
-
-    # ---- 2c. device BGZF stored-block write (CRC32 on chip) ----------
-    # (VERDICT r3 task #6: the reference's level-0 fast path,
-    # bgzf.c:1345; output validated by the reference's bgzip -t)
-    if left() > 180:
+    # ---- 4. device BGZF stored-block write (CRC32 on chip) -----------
+    if left() > 150:
         from htslib_tpu.ops.bgzf_device import crc_device_rate
         try:
             r = crc_device_rate(n_blocks=128, reps=3)
@@ -253,8 +260,8 @@ def main():
         except Exception as e:
             out["bgzf_stored_error"] = f"{type(e).__name__}: {e}"[:120]
 
-    # ---- 2c2. entropy-coded device deflate (uniform-L dyn Huffman) ---
-    if left() > 150:
+    # ---- 5. entropy-coded device deflate (uniform-L dyn Huffman) -----
+    if left() > 120:
         try:
             import gzip as _gz
 
@@ -272,49 +279,32 @@ def main():
         except Exception as e:
             out["bgzf_huffman_error"] = f"{type(e).__name__}: {e}"[:120]
 
-    # ---- 3. device inflate ------------------------------------------
-    # Round-4 retest: the program that crashed the round-3 worker now
-    # runs byte-exact on the chip (16 x 60 KB) — but at ~0.04 MB/s: the
-    # XLA gather/scatter lowering wall, quantified.  Production inflate
-    # stays on the host; the lane is measured here (small batch) so the
-    # artifact carries the real number.  HTS_TPU_SKIP_INFLATE=1 skips.
-    if left() > 180 and os.environ.get("HTS_TPU_SKIP_INFLATE") != "1":
-        try:
-            import zlib
+    # ---- 6. device inflate: settled — see the split probe ------------
+    try:
+        with open(os.path.join(REPO, "PROBE_INFLATE_SPLIT.json")) as f:
+            sp = json.load(f)
+        out["inflate_split"] = {
+            "passA_MBps": sp.get("passA_MBps"),
+            "split_pipelined_MBps": sp.get("split_pipelined_MBps"),
+            "host_zlib_1core_MBps": sp.get("host_zlib_1core_MBps"),
+            "verdict": "split dead: pass A is the wall; wire inflate "
+                       "stays host-side (docs/DEVICE_LIMITS.md r5)",
+        }
+    except (OSError, ValueError):
+        pass
 
-            from htslib_tpu.ops.inflate import inflate_batch
-            blocks = []
-            sizes = []
-            for i in range(8):
-                raw = rng.randint(0, 45, 60000).astype(np.uint8).tobytes()
-                co = zlib.compressobj(6, zlib.DEFLATED, -15)
-                blocks.append(co.compress(raw) + co.flush())
-                sizes.append(len(raw))
-            res = inflate_batch(blocks, sizes)     # warm/compile
-            t0 = time.time()
-            res = inflate_batch(blocks, sizes)
-            dt = time.time() - t0
-            out["device_inflate_MBps"] = round(sum(sizes) / dt / 1e6, 3)
-            want_ok = all(
-                r == zlib.decompress(b, -15)
-                for r, b in zip(res, blocks))
-            out["device_inflate_exact"] = bool(want_ok)
-        except Exception as e:  # keep the artifact even if this leg dies
-            out["device_inflate_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- rooflines ---------------------------------------------------
-    # measured ceilings from docs/DEVICE_LIMITS.md's probes
+    # ---- rooflines / tunnel --------------------------------------------
+    h2d, d2h = tunnel_rates()
+    out["tunnel_h2d_MBps_at_end"] = h2d
+    out["tunnel_d2h_MBps_at_end"] = d2h
     out["roofline"] = {
         "streaming_elementwise_GBps": 251.0,
-        "tunnel_d2h_MBps": 33.0,
-        "resolve_vs_streaming": round(
-            pallas_rate * 4 / 251.0, 4),     # 4B loads per lookup
-        "e2e_qualstats_vs_tunnel": round(
-            out.get("e2e_qualstats_MBps_uncompressed_onchip", 0) / 33.0,
-            1),
-        "note": "bulk-byte outputs are capped by the 25-33 MB/s axon "
-                "tunnel; the e2e_qualstats lane avoids it by reducing "
-                "on device (counts out, not bytes)",
+        "note": "file-level lanes are h2d-tunnel-bound (see "
+                "docs/DEVICE_LIMITS.md round-5 'honest formula'); "
+                "kernel-resident rates are the hardware numbers. "
+                "The O0 decode kernel runs at ~66% of its op-issue "
+                "bound at the VMEM-limited 1024-lane width.",
+        "rans_o0_vs_issue_bound": 0.66,
     }
 
     path = os.path.join(REPO, "DEVICE_BENCH.json")
