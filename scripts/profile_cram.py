@@ -37,6 +37,8 @@ def ensure_input():
 
 
 def main():
+    from htslib_tpu.util.memory import tune_host_allocator
+    tune_host_allocator(1 << 30)
     cram = ensure_input()
     from htslib_tpu.cram import CramReader
     from htslib_tpu.cram.batch import (_slice_jobs, _slice_to_sam_stage,
@@ -59,7 +61,7 @@ def main():
         outs = [stage(j) for j in jobs]
         t_stage = time.time() - t0
     nbytes = sum(len(o) for o in outs)
-    nrec = sum(o.count(b"\n") for o in outs)
+    nrec = sum(bytes(o).count(b"\n") for o in outs)
     print(f"(b) stage x1 thread: {t_stage:.3f}s  ({nbytes/1e6:.1f} MB SAM, "
           f"{nrec} records)")
 
