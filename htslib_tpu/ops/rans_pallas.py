@@ -18,12 +18,18 @@ the dependent resolve chain, ~5.7x the XLA gather lowering on the same
 shape.  (An earlier draft quoted 6.8 G/s from a mis-scaled element
 count; the DEVICE_BENCH numbers are the authoritative measurement.)
 
-Layout: symbols on sublanes [256, lanes]; rANS states on lanes.  The
-full Nx16 order-0 decoder packs BLOCKS=4 independent streams x 32
-interleaved states into the 128 lanes; byte refill reads a 32-word
-window per block at its scalar cursor (one dynamic slice each) and
-distributes words to renormalising states with a 32-way one-hot select
-— no gather anywhere.
+Layout (round-5 form; the measured rationale is the round-5 section of
+docs/DEVICE_LIMITS.md and scripts/probe_rans_ablate.py): tables on
+sublanes [A, lanes]; rANS states on STATE-MAJOR lanes — state j of
+block b at lane j*BLOCKS + b — 32 blocks x 32 states = 1024 lanes,
+because the per-round dependent-op chain is LATENCY-bound and width is
+the throughput lever.  Refill windows pack two LE u16 words per i32
+row, reload per 8-round tile as a compact [WINR, BLOCKS] slice
+expanded with one pltpu.repeat, and resolve with one-hot selects and
+tree-shaped accumulations — no gather anywhere.  Measured 989 MB/s
+wire-exact on the v5e (~66% of the op-issue bound at the VMEM-limited
+width); the in-kernel-histogram variant (_seg_hist_kernel) feeds the
+file-level stats lanes without materialising symbols in HBM.
 
 Wire format: rANS Nx16 order-0, 32-way (CRAM 3.1, cram/cram_io.c:1699
 call site; codecs/rans4x16.py is the validated host model).
