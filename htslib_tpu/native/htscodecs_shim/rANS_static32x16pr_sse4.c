@@ -41,6 +41,7 @@ int rans32x16_have_sse4(void) {
 }
 
 /* hi32 of unsigned 32x32 multiply for 4 lanes */
+__attribute__((target("sse4.1")))
 static inline __m128i mulhi_epu32_sse(__m128i a, __m128i b) {
     __m128i pe = _mm_mul_epu32(a, b);                       /* lanes 0,2 */
     __m128i po = _mm_mul_epu32(_mm_srli_epi64(a, 32),

@@ -295,14 +295,17 @@ def encode_nx16_o0_batch(datas: List[bytes],
                 jnp.asarray(cnt_lane))
         Wp, Mp, x_f = run(*args)
         # device-resident steady state (inputs and outputs on device),
-        # best-of-3: single-shot timings swing with host/tunnel load
-        t_res = None
-        for _ in range(3):
-            t0 = time.time()
-            Wp, Mp, x_f = run(*args)
-            int(jnp.sum(x_f[:1, :8]).block_until_ready())
-            dt = time.time() - t0
-            t_res = dt if t_res is None else min(t_res, dt)
+        # best-of-3 — instrumentation only, skipped unless the caller
+        # asked for timing: single-shot timings swing with host load
+        t_res = 0.0
+        if timing is not None:
+            t_res = None
+            for _ in range(3):
+                t0 = time.time()
+                Wp, Mp, x_f = run(*args)
+                int(jnp.sum(x_f[:1, :8]).block_until_ready())
+                dt = time.time() - t0
+                t_res = dt if t_res is None else min(t_res, dt)
         Wn = np.asarray(Wp).view(np.uint32)
         Mn = np.asarray(Mp).view(np.uint32)
         x_fin = np.asarray(x_f)[0].astype(np.int64) & 0xFFFFFFFF
@@ -353,8 +356,8 @@ def encode_nx16_o0_batch(datas: List[bytes],
                 head += int(x_fin[j * BLOCKS_E + gi]).to_bytes(4, "little")
             out[base + gi] = bytes(head) + body_b.tobytes()
         if timing is not None:
-            # exclude the 2 extra best-of-3 measurement reps from the
-            # end-to-end account (they are instrumentation, not work)
+            # 4 device passes ran (1 real + 3 best-of-3 reps): charge
+            # e2e for exactly one (the instrumentation is not work)
             timing["enc_s"] = (timing.get("enc_s", 0.0)
-                               + (time.time() - t_all0) - 2 * t_res)
+                               + (time.time() - t_all0) - 3 * t_res)
     return out

@@ -388,9 +388,10 @@ def o1_pads(parsed) -> Tuple[int, int]:
 
 
 def _prepare_group_o1(group: List[bytes], BLOCKS1: int,
-                      a2_pad: int, a_pad: int):
+                      a2_pad: int, a_pad: int, parsed=None):
     L = BLOCKS1 * NWAY
-    parsed = [_parse_o1_header(d) for d in group]
+    if parsed is None:
+        parsed = [_parse_o1_header(d) for d in group]
     lo2 = np.zeros((a2_pad, BLOCKS1), np.int32)
     d2 = np.zeros((a2_pad, BLOCKS1), np.int32)
     ad = np.zeros((a_pad, BLOCKS1), np.int32)
@@ -446,7 +447,9 @@ def decode_nx16_o1_batch(blocks: List[bytes],
     for base in range(0, len(blocks), BLOCKS1):
         group = blocks[base:base + BLOCKS1]
         (data_w, lo2, d2, ad, x, out_szs, W, maps,
-         parsed) = _prepare_group_o1(group, BLOCKS1, a2_pad, a_pad)
+         parsed) = _prepare_group_o1(
+            group, BLOCKS1, a2_pad, a_pad,
+            all_parsed[base:base + BLOCKS1])
         segs_rounds = [n // NWAY for n in out_szs]
         rounds_needed = max(1, max(segs_rounds))
         n_segs = (rounds_needed + SEG1 - 1) // SEG1

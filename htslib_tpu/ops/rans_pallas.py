@@ -152,9 +152,12 @@ _TILE = 8     # rounds per window reload
 _WIN = 256    # window WORDS per block (>= _TILE * NWAY consumption)
 _WINR = 136   # window i32 rows: 2 u16 words packed per row (>= 129 =
               # ceil((_WIN+1)/2) for an odd word cursor), 17 8-row chunks
-_OTILE = 8    # rounds per aligned output store (8 sub-tiles batched:
-              # dynamic-offset stores cost ~1 us each — measured in
-              # scripts/probe_rans_ablate.py — so store 1/8 as often)
+_OTILE = 8    # rounds per aligned output store.  Batching 8 window
+              # tiles into one [64, L] store was tried (dynamic-offset
+              # stores cost ~1 us, probe_rans_ablate.py) and MEASURED
+              # SLOWER at 1024 lanes: holding 64 live [8, L] tiles
+              # spills registers, costing more than the saved stores —
+              # so _OTILE == _TILE and the tt-loop has one iteration.
 
 
 def _group_cumsum_exclusive(v, gpos, nway=NWAY, stride=1):
