@@ -27,9 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from htslib_tpu.ops.rans_pallas import (TOTFREQ, TF_SHIFT,
+                                        _alpha_select,
                                         _group_cumsum_exclusive,
                                         _group_total, _resolve8,
-                                        _row_fold, _tree_acc, pack_tables)
+                                        _resolve_stacked, _row_fold,
+                                        _tree_acc, _win_fetch,
+                                        pack_tables)
 
 RANS8_L = 1 << 23
 NWAY4 = 4
@@ -66,14 +69,7 @@ def _seg4_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref, cnt_ref,
         idx2 = idx + 1
 
         def fetch(ix):
-            rowi = pltpu.bitcast(
-                pltpu.bitcast(ix, jnp.uint32) >> 2, jnp.int32)
-            q8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                      win[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(_WINR4 // 8)])
-            quad = pltpu.bitcast(_row_fold(q8), jnp.uint32)
-            sh = pltpu.bitcast((ix & 3) << 3, jnp.uint32)
-            return pltpu.bitcast((quad >> sh) & 0xFF, jnp.int32)
+            return _win_fetch(win, ix, row, 2)
 
         b1 = fetch(idx)
         b2 = fetch(idx2)
@@ -149,20 +145,11 @@ def _seg4_hist_kernel(qbins, o1, data_ref, lo_ref, dfc_ref, ad_ref,
             key = ctxd * TOTFREQ + (x8 & (TOTFREQ - 1))
         else:
             key = x8 & (TOTFREQ - 1)
-        e8 = _tree_acc([jnp.where(key >= lo[ch * 8:ch * 8 + 8],
-                                  dfc[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(A2 // 8)])
-        e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
-        idx = pltpu.bitcast(e >> 24, jnp.int32)
-        f = pltpu.bitcast(e & 0xFFF, jnp.int32) + 1
-        c = pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32)
+        idx, f, c = _resolve_stacked(key, lo, dfc)
         m = x8 & (TOTFREQ - 1)
         x_new = f * (x8 >> TF_SHIFT) + m - c
         if o1:
-            s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
-                                      ad[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(A // 8)])
-            sym = _row_fold(s8)
+            sym = _alpha_select(idx, ad, row)
             ctxd = jnp.where(active, idx, ctxd)
         else:
             sym = idx
@@ -174,14 +161,7 @@ def _seg4_hist_kernel(qbins, o1, data_ref, lo_ref, dfc_ref, ad_ref,
         idxb = woff + pre
 
         def fetch(ix):
-            rowi = pltpu.bitcast(
-                pltpu.bitcast(ix, jnp.uint32) >> 2, jnp.int32)
-            q8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                      win[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(_WINR4 // 8)])
-            quad = pltpu.bitcast(_row_fold(q8), jnp.uint32)
-            sh = pltpu.bitcast((ix & 3) << 3, jnp.uint32)
-            return pltpu.bitcast((quad >> sh) & 0xFF, jnp.int32)
+            return _win_fetch(win, ix, row, 2)
 
         b1 = fetch(idxb)
         b2 = fetch(idxb + 1)

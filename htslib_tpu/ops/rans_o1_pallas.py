@@ -39,9 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from htslib_tpu.ops.rans_pallas import (RANS16_L, TF_SHIFT, TOTFREQ,
+                                        _alpha_select,
                                         _group_cumsum_exclusive,
-                                        _group_total, _row_fold,
-                                        _tree_acc)
+                                        _group_total, _resolve_stacked,
+                                        _row_fold, _tree_acc, _win_fetch)
 
 NWAY = 32
 SEG1 = 1024        # rounds per kernel call
@@ -112,36 +113,19 @@ def _make_seg1_kernel(BLOCKS1):
 
     def one_round(x8, ctxd, woff, win, active):
         key = ctxd * TOTFREQ + (x8 & (TOTFREQ - 1))
-        e8 = _tree_acc([jnp.where(key >= lo2[ch * 8:ch * 8 + 8],
-                                  d2[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(A2 // 8)])
-        e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
-        idx = pltpu.bitcast(e >> 24, jnp.int32)
-        f = pltpu.bitcast(e & 0xFFF, jnp.int32) + 1
-        c = pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32)
+        idx, f, c = _resolve_stacked(key, lo2, d2)
         m = x8 & (TOTFREQ - 1)
         x_new = f * (x8 >> TF_SHIFT) + m - c
         # symbol value from the dense index: telescoped alphabet
         # (row i's boundary is i itself, so sum_{i<=idx} alpha_d[i])
-        s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
-                                  ad[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(A // 8)])
-        sym = _row_fold(s8)
+        sym = _alpha_select(idx, ad, row)
         x8 = jnp.where(active, x_new, x8)
         ctxd = jnp.where(active, idx, ctxd)
         # refill (identical to the O0 kernel's packed-pair window)
         need = jnp.where(active & (x8 < RANS16_L), 1, 0)
         pre = _group_cumsum_exclusive(need, gpos, NWAY, stride=BLOCKS1)
         widx = woff + pre
-        rowi = pltpu.bitcast(
-            pltpu.bitcast(widx, jnp.uint32) >> 1, jnp.int32)
-        w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                  win[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(_WINR1 // 8)])
-        pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
-        words = pltpu.bitcast(
-            jnp.where((widx & 1) > 0, pair >> 16, pair & 0xFFFF),
-            jnp.int32)
+        words = _win_fetch(win, widx, row, 1)
         x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
         woff = woff + _group_total(pre + need, gpos, NWAY,
                                    stride=BLOCKS1)
@@ -204,34 +188,17 @@ def _make_seg1_hist_kernel(BLOCKS1, qbins):
 
         def one_round(x8, ctxd, woff, win, active):
             key = ctxd * TOTFREQ + (x8 & (TOTFREQ - 1))
-            e8 = _tree_acc([jnp.where(key >= lo2[ch * 8:ch * 8 + 8],
-                                      d2[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(A2 // 8)])
-            e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
-            idx = pltpu.bitcast(e >> 24, jnp.int32)
-            f = pltpu.bitcast(e & 0xFFF, jnp.int32) + 1
-            c = pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32)
+            idx, f, c = _resolve_stacked(key, lo2, d2)
             m = x8 & (TOTFREQ - 1)
             x_new = f * (x8 >> TF_SHIFT) + m - c
-            s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
-                                      ad[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(A // 8)])
-            sym = _row_fold(s8)
+            sym = _alpha_select(idx, ad, row)
             x8 = jnp.where(active, x_new, x8)
             ctxd = jnp.where(active, idx, ctxd)
             need = jnp.where(active & (x8 < RANS16_L), 1, 0)
             pre = _group_cumsum_exclusive(need, gpos, NWAY,
                                           stride=BLOCKS1)
             widx = woff + pre
-            rowi = pltpu.bitcast(
-                pltpu.bitcast(widx, jnp.uint32) >> 1, jnp.int32)
-            w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                      win[ch * 8:ch * 8 + 8], 0)
-                            for ch in range(_WINR1 // 8)])
-            pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
-            words = pltpu.bitcast(
-                jnp.where((widx & 1) > 0, pair >> 16, pair & 0xFFFF),
-                jnp.int32)
+            words = _win_fetch(win, widx, row, 1)
             x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
             woff = woff + _group_total(pre + need, gpos, NWAY,
                                        stride=BLOCKS1)

@@ -160,6 +160,49 @@ _OTILE = 8    # rounds per aligned output store.  Batching 8 window
               # so _OTILE == _TILE and the tt-loop has one iteration.
 
 
+def _win_fetch(win, idx, row, log2_per):
+    """Fetch one packed sub-item per lane from the window: win rows
+    pack 2**log2_per items of (32 >> log2_per) bits each (LE order),
+    idx is the per-lane ITEM offset.  One-hot row select with tree
+    accumulation + fold, then the intra-row shift — the shared refill
+    primitive of every rANS kernel in this family."""
+    item_bits = 32 >> log2_per
+    rowi = pltpu.bitcast(
+        pltpu.bitcast(idx, jnp.uint32) >> log2_per, jnp.int32)
+    w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
+                              win[ch * 8:ch * 8 + 8], 0)
+                    for ch in range(win.shape[0] // 8)])
+    packed = pltpu.bitcast(_row_fold(w8), jnp.uint32)
+    sh = pltpu.bitcast(
+        (idx & ((1 << log2_per) - 1)) * item_bits, jnp.uint32)
+    return pltpu.bitcast((packed >> sh) & ((1 << item_bits) - 1),
+                         jnp.int32)
+
+
+def _resolve_stacked(key, lo2, d2):
+    """Telescoping resolve over stacked sorted rows: returns (top-byte
+    field, f, c) of the packed word (f-1) | c<<12 | top<<24 at the last
+    row whose boundary is <= key.  The O0 kernels key by slot with
+    top = symbol; the O1 kernels key by ctx_idx*4096 + slot with
+    top = dense symbol index."""
+    e8 = _tree_acc([jnp.where(key >= lo2[ch * 8:ch * 8 + 8],
+                              d2[ch * 8:ch * 8 + 8], 0)
+                    for ch in range(lo2.shape[0] // 8)])
+    e = pltpu.bitcast(_row_fold(e8), jnp.uint32)
+    return (pltpu.bitcast(e >> 24, jnp.int32),
+            pltpu.bitcast(e & 0xFFF, jnp.int32) + 1,
+            pltpu.bitcast((e >> 12) & 0xFFF, jnp.int32))
+
+
+def _alpha_select(idx, ad, row):
+    """Dense index -> symbol value via the telescoped union alphabet
+    (row i's boundary is i itself)."""
+    s8 = _tree_acc([jnp.where(idx >= row + ch * 8,
+                              ad[ch * 8:ch * 8 + 8], 0)
+                    for ch in range(ad.shape[0] // 8)])
+    return _row_fold(s8)
+
+
 def _group_cumsum_exclusive(v, gpos, nway=NWAY, stride=1):
     """Exclusive cumsum along lanes over each group's members,
     restarting at every group boundary (inputs are zero outside their
@@ -221,15 +264,7 @@ def _seg_kernel(data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
         need = (x8 < RANS16_L).astype(jnp.int32)         # [8, L]
         pre = _group_cumsum_exclusive(need, gpos, stride=BLOCKS)
         idx = woff + pre                                 # word offset
-        rowi = pltpu.bitcast(
-            pltpu.bitcast(idx, jnp.uint32) >> 1, jnp.int32)
-        w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                  win[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(_WINR // 8)])
-        pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
-        words = pltpu.bitcast(
-            jnp.where((idx & 1) > 0, pair >> 16, pair & 0xFFFF),
-            jnp.int32)
+        words = _win_fetch(win, idx, row, 1)
         x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
         woff = woff + _group_total(pre + need, gpos, stride=BLOCKS)
         return sym, x8, woff
@@ -312,15 +347,7 @@ def _seg_hist_kernel(qbins, data_ref, lo_ref, dfc_ref, x_ref, cur_ref,
         need = (x8 < RANS16_L).astype(jnp.int32)
         pre = _group_cumsum_exclusive(need, gpos, stride=BLOCKS)
         idx = woff + pre
-        rowi = pltpu.bitcast(
-            pltpu.bitcast(idx, jnp.uint32) >> 1, jnp.int32)
-        w8 = _tree_acc([jnp.where(rowi == row + ch * 8,
-                                  win[ch * 8:ch * 8 + 8], 0)
-                        for ch in range(_WINR // 8)])
-        pair = pltpu.bitcast(_row_fold(w8), jnp.uint32)
-        words = pltpu.bitcast(
-            jnp.where((idx & 1) > 0, pair >> 16, pair & 0xFFFF),
-            jnp.int32)
+        words = _win_fetch(win, idx, row, 1)
         x8 = jnp.where(need > 0, (x8 << 16) | words, x8)
         woff = woff + _group_total(pre + need, gpos, stride=BLOCKS)
         return sym, x8, woff
