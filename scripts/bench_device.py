@@ -196,6 +196,12 @@ def main():
             te["bytes"] / te["enc_resident_s"] / 1e6, 2)
         out["rans_enc_MBps_e2e"] = round(
             te["bytes"] / te["enc_s"] / 1e6, 2)
+        out["rans_enc_e2e_note"] = (
+            "e2e ships 1 B/B of symbols up and ~2 B/B of word/mask "
+            "planes down through the 16-54 MB/s axon tunnel plus host "
+            "numpy compaction — arithmetically capped far below the "
+            "kernel rate on this rig; the resident number is the "
+            "hardware rate (PCIe/ICI hosts see it at file level)")
 
     # ---- 3. whole-CRAM-file qual stats through the chip --------------
     if left() > 240:
