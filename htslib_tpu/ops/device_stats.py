@@ -200,12 +200,18 @@ def qualstats_device(blocks: List[bytes], interpret: bool = False,
     timing["decode_s"] = time.time() - t0
     # steady-state re-measure with warm, device-resident inputs
     if reps > 1:
-        t0 = time.time()
+        # best-of-reps: per-rep wall includes host dispatch of the
+        # while_loop chain, which stalls under host load — the min is
+        # the reproducible device-resident number
+        best = None
         for _ in range(reps):
+            t0 = time.time()
             for run, args, *_m in pending:
                 h = run(*args)
             np.asarray(h)
-        timing["decode_s"] = (time.time() - t0) / reps
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timing["decode_s"] = best
     if timing["decode_s"] > 0:
         # only the reps>1 re-measure is a true device-resident rate;
         # the reps=1 path timed just the collect phase of an already
@@ -462,12 +468,15 @@ def qualstats_device_4x8(blocks: List[bytes], interpret: bool = False,
             hists.append(h)
     timing["decode_s"] = time.time() - t0
     if reps > 1:
-        t0 = time.time()
+        best = None
         for _ in range(reps):
+            t0 = time.time()
             for run, args, *_m in pending:
                 res = run(*args)
             np.asarray(res[0])
-        timing["decode_s"] = (time.time() - t0) / reps
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timing["decode_s"] = best
     if timing["decode_s"] > 0:
         # only the reps>1 re-measure is a true device-resident rate;
         # the reps=1 path timed just the collect phase of an already
@@ -581,11 +590,16 @@ def qualstats_device_o1(blocks_in: List[bytes], interpret: bool = False,
         x_fin = np.asarray(x_f)[0].astype(np.int64) & 0xFFFFFFFF
         cur_fin = np.asarray(cur_f)[0]
         ctx_fin = np.asarray(ctx_f)[0]
-        t0 = time.time()
-        for _ in range(reps):
+        # best-of-reps: per-rep wall includes host dispatch, which
+        # stalls under host load — the min is the reproducible number
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
             hist, x_f, cur_f, ctx_f = run(*args)
             np_h = np.asarray(hist)
-        timing["decode_s"] += (time.time() - t0) / max(reps, 1)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timing["decode_s"] += best
         timing["uncompressed_bytes"] += sum(out_szs[:len(group)])
         timing["compressed_bytes"] += sum(len(b) for b in group)
         for gi in range(len(group)):
