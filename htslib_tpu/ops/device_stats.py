@@ -642,6 +642,40 @@ def qualstats_device_o1(blocks_in: List[bytes], interpret: bool = False,
     return np.stack(hists), timing
 
 
+def _stripe_rewrap(raw: bytes):
+    """Split a STRIPE-transformed Nx16 stream (flags & 0x08) into its
+    N sub-streams, each rewrapped as a PLAIN stream (sub-streams are
+    coded with flags&(O1|N32)|NOSZ over every N-th byte, so a synthetic
+    header of the same flags + the known sub-length makes each one a
+    standalone device-decodable stream).  A histogram is
+    stripe-order-independent, so the per-sub histograms just sum.
+    Returns a list of (sub_stream, is_o1); raises ValueError when a
+    sub-stream is not a plain 32-way wire."""
+    from htslib_tpu.codecs.rans4x16 import u7_get, u7_put
+    flags = raw[0]
+    if not (flags & 0x08) or flags & 0xF0:  # no NOSZ/CAT/RLE/PACK outer
+        raise ValueError("not a plain stripe stream")
+    p = 1
+    ulen, p = u7_get(raw, p)
+    N = raw[p]
+    p += 1
+    lens = []
+    for _ in range(N):
+        v, p = u7_get(raw, p)
+        lens.append(v)
+    subs = []
+    for j in range(N):
+        body = bytes(raw[p:p + lens[j]])
+        p += lens[j]
+        want = (ulen - j + N - 1) // N
+        if not body or body[0] & ~0x15 or not (body[0] & 0x04):
+            raise ValueError("stripe sub-stream not device-decodable")
+        hdr = bytearray([body[0] & 0x05])     # drop NOSZ, keep O1|X32
+        u7_put(hdr, want)
+        subs.append((bytes(hdr) + body[1:], bool(body[0] & 0x01)))
+    return subs
+
+
 def _pack_rewrap(raw: bytes):
     """Split a PACK-transformed Nx16 stream (flags & 0x80) into its
     pack map and a synthetic PLAIN stream for the core coder (the wire
@@ -747,6 +781,21 @@ def cram_qual_hist(path: str, interpret: bool = False,
                                 _parse_o1_header, o1_pads)
                             o1_pads([_parse_o1_header(raw)])
                             dev16_o1.append(raw)
+                            routed = True
+                        except ValueError:
+                            pass
+                    elif f & 0x08 and not f & 0xF0:
+                        # STRIPE: sub-streams are standalone plain
+                        # streams; histograms sum over sub-streams
+                        try:
+                            from htslib_tpu.ops.rans_o1_pallas import (
+                                _parse_o1_header, o1_pads)
+                            subs = _stripe_rewrap(raw)
+                            for sub, is_o1 in subs:
+                                if is_o1:
+                                    o1_pads([_parse_o1_header(sub)])
+                            for sub, is_o1 in subs:
+                                (dev16_o1 if is_o1 else dev16).append(sub)
                             routed = True
                         except ValueError:
                             pass

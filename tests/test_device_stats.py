@@ -288,3 +288,37 @@ assert all(o == d for o, d in zip(out, cases))
 print("OK")
 """)
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_stripe_rewrap_device():
+    """STRIPE-transformed Nx16 streams (flags & 0x08): the N sub-streams
+    are standalone plain 32-way streams after rewrap, and their device
+    histograms sum to the original data's histogram (both orders)."""
+    out = clean_jax_run("""
+import numpy as np
+from htslib_tpu.codecs.rans4x16 import compress
+from htslib_tpu.ops.device_stats import (_stripe_rewrap, qualstats_device,
+                                         qualstats_device_o1, qualstats_host)
+rng = np.random.RandomState(9)
+def walk(n):
+    return np.clip(np.cumsum(rng.randint(-2, 3, n)) + 20, 0,
+                   44).astype(np.uint8).tobytes()
+for fl in (0x0C, 0x0D):
+    data = walk(40007)
+    enc = compress(data, fl)
+    assert enc[0] == fl
+    subs = _stripe_rewrap(enc)
+    tot = np.zeros(64, np.int64)
+    o0s = [s for s, o1 in subs if not o1]
+    o1s = [s for s, o1 in subs if o1]
+    if o0s:
+        h, _ = qualstats_device(o0s, interpret=True)
+        tot += h.sum(axis=0)
+    if o1s:
+        h, _ = qualstats_device_o1(o1s, interpret=True)
+        tot += h.sum(axis=0)
+    assert (tot == qualstats_host([data])[0]).all(), hex(fl)
+print("OK")
+""")
+    assert "OK" in out
